@@ -1,0 +1,42 @@
+"""Query registry: every operator from SURVEY.md §2 gets a named entry.
+
+Each entry pairs a Spark DataFrame plan (``fn(spark, sf_dir) -> DataFrame``)
+with an equivalent ANSI-SQL oracle string for DuckDB (or ``None`` for
+non-SQL-expressible operators, which the driver checks rows-only).
+
+Column names are aliased identically on both sides — the driver's comparator
+sorts columns by name before value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect modules that populate the registry.
+    from . import llm, relational  # noqa: F401
+
+    return dict(REGISTRY)

@@ -1,0 +1,282 @@
+"""LLM-data-pipeline operators over the documents/embeddings fixtures
+(SURVEY.md §2.11): dedup, text analysis, fingerprinting, similarity search.
+
+Design-for-100TB notes:
+- exact dedup / fingerprint dedup: single hash shuffle on the dedup key;
+  map-side partial agg keeps the shuffle narrow.
+- n-gram Jaccard near-dup: shingle inverted index (explode → groupBy shingle
+  → pair join) — the standard scalable near-dup plan; candidate pairs are
+  generated only for docs sharing ≥1 shingle, never all-pairs.
+- cosine top-k: brute force is a broadcast of the (small) query set against
+  the full corpus — embarrassingly parallel, no shuffle on the corpus side;
+  LSH/IVF-pruned variants come from operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+from . import register
+
+_STOPWORDS = ("the", "a", "of", "and")
+
+# --------------------------------------------------------------------------
+# Exact dedup + fingerprinting
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT min(doc_id) AS canonical_doc_id, count(*) AS n_dups,
+       min(n_chars) AS n_chars
+FROM documents
+GROUP BY text
+ORDER BY canonical_doc_id
+""",
+    doc="Exact dedup: hash-groupBy on the full text; canonical = min doc_id. One shuffle, map-side combine.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .select("canonical_doc_id", "n_dups", "n_chars")
+        .orderBy("canonical_doc_id")
+    )
+
+
+@register(
+    "fingerprint_dedup",
+    oracle="""
+SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY md5(text)
+ORDER BY canonical_doc_id
+""",
+    doc="Document fingerprinting + dedup by fingerprint. At 100 TB you dedup on the 16-byte digest, not the full text — the shuffle carries hashes, not documents.",
+)
+def fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("canonical_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis: token stats, quality scoring, per-language totals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS tokens FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       len(tokens) AS n_tokens,
+       len(list_distinct(tokens)) AS n_uniq_tokens,
+       round(list_sum(list_transform(tokens, t -> len(t))) * 1.0 / len(tokens), 6) AS avg_token_len,
+       round(len(list_filter(tokens, t -> t IN {_STOPWORDS})) * 1.0 / len(tokens), 6) AS stopword_ratio,
+       round(len(list_distinct(tokens)) * 1.0 / len(tokens), 6) AS ttr
+FROM toks
+ORDER BY doc_id
+""",
+    doc="Per-document quality scoring: token count, type-token ratio, stopword ratio, mean token length — all JVM-side array expressions, no Python UDF.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        F.round(sum_len * 1.0 / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_stop * 1.0 / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_uniq * 1.0 / n_tokens, 6).alias("ttr"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_totals_by_lang",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 6) AS mean_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Corpus token accounting per language — the map-side-combined agg a token-budget pipeline runs at 100 TB.",
+)
+def token_totals_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate detection: n-gram Jaccard via shingle inverted index
+# --------------------------------------------------------------------------
+
+_SHINGLE_W = 3  # words per shingle
+_JACCARD_NUM = 1  # threshold num/den: jaccard > 1/3
+_JACCARD_DEN = 3
+
+
+@register(
+    "near_dup_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {_SHINGLE_W - 1}),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks WHERE len(t) >= {_SHINGLE_W}
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingles),
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shingles),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * {_JACCARD_DEN} > (sa.n_sh + sb.n_sh - n_common) * {_JACCARD_NUM}
+ORDER BY doc_a, doc_b
+""",
+    doc="Near-dup via word-shingle inverted index + integer-exact Jaccard threshold. Scales: pairs generated per-shingle (hash shuffle on shingle), never all-pairs; hot shingles can be frequency-capped (stop-shingle pruning) at 100 TB.",
+)
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    shingle = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_SHINGLE_W - 1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        )
+    )
+    shingles = docs.filter(F.size(t) >= _SHINGLE_W).select("doc_id", shingle.alias("sh"))
+    sizes = shingles.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = shingles.select("doc_id", F.explode("sh").alias("shingle"))
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    union_size = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("n_common") * _JACCARD_DEN > union_size * _JACCARD_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_common") * 1.0 / union_size, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k (baseline; LSH variant in
+# operators/similarity.py)
+# --------------------------------------------------------------------------
+
+_N_QUERY_VECS = 8
+_TOP_K = 5
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < {_N_QUERY_VECS}),
+     c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= {_N_QUERY_VECS}),
+     scored AS (
+       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              list_dot_product(q.e, c.e)
+                / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+       FROM q CROSS JOIN c
+     ),
+     ranked AS (
+       SELECT query_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       FROM scored
+     )
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+""",
+    doc="Brute-force cosine top-k: broadcast the query set over the corpus; per-corpus-partition local top-k then global top-k (TakeOrdered per query via window). Dot products stay JVM-side (zip_with + aggregate in double).",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+    norm = F.sqrt(dot(F.col("e"), F.col("e")))
+    q = (
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), norm.alias("qnorm"))
+    )
+    c = (
+        emb.filter(F.col("vec_id") >= _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), norm.alias("cnorm"))
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )

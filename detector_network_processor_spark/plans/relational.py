@@ -1,0 +1,599 @@
+"""Relational parity layer (SURVEY.md §2.10 + §2.2/§2.4/§2.6/§2.7 analogs).
+
+The reference has no SQL surface; its operators are pipeline stages. Here each
+stage class is expressed as a declarative DataFrame plan over the driver's
+TPC-H-ish fixtures so Catalyst supplies pushdown/pruning/join-selection
+(SURVEY.md §4.2), paired with a DuckDB oracle.
+
+Scale notes are attached per query: every plan avoids driver-side loops,
+broadcasts dimension tables explicitly, and expresses range/band joins as
+bucketed equi-joins so they hash-partition instead of degenerating into
+cross products at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+from . import register
+
+# --------------------------------------------------------------------------
+# TPC-H-style scan/filter/agg/join/sort/limit parity (SURVEY §2.10)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                    AS sum_qty,
+       round(sum(l_extendedprice), 4)                               AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)            AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4)                                    AS avg_qty,
+       round(avg(l_extendedprice), 4)                               AS avg_price,
+       round(avg(l_discount), 4)                                    AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 shape: scan → filter (pushdown) → hash agg. Parity for F1-class filters + A-class aggregation (SURVEY §2.2, §2.6).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: 3-way join + agg + top-k. Parity for J1 joins + sort/limit (SURVEY §2.4, §2.10).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="TPC-H Q5 shape: 6-way join with dimension broadcast. Parity for multi-join plans (SURVEY §2.4).",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "join_broadcast_parts",
+    oracle="""
+SELECT p_brand,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*)                  AS n_items,
+       round(avg(p_retailprice), 4) AS avg_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    doc="J1 broadcast enrichment join analog (reference src/supervision/station.cpp:30-34): fact × small dim must be a BroadcastHashJoin, never a shuffle join.",
+)
+def join_broadcast_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "top_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    doc="Sort + limit parity (SURVEY §2.10 — absent in reference, Spark built-in). Top-k is TakeOrderedAndProject, no global sort.",
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("totalprice"))
+    )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+     building    AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT custkey, 'no_order_building' AS tag
+FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM with_orders) t
+UNION ALL
+SELECT custkey, 'ordered_building' AS tag
+FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM with_orders) t
+ORDER BY tag, custkey
+""",
+    doc="Set-operation parity: union/intersect/except (SURVEY §2.10).",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey")).distinct()
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    no_order = building.exceptAll(building.intersect(orders)).select("custkey", F.lit("no_order_building").alias("tag"))
+    ordered = building.intersect(orders).select("custkey", F.lit("ordered_building").alias("tag"))
+    return no_order.unionAll(ordered).orderBy("tag", "custkey")
+
+
+@register(
+    "distinct_agg_orders",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*)                  AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Distinct aggregation parity (SURVEY §2.10).",
+)
+def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "rollup_lineitem",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 4)     AS sum_qty,
+       count(*)                      AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    doc="Rollup/grouping-sets parity (SURVEY §2.10).",
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# events-stream analytics: windows, rates, counters, sessions (SURVEY §2.6-2.7)
+# The `events` fixture plays the role of the reference's event stream; ts is
+# int64 nanoseconds (read via nanosAsLong), matched against DuckDB epoch_us.
+# --------------------------------------------------------------------------
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts converted to exact int64 microseconds (ts_us)."""
+    ev = load_table(spark, sf_dir, "events")
+    # Exact integer division — double division + cast would misround near
+    # microsecond boundaries at 1e18 ns magnitudes.
+    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+
+
+_EVENTS_US_SQL = "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events"
+
+
+@register(
+    "window_running_total",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL})
+SELECT event_id, user_id, ts_us,
+       row_number() OVER w                  AS rn,
+       round(sum(value) OVER w, 4)          AS running_value
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, rn
+""",
+    doc="Running per-key aggregates — A2 data_series analog (reference include/analysis/detectorstation.h:137-139).",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        _events_us(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+@register(
+    "window_sliding_stats",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL})
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 6) AS mean_value,
+       CASE WHEN count(*) OVER w >= 2 THEN round(stddev_samp(value) OVER w, 6) END AS stddev_value,
+       count(*) OVER w AS n_in_window
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    doc="Sliding mean/stddev over last K samples — A2 ring-buffer stats (reference src/analysis/detectorstation.cpp:50-55).",
+)
+def window_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-4, 0)
+    return (
+        _events_us(spark, sf_dir)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 6).alias("mean_value"),
+            F.when(F.count(F.lit(1)).over(w) >= 2, F.round(F.stddev_samp("value").over(w), 6)).alias("stddev_value"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "counter_progress",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_id % 65536 AS counter FROM events
+), d AS (
+  SELECT user_id, counter,
+         lag(counter) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+  FROM ev
+)
+SELECT user_id,
+       sum(CASE WHEN prev IS NULL THEN 0
+                WHEN counter <= prev THEN counter + (65535 - prev)
+                ELSE counter - prev END) AS counter_progress,
+       count(*) AS incoming
+FROM d
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="A3 wrapping-u16 counter progress, exact reference arithmetic incl. the 65535 wrap constant (src/analysis/detectorstation.cpp:37-48).",
+)
+def counter_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = _events_us(spark, sf_dir).withColumn("counter", F.col("event_id") % 65536)
+    d = ev.withColumn("prev", F.lag("counter").over(w))
+    progress = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("counter") <= F.col("prev"), F.col("counter") + (65535 - F.col("prev")))
+        .otherwise(F.col("counter") - F.col("prev"))
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(F.sum(progress).alias("counter_progress"), F.count(F.lit(1)).alias("incoming"))
+        .orderBy("user_id")
+    )
+
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "rate_tumbling",
+    oracle=f"""
+SELECT user_id, epoch_us(ts) // {_HOUR_US} AS bucket, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY user_id, bucket
+ORDER BY user_id, bucket
+""",
+    doc="A1 rate_measurement tumbling interval counts (reference src/analysis/detectorstation.cpp:33-34). Map-side partial agg + single shuffle.",
+)
+def rate_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events_us(spark, sf_dir)
+        .withColumn("bucket", F.expr(f"ts_us div {_HOUR_US}"))
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("user_id", "bucket")
+    )
+
+
+@register(
+    "rate_sliding_stats",
+    oracle=f"""
+WITH rate AS (
+  SELECT user_id, epoch_us(ts) // {_HOUR_US} AS bucket, count(*) AS n_events
+  FROM events GROUP BY user_id, bucket
+)
+SELECT user_id, bucket,
+       round(avg(n_events) OVER w, 6) AS mean_rate,
+       CASE WHEN count(*) OVER w >= 2 THEN round(stddev_samp(n_events) OVER w, 6) END AS stddev_rate
+FROM rate
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, bucket
+""",
+    doc="A1 mean/stddev of rate over last 10 intervals (reference rate_measurement: N=10 windows).",
+)
+def rate_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rate = (
+        _events_us(spark, sf_dir)
+        .withColumn("bucket", F.expr(f"ts_us div {_HOUR_US}"))
+        .groupBy("user_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(-9, 0)
+    return rate.select(
+        "user_id",
+        "bucket",
+        F.round(F.avg("n_events").over(w), 6).alias("mean_rate"),
+        F.when(F.count(F.lit(1)).over(w) >= 2, F.round(F.stddev_samp("n_events").over(w), 6)).alias("stddev_rate"),
+    ).orderBy("user_id", "bucket")
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL}),
+brk AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+),
+sess AS (
+  SELECT user_id, event_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+  FROM brk
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       max(ts_us) - min(ts_us) AS duration_us
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    doc="Gap-based sessionization — candidate-generation phase of the §2.5 coincidence operator and W3 group-timeout analog.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = _events_us(spark, sf_dir)
+    brk = ev.withColumn(
+        "brk",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US, F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = brk.withColumn("session_id", F.sum("brk").over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_PAIR_WINDOW_US = 5_000_000  # 5 s band for the events fixture
+
+
+@register(
+    "coincidence_pairs",
+    oracle=f"""
+SELECT a.event_id AS event_a, b.event_id AS event_b,
+       a.user_id AS user_a, b.user_id AS user_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+FROM events a
+JOIN events b
+  ON a.event_id < b.event_id
+ AND a.user_id <> b.user_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {_PAIR_WINDOW_US}
+ORDER BY event_a, event_b
+""",
+    doc="J2 time-band self-join (simple_coincidence criterion C4, reference src/analysis/simplecoincidence.cpp:12-15). Spark side is a bucketed equi-join (each row replicated to 2 adjacent time buckets) so it scales as a hash join, not a cross product.",
+)
+def coincidence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "ts_us")
+    # Band join as bucketed equi-join: bucket width == band width, so any pair
+    # with |dt| <= W sits in the same or an adjacent bucket. Replicate the
+    # left side into {b-1, b, b+1} and equi-join on bucket — Catalyst plans a
+    # shuffled hash join, which partitions cleanly at 100 TB (no cross
+    # product). The right side keeps a single bucket per row, so each
+    # qualifying (a, b) pair joins exactly once (no dedup needed).
+    bkt = F.expr(f"ts_us div {_PAIR_WINDOW_US}")
+    a = ev.withColumn("bucket", F.explode(F.array(bkt - 1, bkt, bkt + 1))).select(
+        F.col("event_id").alias("event_a"), F.col("user_id").alias("user_a"), F.col("ts_us").alias("ts_a"), "bucket"
+    )
+    b = ev.withColumn("bucket", bkt).select(
+        F.col("event_id").alias("event_b"), F.col("user_id").alias("user_b"), F.col("ts_us").alias("ts_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.col("user_a") != F.col("user_b"))
+            & (F.abs(F.col("ts_a") - F.col("ts_b")) <= _PAIR_WINDOW_US)
+        )
+        .select("event_a", "event_b", "user_a", "user_b", (F.col("ts_b") - F.col("ts_a")).alias("dt_us"))
+        .orderBy("event_a", "event_b")
+    )
+
+
+_HIST_BIN_US = 500_000  # 0.5 s bins over the ±5 s band → 20 bins
+
+
+@register(
+    "pair_delta_histogram",
+    oracle=f"""
+WITH pairs AS (
+  SELECT least(a.user_id, b.user_id) AS user_lo, greatest(a.user_id, b.user_id) AS user_hi,
+         epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+  FROM events a
+  JOIN events b
+    ON a.event_id < b.event_id
+   AND a.user_id <> b.user_id
+   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {_PAIR_WINDOW_US}
+)
+SELECT user_lo, user_hi,
+       (dt_us + {_PAIR_WINDOW_US}) // {_HIST_BIN_US} AS bin,
+       count(*) AS n
+FROM pairs
+GROUP BY user_lo, user_hi, bin
+ORDER BY user_lo, user_hi, bin
+""",
+    doc="A7 per-pair Δt histogram: explode pairs → normalized pair key (greatest/least, reference src/analysis/stationcoincidence.cpp:72) → width_bucket count.",
+)
+def pair_delta_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = coincidence_pairs(spark, sf_dir)
+    return (
+        pairs.select(
+            F.least("user_a", "user_b").alias("user_lo"),
+            F.greatest("user_a", "user_b").alias("user_hi"),
+            F.expr(f"(dt_us + {_PAIR_WINDOW_US}) div {_HIST_BIN_US}").alias("bin"),
+        )
+        .groupBy("user_lo", "user_hi", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_lo", "user_hi", "bin")
+    )
+
+
+@register(
+    "eav_json_stats",
+    oracle="""
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS mean_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="S4/S5 EAV telemetry pivot analog: semi-structured payload extraction + typed aggregation (reference include/source/mqtt.h:250-349).",
+)
+def eav_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 6).alias("mean_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
