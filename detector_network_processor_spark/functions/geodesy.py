@@ -1,0 +1,103 @@
+"""WGS84 geodesy: geodetic -> ECEF and straight-line (chord) distance.
+
+The reference scores coincidences with the straight-line distance between
+station coordinates (libmuonpi ``coordinate::transformation<double,
+WGS84>::straight_distance``, called from reference
+src/analysis/coincidence.cpp:20-24). Standard public WGS84 math.
+
+Two implementations with identical arithmetic:
+- numpy (vectorized; used by the golden model and the per-cluster kernel)
+- Spark Column expressions (JVM-side; used for SQL-path distance predicates)
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from ..constants import WGS84_A, WGS84_E2
+
+
+def ecef_np(lat_deg, lon_deg, h):
+    """Geodetic (degrees, meters) -> ECEF (x, y, z) in meters, numpy."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    h = np.asarray(h, dtype=np.float64)
+    sin_lat = np.sin(lat)
+    n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * sin_lat * sin_lat)
+    x = (n + h) * np.cos(lat) * np.cos(lon)
+    y = (n + h) * np.cos(lat) * np.sin(lon)
+    z = (n * (1.0 - WGS84_E2) + h) * sin_lat
+    return x, y, z
+
+
+def straight_distance_np(lat1, lon1, h1, lat2, lon2, h2):
+    """Chord (straight-line) distance in meters between two geodetic points."""
+    x1, y1, z1 = ecef_np(lat1, lon1, h1)
+    x2, y2, z2 = ecef_np(lat2, lon2, h2)
+    return np.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2)
+
+
+def straight_distance_scalar(lat1, lon1, h1, lat2, lon2, h2) -> float:
+    """Scalar version (identical arithmetic path as numpy float64)."""
+    return float(
+        straight_distance_np(
+            np.float64(lat1), np.float64(lon1), np.float64(h1),
+            np.float64(lat2), np.float64(lon2), np.float64(h2),
+        )
+    )
+
+
+def _ecef_cols(lat: Column, lon: Column, h: Column) -> tuple[Column, Column, Column]:
+    lat_r = F.radians(lat)
+    lon_r = F.radians(lon)
+    sin_lat = F.sin(lat_r)
+    n = F.lit(WGS84_A) / F.sqrt(F.lit(1.0) - F.lit(WGS84_E2) * sin_lat * sin_lat)
+    x = (n + h) * F.cos(lat_r) * F.cos(lon_r)
+    y = (n + h) * F.cos(lat_r) * F.sin(lon_r)
+    z = (n * F.lit(1.0 - WGS84_E2) + h) * sin_lat
+    return x, y, z
+
+
+def straight_distance_col(
+    lat1: Column, lon1: Column, h1: Column, lat2: Column, lon2: Column, h2: Column
+) -> Column:
+    """Chord distance as a JVM-side column expression (whole-stage codegen)."""
+    x1, y1, z1 = _ecef_cols(lat1, lon1, h1)
+    x2, y2, z2 = _ecef_cols(lat2, lon2, h2)
+    return F.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2)
+
+
+def geohash_encode(lat: float, lon: float, precision: int = 6) -> str:
+    """Standard public geohash encoding (reference uses libmuonpi's encoder
+    for the anonymization projection, include/sink/mqtt.h:156-158)."""
+    base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for i in range(0, len(bits), 5):
+        out.append(base32[int("".join(map(str, bits[i : i + 5])), 2)])
+    return "".join(out)

@@ -1,0 +1,208 @@
+"""The core operator: batch time-coincidence clustering (SURVEY.md §2.5).
+
+Reference behavior (src/analysis/coincidencefilter.cpp:60-143): probe each
+incoming event against the open-group buffer under a pluggable pairwise
+criterion, fold into the first match, transitively merge later matches.
+
+Spark-first decomposition (exact, not approximate):
+1. **Candidate generation** — global gap sessionization on ``start`` with
+   gap = the criterion's hard time cutoff. Any criterion-valid pair is
+   within the cutoff, so no coincidence edge crosses a session boundary;
+   feeding sessions independently to the replay kernel is provably
+   equivalent to the reference's sequential scan (SURVEY.md §7.3).
+2. **Singleton fast path** — sessions of size 1 (the overwhelming majority
+   at production event rates) bypass Python entirely: their L1 row is built
+   with JVM column expressions. Only multi-event sessions pay the
+   Arrow/pandas transfer.
+3. **Per-session replay** — ``applyInPandas`` over multi-event sessions runs
+   the golden kernel (exact conflicting/true_e/merge bookkeeping). Sessions
+   are physics-bounded (stations within 62 km, chains of <=207.9 us gaps),
+   so per-group work is small and bounded regardless of total data size.
+
+Criteria: "physics" (C3, WGS84 distance / time-of-flight scoring) or
+"simple" (C4, pure 100 us window).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..constants import MAX_TIME_NS, SIMPLE_WINDOW_NS
+from .golden import Hit, cluster_hits, compare_physics, compare_simple, groups_to_rows
+from .sessionize import sessionize_global_gap
+
+CONSTITUENT_SCHEMA = StructType(
+    [
+        StructField("hash", LongType()),
+        StructField("start", LongType()),
+        StructField("end", LongType()),
+        StructField("time_acc", IntegerType()),
+        StructField("ublox_counter", IntegerType()),
+        StructField("fix", IntegerType()),
+    ]
+)
+
+L1_SCHEMA = StructType(
+    [
+        StructField("session_id", LongType()),
+        StructField("start", LongType()),
+        StructField("end", LongType()),
+        StructField("n", IntegerType()),
+        StructField("conflicting", BooleanType()),
+        StructField("true_e", IntegerType()),
+        StructField("events", ArrayType(CONSTITUENT_SCHEMA)),
+    ]
+)
+
+_EVENT_COLS = ("hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h")
+
+
+def _resolve_session(compare):
+    def kernel(pdf):
+        import pandas as pd
+
+        hits = [
+            Hit(
+                hash=int(r.hash),
+                start=int(r.start),
+                end=int(r.end),
+                lat=float(r.lat),
+                lon=float(r.lon),
+                h=float(r.h),
+                time_acc=int(r.time_acc),
+                ublox_counter=int(r.ublox_counter),
+                fix=int(r.fix),
+            )
+            for r in pdf.itertuples()
+        ]
+        sid = int(pdf["session_id"].iloc[0])
+        rows = groups_to_rows(cluster_hits(hits, compare))
+        return pd.DataFrame(
+            [
+                {
+                    "session_id": sid,
+                    "start": r["start"],
+                    "end": r["end"],
+                    "n": r["n"],
+                    "conflicting": r["conflicting"],
+                    "true_e": r["true_e"],
+                    "events": [
+                        (e["hash"], e["start"], e["end"], e["time_acc"], e["ublox_counter"], e["fix"])
+                        for e in r["events"]
+                    ],
+                }
+                for r in rows
+            ],
+            columns=["session_id", "start", "end", "n", "conflicting", "true_e", "events"],
+        )
+
+    return kernel
+
+
+def cluster_coincidences(
+    events: DataFrame,
+    stations: DataFrame | None = None,
+    criterion: str = "physics",
+    gap_ns: int | None = None,
+) -> DataFrame:
+    """events: columns hash,start,end,time_acc,ublox_counter,fix(+lat,lon,h).
+
+    If ``stations`` (hash, lat, lon, h) is given, events are enriched via a
+    broadcast join (J1 analog — the station dimension is always small
+    relative to the fact stream). Returns the L1 table (L1_SCHEMA),
+    singletons included (filter ``n >= 2`` for the K1/K2 sink semantics).
+    """
+    if gap_ns is None:
+        gap_ns = int(math.ceil(MAX_TIME_NS)) if criterion == "physics" else SIMPLE_WINDOW_NS
+    compare = compare_physics if criterion == "physics" else compare_simple
+
+    if stations is not None:
+        events = events.join(
+            F.broadcast(stations.select("hash", "lat", "lon", "h")), "hash", "inner"
+        )
+    ev = events.select(
+        F.col("hash").cast("long"),
+        F.col("start").cast("long"),
+        F.col("end").cast("long"),
+        F.col("time_acc").cast("int"),
+        F.col("ublox_counter").cast("int"),
+        F.col("fix").cast("int"),
+        F.col("lat").cast("double"),
+        F.col("lon").cast("double"),
+        F.col("h").cast("double"),
+    )
+
+    sess = sessionize_global_gap(ev, "start", gap_ns)
+    n_in_session = F.count(F.lit(1)).over(Window.partitionBy("session_id"))
+    sess = sess.withColumn("_n", n_in_session)
+
+    singles = sess.filter(F.col("_n") == 1).select(
+        F.col("session_id"),
+        F.col("start"),
+        F.col("end"),
+        F.lit(1).cast("int").alias("n"),
+        F.lit(False).alias("conflicting"),
+        F.lit(0).cast("int").alias("true_e"),
+        F.array(
+            F.struct(
+                F.col("hash"),
+                F.col("start"),
+                F.col("end"),
+                F.col("time_acc"),
+                F.col("ublox_counter"),
+                F.col("fix"),
+            )
+        ).alias("events"),
+    )
+
+    multis = (
+        sess.filter(F.col("_n") > 1)
+        .drop("_n")
+        .groupBy("session_id")
+        .applyInPandas(_resolve_session(compare), L1_SCHEMA)
+    )
+
+    return singles.drop("_n").unionByName(multis)
+
+
+def l1_flatten(l1: DataFrame, min_n: int = 2) -> DataFrame:
+    """K1-sink projection: one row per constituent of each coincidence
+    (reference include/sink/mqtt.h:146-184), uuid from (hash, start)."""
+    groups = l1.filter(F.col("n") >= min_n).select(
+        F.concat(
+            F.lpad(F.hex(F.col("events")[0]["hash"]), 16, "0"),
+            F.lpad(F.hex(F.col("start")), 16, "0"),
+        ).alias("uuid"),
+        "session_id",
+        F.col("start").alias("group_start"),
+        F.col("end").alias("group_end"),
+        "n",
+        "conflicting",
+        "true_e",
+        F.posexplode("events").alias("pos", "evt"),
+    )
+    return groups.select(
+        "uuid",
+        "session_id",
+        "group_start",
+        "group_end",
+        "n",
+        "conflicting",
+        "true_e",
+        "pos",
+        F.col("evt.hash").alias("hash"),
+        F.col("evt.start").alias("start"),
+        F.col("evt.end").alias("end"),
+        F.col("evt.time_acc").alias("time_acc"),
+    )
