@@ -41,14 +41,24 @@ def straight_distance_np(lat1, lon1, h1, lat2, lon2, h2):
     return np.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2)
 
 
+def ecef_scalar(lat_deg: float, lon_deg: float, h: float) -> tuple[float, float, float]:
+    """Scalar geodetic -> ECEF (pure math module — IEEE double, same
+    arithmetic as the numpy path; hot in the clustering kernel)."""
+    lat = math.radians(lat_deg)
+    lon = math.radians(lon_deg)
+    sin_lat = math.sin(lat)
+    n = WGS84_A / math.sqrt(1.0 - WGS84_E2 * sin_lat * sin_lat)
+    x = (n + h) * math.cos(lat) * math.cos(lon)
+    y = (n + h) * math.cos(lat) * math.sin(lon)
+    z = (n * (1.0 - WGS84_E2) + h) * sin_lat
+    return x, y, z
+
+
 def straight_distance_scalar(lat1, lon1, h1, lat2, lon2, h2) -> float:
-    """Scalar version (identical arithmetic path as numpy float64)."""
-    return float(
-        straight_distance_np(
-            np.float64(lat1), np.float64(lon1), np.float64(h1),
-            np.float64(lat2), np.float64(lon2), np.float64(h2),
-        )
-    )
+    """Scalar chord distance in meters."""
+    x1, y1, z1 = ecef_scalar(lat1, lon1, h1)
+    x2, y2, z2 = ecef_scalar(lat2, lon2, h2)
+    return math.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2)
 
 
 def _ecef_cols(lat: Column, lon: Column, h: Column) -> tuple[Column, Column, Column]:

@@ -28,7 +28,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -68,44 +68,77 @@ L1_SCHEMA = StructType(
 _EVENT_COLS = ("hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h")
 
 
-def _resolve_session(compare):
-    def kernel(pdf):
-        import pandas as pd
-
-        hits = [
-            Hit(
-                hash=int(r.hash),
-                start=int(r.start),
-                end=int(r.end),
-                lat=float(r.lat),
-                lon=float(r.lon),
-                h=float(r.h),
-                time_acc=int(r.time_acc),
-                ublox_counter=int(r.ublox_counter),
-                fix=int(r.fix),
-            )
-            for r in pdf.itertuples()
-        ]
-        sid = int(pdf["session_id"].iloc[0])
-        rows = groups_to_rows(cluster_hits(hits, compare))
-        return pd.DataFrame(
-            [
-                {
-                    "session_id": sid,
-                    "start": r["start"],
-                    "end": r["end"],
-                    "n": r["n"],
-                    "conflicting": r["conflicting"],
-                    "true_e": r["true_e"],
-                    "events": [
-                        (e["hash"], e["start"], e["end"], e["time_acc"], e["ublox_counter"], e["fix"])
-                        for e in r["events"]
-                    ],
-                }
-                for r in rows
+def _session_rows_to_l1(sid: int, hits: list, compare) -> list[dict]:
+    rows = groups_to_rows(cluster_hits(hits, compare))
+    return [
+        {
+            "session_id": sid,
+            "start": r["start"],
+            "end": r["end"],
+            "n": r["n"],
+            "conflicting": r["conflicting"],
+            "true_e": r["true_e"],
+            "events": [
+                (e["hash"], e["start"], e["end"], e["time_acc"], e["ublox_counter"], e["fix"])
+                for e in r["events"]
             ],
-            columns=["session_id", "start", "end", "n", "conflicting", "true_e", "events"],
-        )
+        }
+        for r in rows
+    ]
+
+
+def _resolve_sessions_stream(compare):
+    """mapInPandas kernel: rows arrive grouped by session (shuffled on
+    session_id, sorted within partitions); sessions may straddle Arrow
+    batches, so an explicit carry buffer stitches them. One Python
+    invocation per Arrow batch — not per session — keeps per-group overhead
+    amortized across the thousands of small physics-bounded sessions."""
+    import pandas as pd
+
+    cols = ["hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h"]
+
+    def hits_of(frame: pd.DataFrame) -> list:
+        return [
+            Hit(
+                hash=int(t[0]),
+                start=int(t[1]),
+                end=int(t[2]),
+                time_acc=int(t[3]),
+                ublox_counter=int(t[4]),
+                fix=int(t[5]),
+                lat=float(t[6]),
+                lon=float(t[7]),
+                h=float(t[8]),
+            )
+            for t in frame[cols].itertuples(index=False, name=None)
+        ]
+
+    def kernel(iterator):
+        carry: pd.DataFrame | None = None
+        out: list[dict] = []
+        for pdf in iterator:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            sids = pdf["session_id"].to_numpy()
+            # hold back the trailing session — it may continue in the next batch
+            last_sid = sids[-1]
+            cut = int((sids != last_sid).nonzero()[0].max() + 1) if (sids != last_sid).any() else 0
+            body, tail = pdf.iloc[:cut], pdf.iloc[cut:]
+            if len(body):
+                for sid, grp in body.groupby("session_id", sort=False):
+                    out.extend(_session_rows_to_l1(int(sid), hits_of(grp), compare))
+            carry = tail.copy()
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in L1_SCHEMA.fields])
+                out = []
+        if carry is not None and len(carry):
+            for sid, grp in carry.groupby("session_id", sort=False):
+                out.extend(_session_rows_to_l1(int(sid), hits_of(grp), compare))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in L1_SCHEMA.fields])
 
     return kernel
 
@@ -143,9 +176,10 @@ def cluster_coincidences(
         F.col("h").cast("double"),
     )
 
-    sess = sessionize_global_gap(ev, "start", gap_ns)
-    n_in_session = F.count(F.lit(1)).over(Window.partitionBy("session_id"))
-    sess = sess.withColumn("_n", n_in_session)
+    # sessionize emits session sizes in the same pass — the singleton fast
+    # path below is shuffle-free (sizes via a window would re-shuffle the
+    # whole stream on session_id just to count).
+    sess = sessionize_global_gap(ev, "start", gap_ns).withColumnRenamed("session_n", "_n")
 
     singles = sess.filter(F.col("_n") == 1).select(
         F.col("session_id"),
@@ -166,11 +200,14 @@ def cluster_coincidences(
         ).alias("events"),
     )
 
+    # Only multi-event sessions (a small fraction of the stream at physical
+    # event rates) are shuffled on session_id and cross the Arrow boundary.
     multis = (
         sess.filter(F.col("_n") > 1)
         .drop("_n")
-        .groupBy("session_id")
-        .applyInPandas(_resolve_session(compare), L1_SCHEMA)
+        .repartition(F.col("session_id"))
+        .sortWithinPartitions("session_id", "start", "hash")
+        .mapInPandas(_resolve_sessions_stream(compare), L1_SCHEMA)
     )
 
     return singles.drop("_n").unionByName(multis)

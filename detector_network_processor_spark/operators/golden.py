@@ -32,6 +32,7 @@ documented determinization of the reference's arrival-order dependence
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from ..constants import (
@@ -42,14 +43,15 @@ from ..constants import (
     SIMPLE_WINDOW_NS,
     C_M_PER_NS,
 )
-from ..functions.geodesy import straight_distance_scalar
+from ..functions.geodesy import ecef_scalar
 
 INVALID, CONFLICTING, VALID = 0, 1, 2
 
 
 @dataclass
 class Hit:
-    """One detector hit (event_t::data_t analog)."""
+    """One detector hit (event_t::data_t analog). ECEF coordinates are
+    cached at construction — pair scoring is the kernel's hot loop."""
 
     hash: int
     start: int
@@ -60,6 +62,12 @@ class Hit:
     time_acc: int = 0
     ublox_counter: int = 0
     fix: int = 1
+    x: float = field(init=False, default=0.0)
+    y: float = field(init=False, default=0.0)
+    z: float = field(init=False, default=0.0)
+
+    def __post_init__(self):
+        self.x, self.y, self.z = ecef_scalar(self.lat, self.lon, self.h)
 
 
 @dataclass
@@ -85,7 +93,7 @@ def compare_physics(a: Hit, b: Hit) -> float:
     delta = float(abs(a.start - b.start))
     if delta > MAX_TIME_NS:
         return -1.0
-    dist = straight_distance_scalar(a.lat, a.lon, a.h, b.lat, b.lon, b.h)
+    dist = math.sqrt((a.x - b.x) ** 2 + (a.y - b.y) ** 2 + (a.z - b.z) ** 2)
     tof = max(dist / C_M_PER_NS, MIN_TOF_NS)
     return max(1.0 - delta / tof, -1.0)
 

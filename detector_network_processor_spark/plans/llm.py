@@ -180,7 +180,12 @@ ORDER BY doc_a, doc_b
     doc="Near-dup via word-shingle inverted index + integer-exact Jaccard threshold. Scales: pairs generated per-shingle (hash shuffle on shingle), never all-pairs; hot shingles can be frequency-capped (stop-shingle pruning) at 100 TB.",
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # Small parquet inputs arrive as one split; fan out before the
+    # CPU-heavy shingling so it parallelizes (at real scale the scan itself
+    # provides the splits and this repartition coalesces into the same shape).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     t = F.split(F.col("text"), " ")
     shingle = F.array_distinct(
         F.transform(
@@ -192,11 +197,15 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = docs.filter(F.size(t) >= _SHINGLE_W).select("doc_id", shingle.alias("sh"))
     sizes = shingles.select("doc_id", F.size("sh").alias("n_sh"))
-    posting = shingles.select("doc_id", F.explode("sh").alias("shingle"))
-    pa = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
-    pb = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Join on the 64-bit shingle hash: the shuffle carries 8-byte keys
+    # instead of multi-word strings (collision odds ~2^-64 — negligible).
+    posting = shingles.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("shash")
+    )
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "shash")
+    pb = posting.select(F.col("doc_id").alias("doc_b"), "shash")
     common = (
-        pa.join(pb, "shingle")
+        pa.join(pb, "shash")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

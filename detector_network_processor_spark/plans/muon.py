@@ -64,7 +64,7 @@ def muonize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l1_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = muonize_events(spark, sf_dir)
     l1 = cluster_coincidences(hits, stations=None, criterion="physics")
-    return l1_flatten(l1, min_n=2).orderBy("uuid", "pos")
+    return l1_flatten(l1, min_n=2)
 
 
 @register(
