@@ -67,6 +67,100 @@ def l1_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l1_flatten(l1, min_n=2)
 
 
+def _station_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events fixture -> per-station hit stream in exact int64 microseconds
+    (real 30-day cadence — used by the lifecycle/summary operators whose
+    timers live at the 90 s .. 48 h scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    start = F.expr("ts div 1000")
+    return ev.select(
+        F.col("user_id").alias("hash"),
+        start.alias("start"),
+        (start + F.col("event_id") % 400_000).alias("end"),
+        (F.col("event_id") % 2000).cast("long").alias("time_acc"),
+        (F.col("event_id") % 65536).cast("long").alias("ublox_counter"),
+        F.lit(1).cast("long").alias("fix"),
+        F.col("event_id"),
+    )
+
+
+@register(
+    "detector_summary",
+    oracle="""
+WITH ev AS (
+  SELECT user_id AS hash, epoch_us(ts) AS start,
+         epoch_us(ts) + event_id % 400000 AS e_end,
+         event_id % 2000 AS time_acc, event_id % 65536 AS ublox
+  FROM events
+), d AS (
+  SELECT *, lag(ublox) OVER (PARTITION BY hash ORDER BY start, ublox, e_end) AS prev FROM ev
+), e AS (
+  SELECT hash, start // 120000000 AS win, start // 30000000 AS sub,
+         CASE WHEN prev IS NULL THEN 0
+              WHEN ublox <= prev THEN ublox + (65535 - prev)
+              ELSE ublox - prev END AS delta,
+         e_end - start AS pulse, time_acc
+  FROM d
+), per_sub AS (
+  SELECT hash, win, sub, count(*) AS c FROM e GROUP BY hash, win, sub
+), rate AS (
+  SELECT hash, win,
+         round(sum(c) / 4.0, 6) AS rate_mean,
+         round(sqrt(sum(c * c) / 4.0 - (sum(c) / 4.0) * (sum(c) / 4.0)), 6) AS rate_std
+  FROM per_sub GROUP BY hash, win
+), base AS (
+  SELECT hash, win, count(*) AS incoming, sum(delta) AS ublox_counter_progress,
+         round(avg(CASE WHEN pulse > 0 AND pulse < 1000000 THEN pulse END), 6) AS mean_pulselength,
+         round(avg(time_acc), 6) AS mean_time_acc
+  FROM e GROUP BY hash, win
+)
+SELECT base.hash, base.win, incoming, ublox_counter_progress,
+       CASE WHEN ublox_counter_progress = 0 THEN 1.0
+            ELSE round(1.0 - incoming / ublox_counter_progress, 6) END AS deadtime,
+       mean_pulselength, mean_time_acc, rate_mean, rate_std
+FROM base JOIN rate ON base.hash = rate.hash AND base.win = rate.win
+ORDER BY base.hash, base.win
+""",
+    doc="A5 detector summary snapshot (reference src/supervision/station.cpp:89-102): per-station tumbling-interval incoming/wrap-corrected counter progress/deadtime/pulse-length/time-accuracy/rate stats.",
+)
+def detector_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.station import detector_summaries
+
+    ev = _station_events_us(spark, sf_dir).drop("event_id", "fix")
+    out = detector_summaries(ev, interval=120_000_000, sub_interval=30_000_000)
+    return out.orderBy("hash", "win")
+
+
+@register(
+    "station_lifecycle",
+    oracle=None,
+    doc="§2.8 per-station lifecycle state machine batch replay (reference src/analysis/detectorstation.cpp:89-135): created/reliable/unreliable/offline/deleted transitions with 90s/270s/48h event-time timers and +-15% hysteresis. applyInPandas keyed by station; golden-tested in tests/test_station.py.",
+)
+def station_lifecycle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.station import station_lifecycle
+
+    ev_us = _station_events_us(spark, sf_dir)
+    # ns timeline for the state machine (timers are in seconds..hours)
+    events = ev_us.select(
+        "hash",
+        (F.col("start") * 1000).alias("start"),
+        (F.col("end") * 1000).alias("end"),
+        "time_acc",
+        "ublox_counter",
+        "fix",
+    )
+    # every 5th event doubles as a detector_info log; location quality
+    # straddles the 299.79 m reliability limit so hysteresis is exercised
+    logs = ev_us.filter(F.col("event_id") % 5 == 0).select(
+        "hash",
+        (F.col("start") * 1000).alias("ts"),
+        (1.0 + (F.col("event_id") % 40) / 10.0).alias("dop"),
+        (30.0 + (F.col("event_id") % 200)).alias("h_acc"),
+        F.lit(40.0).alias("v_acc"),
+    )
+    return station_lifecycle(logs, events)
+
+
 @register(
     "l1_multiplicity_histogram",
     oracle=None,
