@@ -1,0 +1,140 @@
+"""Near-duplicate detection operators for LLM-data pipelines (SURVEY.md
+§2.11): MinHash + LSH banding and SimHash, designed for 100 TB corpora.
+
+MinHash-LSH (the scale path for near-dedup):
+- K=64 signature slots, computed JVM-side: ``transform(sequence(...), i ->
+  array_min(transform(shingles, s -> xxhash64(i, s))))`` — no Python in the
+  signature stage, whole-stage codegen applies.
+- B=16 bands x R=4 rows: docs colliding on any band hash become candidate
+  pairs (probability ~ 1-(1-j^R)^B — >0.97 for jaccard 0.7 at these
+  parameters). Only candidates are verified, via signature agreement —
+  all-pairs never materializes.
+- Shuffle shape: one explode to B rows/doc, hash shuffle on (band, hash),
+  pair join within buckets (hot buckets are bounded because identical
+  band-hash means near-identical docs; exact-dup pre-dedup keeps them small).
+
+SimHash: 64-bit fingerprint whose hamming distance approximates cosine
+similarity of the token multiset; near-dups found by exact-match banding on
+4x16-bit chunks (hamming <= 3 guarantee within a chunk match).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MINHASH_K = 64
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_K // LSH_BANDS
+
+_SHINGLE_W = 3
+
+
+def _shingles(text_col: str = "text"):
+    t = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_SHINGLE_W - 1)),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, signature array<long>[K]) — fully JVM-side. Documents shorter
+    than one shingle are dropped (no signature is defined for them)."""
+    t = F.split(F.col(text_col), " ")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
+        lambda i: F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(i, s))),
+    )
+    return (
+        docs.filter(F.size(t) >= _SHINGLE_W)
+        .select(F.col(id_col), _shingles(text_col).alias("_sh"))
+        .select(id_col, sig.alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs from LSH banding, scored by signature agreement.
+
+    Returns (doc_a, doc_b, est_jaccard) for pairs colliding in >=1 band.
+    """
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice(F.col("signature"), b * LSH_ROWS + 1, LSH_ROWS)).alias("bhash"),
+        ),
+    )
+    exploded = signatures.select(id_col, "signature", F.explode(bands).alias("bb")).select(
+        id_col, "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+    a = exploded.select(
+        F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"), "band", "bhash"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bhash"
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / float(MINHASH_K), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash_col(text_col: str = "text"):
+    """64-bit SimHash as a JVM column expression: for each bit position,
+    sign of the sum of +-1 contributions from each distinct token's hash."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit(i: int):
+        # sum over tokens of (bit_i(hash) ? 1 : -1) > 0 -> bit set
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(F.shiftleft(bit(i), i))
+    return sim
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash banding: 4x16-bit chunks, candidates share
+    >=1 exact chunk; scored by full hamming distance (JVM bit ops)."""
+    sh = docs.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chash"),
+            )
+            for c in range(4)
+        ]
+    )
+    exploded = sh.select(id_col, "simhash", F.explode(chunks).alias("cc")).select(
+        id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.chash").alias("chash")
+    )
+    a = exploded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "chunk", "chash")
+    b = exploded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "chunk", "chash")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["chunk", "chash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+    )

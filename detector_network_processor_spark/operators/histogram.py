@@ -1,0 +1,122 @@
+"""Station-pair Δt histograms (SURVEY.md §2.6 A7-A9; reference
+src/analysis/stationcoincidence.cpp:43-80 fill, :224-240 bin setup,
+src/aggregation.cpp:125-203 offline merge).
+
+Exact reference semantics:
+- one entry per constituent pair of each n>=2 coincidence;
+- Δt = t(lower-hash station) - t(higher-hash station)
+  (stationcoincidence.cpp:72-77);
+- per-pair bin width = clamp(2*tof / 2000, 1, 100) ns where tof is the
+  straight-line distance / c (NO 150 ns floor here), range +-1000*width,
+  2000 bins (stationcoincidence.cpp:235-238);
+- out-of-range values are dropped.
+
+Scale shape: pair explosion is JVM-side (transform/slice — no UDF), the
+station dimension joins are broadcasts, and the aggregate is one hash
+shuffle on (pair, bin) with map-side combine. The O(stations^2) histogram
+"matrix" stays a distributed long-format table — never driver-side
+(SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..constants import C_M_PER_NS
+from ..functions.geodesy import straight_distance_col
+
+N_BINS = 2000
+MAX_BIN_WIDTH_NS = 100.0  # s_total_width / s_bins = 200000/2000
+
+
+def explode_constituent_pairs(l1: DataFrame) -> DataFrame:
+    """L1 table (with `events` array) -> one row per constituent pair
+    (i<j in list order), JVM-side."""
+    n = F.size("events")
+    pairs = F.flatten(
+        F.transform(
+            F.col("events"),
+            lambda e1, i: F.transform(
+                F.slice(F.col("events"), i + 2, n - i - 1), lambda e2: F.struct(e1.alias("a"), e2.alias("b"))
+            ),
+        )
+    )
+    return (
+        l1.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(
+            F.least("p.a.hash", "p.b.hash").alias("hash_lo"),
+            F.greatest("p.a.hash", "p.b.hash").alias("hash_hi"),
+            # dt = t(lower hash) - t(higher hash), stationcoincidence.cpp:72-77
+            F.when(F.col("p.a.hash") < F.col("p.b.hash"), F.col("p.a.start") - F.col("p.b.start"))
+            .otherwise(F.col("p.b.start") - F.col("p.a.start"))
+            .alias("dt"),
+        )
+    )
+
+
+def bin_width_expr(distance_m) -> F.Column:
+    """clamp(2 * tof / N_BINS, 1, 100) ns, truncated to int32."""
+    tof = distance_m / F.lit(C_M_PER_NS)
+    return F.greatest(
+        F.lit(1.0), F.least(F.lit(MAX_BIN_WIDTH_NS), 2.0 * tof / F.lit(float(N_BINS)))
+    ).cast("int")
+
+
+def pair_dt_histogram(l1: DataFrame, stations: DataFrame) -> DataFrame:
+    """A7: histogram counts per station pair.
+
+    stations: (hash, lat, lon, h) dimension — broadcast twice.
+    Returns (hash_lo, hash_hi, distance, bin_width, bin, n).
+    """
+    pairs = explode_constituent_pairs(l1)
+    st = stations.select("hash", "lat", "lon", "h")
+    a = F.broadcast(st.select(F.col("hash").alias("hash_lo"), F.col("lat").alias("lat_a"),
+                              F.col("lon").alias("lon_a"), F.col("h").alias("h_a")))
+    b = F.broadcast(st.select(F.col("hash").alias("hash_hi"), F.col("lat").alias("lat_b"),
+                              F.col("lon").alias("lon_b"), F.col("h").alias("h_b")))
+    dist = straight_distance_col(
+        F.col("lat_a"), F.col("lon_a"), F.col("h_a"), F.col("lat_b"), F.col("lon_b"), F.col("h_b")
+    )
+    enriched = (
+        pairs.join(a, "hash_lo")
+        .join(b, "hash_hi")
+        .withColumn("distance", F.round(dist, 3))
+        .withColumn("bin_width", bin_width_expr(dist))
+    )
+    half = F.lit(N_BINS // 2)
+    binned = enriched.withColumn(
+        "bin", F.floor((F.col("dt") + F.col("bin_width") * half) / F.col("bin_width"))
+    ).filter((F.col("bin") >= 0) & (F.col("bin") < N_BINS))
+    return (
+        binned.groupBy("hash_lo", "hash_hi", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("distance").alias("distance"),
+            F.min("bin_width").alias("bin_width"),
+        )
+        .select("hash_lo", "hash_hi", "distance", "bin_width", "bin", "n")
+    )
+
+
+def pair_totals(hist: DataFrame) -> DataFrame:
+    """A8 adjacency data: total coincidence counts per station pair (long
+    format; pivot with ``groupBy('hash_lo').pivot('hash_hi')`` only for
+    small networks/debug output)."""
+    return hist.groupBy("hash_lo", "hash_hi").agg(F.sum("n").alias("total"))
+
+
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """A9 offline aggregation (reference src/aggregation.cpp:125-203): sum
+    per-bin counts across saved histogram tables; metadata (distance,
+    bin_width) is per-pair constant and carried through."""
+    it = iter(hists)
+    merged = next(it)
+    for h in it:
+        merged = merged.unionByName(h)
+    return (
+        merged.groupBy("hash_lo", "hash_hi", "bin")
+        .agg(F.sum("n").alias("n"), F.min("distance").alias("distance"), F.min("bin_width").alias("bin_width"))
+        .select("hash_lo", "hash_hi", "distance", "bin_width", "bin", "n")
+    )

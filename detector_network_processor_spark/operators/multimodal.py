@@ -1,0 +1,124 @@
+"""Multimodal column plumbing (SURVEY.md §2.11): opaque binary media
+columns with typed metadata, decode / feature-extract / resize /
+frame-sample as Arrow-batched ``mapInPandas`` stages.
+
+The real decoders (PIL/ffmpeg/librosa) are NOT in this container — the
+decode kernels below are deliberately split so the Spark-side contract
+(schemas, batch shapes, partitioning) is real and tested while the
+pixel/sample decoding is either a clearly-marked ``NotImplementedError``
+or a deterministic fake:
+
+- ``decode_image(..., fake=False)`` raises NotImplementedError where the
+  `PIL.Image.open` call would go.
+- ``fake=True`` derives deterministic "decoded" metadata + features from
+  the bytes themselves (length/checksum-seeded), so the full pipeline is
+  exercisable end-to-end in tests and benchmarks.
+
+Scale notes: media bytes stay in executor memory only for the lifetime of
+one Arrow batch (bound batch size with
+``spark.sql.execution.arrow.maxRecordsPerBatch`` when rows are large);
+feature outputs are small fixed-size arrays, so the shuffle after
+extraction carries features, not media.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("meta", StructType([
+            StructField("source", StringType()),
+            StructField("declared_width", IntegerType()),
+            StructField("declared_height", IntegerType()),
+        ])),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+N_FEATURES = 16
+
+
+def _fake_decode_one(media: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for the real decoder: dimensions and a
+    16-dim "embedding" derived from the byte content."""
+    crc = zlib.crc32(media)
+    width = 64 + (crc & 0x3FF)
+    height = 64 + ((crc >> 10) & 0x3FF)
+    arr = np.frombuffer(media, dtype=np.uint8)
+    if len(arr) == 0:
+        feats = [0.0] * N_FEATURES
+    else:
+        pad = (-len(arr)) % N_FEATURES
+        chunks = np.pad(arr, (0, pad)).reshape(-1, N_FEATURES)
+        feats = (chunks.mean(axis=0) / 255.0).astype(np.float32).tolist()
+    return width, height, crc, feats
+
+
+def decode_media(media_df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + feature-extract stage over MEDIA_SCHEMA rows."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf[["media_id", "media", "media_type"]].itertuples(index=False, name=None):
+                media_id, media, mtype = int(t[0]), bytes(t[1]), t[2]
+                if not fake:
+                    raise NotImplementedError(
+                        "real media decoding requires PIL/ffmpeg/librosa, not "
+                        "available in this environment — run with fake=True "
+                        "for the deterministic test decoder"
+                    )
+                w, h, crc, feats = _fake_decode_one(media)
+                out.append((media_id, mtype, w, h, len(media), crc, feats))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in DECODED_SCHEMA.fields]
+            )
+
+    return media_df.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Wrap the documents fixture as a media table (utf-8 bytes as the
+    opaque payload) so the multimodal path has a deterministic driver-side
+    fixture to run against."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("media"),
+        F.lit("image").alias("media_type"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.lit(0).cast("int").alias("declared_width"),
+            F.lit(0).cast("int").alias("declared_height"),
+        ).alias("meta"),
+    )

@@ -230,6 +230,126 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Language-ID heuristic (marker-token voting; deterministic tie-break)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "de": ("merge", "sort"),
+    "en": ("the", "a"),
+    "es": ("data", "join"),
+    "fr": ("filter", "group"),
+    "zh": ("vector", "hash"),
+}
+
+
+@register(
+    "langid_heuristic",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+scores AS (
+  SELECT doc_id, lang,
+         {", ".join(f"len(list_filter(t, x -> x IN {m})) AS s_{l}" for l, m in _LANG_MARKERS.items())}
+  FROM toks
+)
+SELECT doc_id, lang,
+       CASE {" ".join(f"WHEN s_{l} = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN '{l}'" for l in _LANG_MARKERS)} END AS predicted_lang,
+       greatest(s_de, s_en, s_es, s_fr, s_zh) AS score
+FROM scores
+ORDER BY doc_id
+""",
+    doc="n-gram/marker-token language-ID heuristic: per-language marker counts, argmax with fixed priority tie-break — pure column expressions, no UDF.",
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    scores = {l: F.size(F.filter(t, lambda x: x.isin(*m))) for l, m in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = None
+    for l in _LANG_MARKERS:
+        cond = scores[l] == best
+        expr = F.when(cond, F.lit(l)) if expr is None else expr.when(cond, F.lit(l))
+    return docs.select(
+        "doc_id",
+        "lang",
+        expr.alias("predicted_lang"),
+        best.alias("score"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH and SimHash near-dup (scale paths; hashing is engine-native,
+# so these are rows-only for the driver — pinned instead by tests against
+# the exact-jaccard oracle query above)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "minhash_near_dup",
+    oracle=None,
+    doc="MinHash(K=64) + LSH banding (16x4) near-dup candidates with signature-agreement jaccard estimate; fully JVM-side signatures (SURVEY §2.11). Recall vs the exact-jaccard oracle is asserted in tests/test_dedup.py.",
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = minhash_signatures(docs)
+    return minhash_lsh_pairs(sigs).filter(F.col("est_jaccard") >= 0.34)
+
+
+@register(
+    "simhash_near_dup",
+    oracle=None,
+    doc="64-bit SimHash fingerprints, 4x16-bit banded candidate generation, exact hamming scoring — all JVM bit arithmetic (SURVEY §2.11).",
+)
+def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return simhash_near_dups(docs).filter(F.col("hamming") <= 12)
+
+
+@register(
+    "cosine_topk_lsh",
+    oracle=None,
+    doc="Hyperplane-LSH bucketed approximate cosine top-k with single-bit multiprobe — the ANN scale path next to the brute-force oracle query (SURVEY §2.11). Recall vs brute force asserted in tests/test_similarity.py.",
+)
+def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERY_VECS)
+    return cosine_topk_lsh(corpus, queries, dim=64, k=_TOP_K)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,
+    doc="Multimodal column plumbing (SURVEY §2.11): opaque binary media + typed metadata through the Arrow-batched decode/feature-extract stage (deterministic fake decoder — real decoders stubbed, see operators/multimodal.py).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media, documents_as_media
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    decoded = decode_media(documents_as_media(docs), fake=True)
+    return decoded.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        "n_bytes",
+        "checksum",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Similarity search: brute-force cosine top-k (baseline; LSH variant in
 # operators/similarity.py)
 # --------------------------------------------------------------------------

@@ -161,6 +161,129 @@ def station_lifecycle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return station_lifecycle(logs, events)
 
 
+def _ecef_sql(lat: str, lon: str, h: str) -> tuple[str, str, str]:
+    """WGS84 geodetic->ECEF as SQL text (same constants as constants.py,
+    inlined at full double precision so both engines fold identical
+    literals)."""
+    from ..constants import WGS84_A, WGS84_E2
+
+    n = f"({WGS84_A!r} / sqrt(1.0 - {WGS84_E2!r} * sin(radians({lat})) * sin(radians({lat}))))"
+    x = f"(({n} + {h}) * cos(radians({lat})) * cos(radians({lon})))"
+    y = f"(({n} + {h}) * cos(radians({lat})) * sin(radians({lon})))"
+    z = f"(({n} * {1.0 - WGS84_E2!r} + {h}) * sin(radians({lat})))"
+    return x, y, z
+
+
+def _pair_tof_histogram_oracle() -> str:
+    from ..constants import C_M_PER_NS, MAX_TIME_NS
+
+    xa, ya, za = _ecef_sql("lat_a", "lon_a", "h_a")
+    xb, yb, zb = _ecef_sql("lat_b", "lon_b", "h_b")
+    max_dt = int(MAX_TIME_NS)
+    return f"""
+WITH n AS (SELECT count(*) AS cnt FROM events),
+raw AS (
+  SELECT user_id AS hash,
+         (event_id * 2654435761) % ((SELECT cnt FROM n) * 400000) AS start
+  FROM events
+  UNION ALL
+  SELECT (user_id + 3) % 15 AS hash,
+         (event_id * 2654435761) % ((SELECT cnt FROM n) * 400000) + (event_id * 131) % 250000 AS start
+  FROM events WHERE event_id % 7 = 0
+),
+hits AS (
+  SELECT hash, start,
+         47.0 + (hash % 4) * 0.12 AS lat,
+         8.0 + (hash // 4) * 0.15 AS lon,
+         450.0 AS h
+  FROM raw
+),
+pairs AS (
+  SELECT a.hash AS hash_lo, b.hash AS hash_hi,
+         a.start - b.start AS dt,
+         a.lat AS lat_a, a.lon AS lon_a, a.h AS h_a,
+         b.lat AS lat_b, b.lon AS lon_b, b.h AS h_b
+  FROM hits a JOIN hits b
+    ON a.hash < b.hash AND abs(a.start - b.start) <= {max_dt}
+),
+scored AS (
+  SELECT hash_lo, hash_hi, dt,
+         sqrt( ({xa}-{xb})*({xa}-{xb}) + ({ya}-{yb})*({ya}-{yb}) + ({za}-{zb})*({za}-{zb}) ) AS dist
+  FROM pairs
+),
+binned AS (
+  SELECT hash_lo, hash_hi, round(dist, 3) AS distance,
+         CAST(trunc(greatest(1.0, least(100.0, 2.0 * (dist / {C_M_PER_NS!r}) / 2000.0))) AS INTEGER) AS bin_width,
+         dt
+  FROM scored
+)
+SELECT hash_lo, hash_hi, bin, count(*) AS n, min(distance) AS distance, min(bin_width) AS bin_width
+FROM (SELECT *, floor((dt + bin_width * 1000) / bin_width) AS bin FROM binned)
+WHERE bin >= 0 AND bin < 2000
+GROUP BY hash_lo, hash_hi, bin
+ORDER BY hash_lo, hash_hi, bin
+"""
+
+
+@register(
+    "pair_tof_histogram",
+    oracle=_pair_tof_histogram_oracle(),
+    doc="A7 per-pair variable-width Δt histogram (reference src/analysis/stationcoincidence.cpp:224-240): bin width = clamp(2*tof/2000, 1, 100) ns from the WGS84 straight-line pair distance; Δt signed lower-hash minus higher-hash. Spark side = bucketed band join + broadcast station dim; oracle = full ECEF math in SQL.",
+)
+def pair_tof_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import MAX_TIME_NS
+    from ..operators.histogram import MAX_BIN_WIDTH_NS, N_BINS, bin_width_expr
+    from ..functions.geodesy import straight_distance_col
+
+    hits = muonize_events(spark, sf_dir).select("hash", "start", "lat", "lon", "h")
+    max_dt = int(MAX_TIME_NS)
+    bkt = F.expr(f"start div {max_dt}")
+    a = hits.withColumn("bucket", F.explode(F.array(bkt - 1, bkt, bkt + 1))).select(
+        F.col("hash").alias("hash_lo"), F.col("start").alias("start_a"),
+        F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"), F.col("h").alias("h_a"), "bucket",
+    )
+    b = hits.withColumn("bucket", bkt).select(
+        F.col("hash").alias("hash_hi"), F.col("start").alias("start_b"),
+        F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"), F.col("h").alias("h_b"), "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter((F.col("hash_lo") < F.col("hash_hi")) & (F.abs(F.col("start_a") - F.col("start_b")) <= max_dt))
+        .select(
+            "hash_lo", "hash_hi", (F.col("start_a") - F.col("start_b")).alias("dt"),
+            "lat_a", "lon_a", "h_a", "lat_b", "lon_b", "h_b",
+        )
+    )
+    dist = straight_distance_col(
+        F.col("lat_a"), F.col("lon_a"), F.col("h_a"), F.col("lat_b"), F.col("lon_b"), F.col("h_b")
+    )
+    binned = (
+        pairs.withColumn("distance", F.round(dist, 3))
+        .withColumn("bin_width", bin_width_expr(dist))
+        .withColumn("bin", F.floor((F.col("dt") + F.col("bin_width") * (N_BINS // 2)) / F.col("bin_width")))
+        .filter((F.col("bin") >= 0) & (F.col("bin") < N_BINS))
+    )
+    return (
+        binned.groupBy("hash_lo", "hash_hi", "bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("distance").alias("distance"), F.min("bin_width").alias("bin_width"))
+        .orderBy("hash_lo", "hash_hi", "bin")
+    )
+
+
+@register(
+    "l1_pair_histogram",
+    oracle=None,
+    doc="A7 on true clustered output: constituent pairs of each n>=2 coincidence, per-pair variable-width bins (reference src/analysis/stationcoincidence.cpp:43-80). Rows-only: upstream clustering is not SQL-expressible.",
+)
+def l1_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import pair_dt_histogram
+
+    hits = muonize_events(spark, sf_dir)
+    stations = hits.select("hash", "lat", "lon", "h").distinct()
+    l1 = cluster_coincidences(hits, stations=None, criterion="physics")
+    return pair_dt_histogram(l1, stations)
+
+
 @register(
     "l1_multiplicity_histogram",
     oracle=None,

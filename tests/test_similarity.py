@@ -1,0 +1,41 @@
+"""LSH-bucketed ANN: recall against the brute-force oracle query."""
+
+from __future__ import annotations
+
+from detector_network_processor_spark.plans import all_queries
+
+from conftest import SF_DIR
+
+
+def test_lsh_topk_recall(spark):
+    brute = all_queries()["cosine_topk"].fn(spark, SF_DIR).collect()
+    lsh = all_queries()["cosine_topk_lsh"].fn(spark, SF_DIR).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # multiprobe-1 over 8 planes on random vectors: expect decent overlap
+    total = hits = 0
+    for q, brute_n in brute_sets.items():
+        total += len(brute_n)
+        hits += len(brute_n & lsh_sets.get(q, set()))
+    recall = hits / total
+    assert recall >= 0.6, f"ANN recall vs brute force too low: {recall}"
+    # every LSH similarity must be exact (scoring is not approximated)
+    brute_sims = {(r.query_id, r.neighbor_id): r.sim for r in brute}
+    for r in lsh:
+        if (r.query_id, r.neighbor_id) in brute_sims:
+            assert abs(brute_sims[(r.query_id, r.neighbor_id)] - r.sim) < 1e-9
+
+
+def test_multimodal_decode_contract(spark):
+    df = all_queries()["multimodal_features"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 500
+    r = rows[0]
+    assert r.n_bytes > 0 and 64 <= r.width < 64 + 1024 and 0.0 <= r.f0 <= 1.0
+    # determinism across runs
+    rows2 = all_queries()["multimodal_features"].fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
