@@ -1,0 +1,125 @@
+"""Streaming time-coincidence clustering (SURVEY.md §2.5, §2.7).
+
+Spark-first shape: ``withWatermark`` + built-in ``session_window`` does the
+candidate generation (the same gap decomposition as the batch operator —
+provably exact because the criterion's hard time cutoff bounds every edge);
+``collect_list`` gathers each session's hits; the exact per-session replay
+kernel (shared with batch and the golden model) runs as a projection UDF
+over the collected array; groups explode back to L1 rows.
+
+Time-unit note: Spark timestamps are microsecond-precision, but the
+criterion works in exact int64 nanoseconds. The stream relabels ns as "us"
+(``timestamp_micros(start_ns)``) so session grouping happens on exact
+integers; the gap interval is expressed in the same relabeled unit, with
++1 because session_window merges on strict interval overlap while the
+criterion's cutoff is inclusive (|dt| <= gap).
+
+Watermark semantics: late events beyond the watermark are dropped — a
+STRONGER guarantee than the reference, which silently opens fresh groups
+for late arrivals (SURVEY.md §2.7 W4, documented divergence).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..constants import MAX_TIME_NS, SIMPLE_WINDOW_NS
+from ..operators.coincidence import CONSTITUENT_SCHEMA, L1_SCHEMA
+from ..operators.golden import Hit, cluster_hits, compare_physics, compare_simple, groups_to_rows
+from pyspark.sql.types import ArrayType, StructType, StructField, LongType, IntegerType, BooleanType
+
+import math
+
+GROUP_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("start", LongType()),
+            StructField("end", LongType()),
+            StructField("n", IntegerType()),
+            StructField("conflicting", BooleanType()),
+            StructField("true_e", IntegerType()),
+            StructField("events", ArrayType(CONSTITUENT_SCHEMA)),
+        ]
+    )
+)
+
+
+def _make_resolver(criterion: str):
+    compare = compare_physics if criterion == "physics" else compare_simple
+
+    def resolve(hits_rows):
+        hits = [
+            Hit(
+                hash=int(r["hash"]),
+                start=int(r["start"]),
+                end=int(r["end"]),
+                time_acc=int(r["time_acc"]),
+                ublox_counter=int(r["ublox_counter"]),
+                fix=int(r["fix"]),
+                lat=float(r["lat"]),
+                lon=float(r["lon"]),
+                h=float(r["h"]),
+            )
+            for r in hits_rows
+        ]
+        return [
+            (
+                g["start"],
+                g["end"],
+                g["n"],
+                g["conflicting"],
+                g["true_e"],
+                [
+                    (e["hash"], e["start"], e["end"], e["time_acc"], e["ublox_counter"], e["fix"])
+                    for e in g["events"]
+                ],
+            )
+            for g in groups_to_rows(cluster_hits(hits, compare))
+        ]
+
+    return F.udf(resolve, GROUP_SCHEMA)
+
+
+def stream_cluster_coincidences(
+    events: DataFrame,
+    criterion: str = "physics",
+    gap_ns: int | None = None,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """events: streaming DataFrame with hash,start,end,time_acc,
+    ublox_counter,fix,lat,lon,h (start/end int64 ns).
+
+    Returns a streaming L1 DataFrame (append mode; sessions emit once the
+    watermark passes their gap horizon)."""
+    if gap_ns is None:
+        gap_ns = int(math.ceil(MAX_TIME_NS)) if criterion == "physics" else SIMPLE_WINDOW_NS
+
+    ts = F.timestamp_micros(F.col("start"))  # ns relabeled as us — exact ints
+    with_ts = events.withColumn("_ts", ts).withWatermark("_ts", watermark)
+    resolver = _make_resolver(criterion)
+    # session_window needs a companion grouping key in streaming; the
+    # coincidence buffer is one logical stream (cross-station sessions), so
+    # the key is a constant. Session-state updates therefore serialize onto
+    # one state partition — same ordering constraint the reference's single
+    # `muon::filter` thread has; per-station/per-region keys would shard it
+    # when a deployment can bound station-to-station distances.
+    sessions = (
+        with_ts.withColumn("_k", F.lit(0))
+        .groupBy("_k", F.session_window("_ts", f"{gap_ns + 1} microseconds"))
+        .agg(
+            F.collect_list(
+                F.struct("hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h")
+            ).alias("hits")
+        )
+        .select(F.explode(resolver("hits")).alias("g"))
+    )
+    return sessions.select(
+        F.lit(None).cast("long").alias("session_id"),
+        F.col("g.start").alias("start"),
+        F.col("g.end").alias("end"),
+        F.col("g.n").alias("n"),
+        F.col("g.conflicting").alias("conflicting"),
+        F.col("g.true_e").alias("true_e"),
+        F.col("g.events").alias("events"),
+    )

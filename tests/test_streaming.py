@@ -1,0 +1,116 @@
+"""Streaming mode: batch-stream equivalence of the coincidence operator and
+the line-protocol parser."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+
+from detector_network_processor_spark.operators.coincidence import cluster_coincidences
+from detector_network_processor_spark.streaming.coincidence import stream_cluster_coincidences
+from detector_network_processor_spark.sources.lines import parse_events
+
+from muon_fixtures import STATIONS, make_events, station_rows
+
+
+def _canon_l1(rows):
+    out = {}
+    for r in rows:
+        d = r.asDict(recursive=True)
+        key = tuple(sorted((e["hash"], e["start"]) for e in d["events"]))
+        out[key] = (d["start"], d["end"], d["n"], d["conflicting"], d["true_e"])
+    return out
+
+
+def test_stream_matches_batch_coincidence(spark):
+    events = make_events(n_base=800, seed=23)
+    stations = {s[0]: s for s in STATIONS}
+    enriched = [
+        {**e, "lat": stations[e["hash"]][1], "lon": stations[e["hash"]][2], "h": stations[e["hash"]][3]}
+        for e in events
+    ]
+    ev_df = spark.createDataFrame(enriched)
+    batch = cluster_coincidences(ev_df, stations=None, criterion="physics").collect()
+
+    tmp = tempfile.mkdtemp(prefix="dnp_stream_")
+    try:
+        # several files => several micro-batches, so the advancing watermark
+        # closes earlier sessions; a far-future sentinel closes the rest.
+        # Files are time-ordered chunks (an out-of-order split would make the
+        # watermark drop earlier chunks as late data — which IS the
+        # documented streaming semantics, but not what this test checks).
+        enriched.sort(key=lambda e: e["start"])
+        n = len(enriched)
+        third = n // 3
+        schema = ev_df.schema
+        for i, chunk in enumerate([enriched[:third], enriched[third : 2 * third], enriched[2 * third :]]):
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(
+                f"{tmp}/in/f{i}"
+            )
+        sentinel_start = max(e["start"] for e in enriched) + 10**12
+        sentinel = [
+            dict(
+                hash=1001, start=sentinel_start, end=sentinel_start + 100, time_acc=1,
+                ublox_counter=0, fix=1, lat=47.0, lon=8.0, h=450.0,
+            )
+        ]
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/in/f9_sentinel"
+        )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/f*")
+        )
+        l1 = stream_cluster_coincidences(stream, criterion="physics")
+        q = (
+            l1.writeStream.format("memory")
+            .queryName("l1_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql("select * from l1_stream_test").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    got = [r for r in got if r.start < sentinel_start]
+    cb, cs = _canon_l1(batch), _canon_l1(got)
+    assert len(cs) == len(cb), f"group counts differ: batch={len(cb)} stream={len(cs)}"
+    assert cs == cb
+
+
+def test_parse_events_lines(spark):
+    rows = [
+        # valid
+        ("muonpi/data/user1/station1", "1704067798.778549829 1704067798.778550129 120 417 1 0 1"),
+        # start > end -> dropped
+        ("muonpi/data/user1/station1", "1704067798.778550129 1704067798.778549829 120 417 1 0 1"),
+        # short timestamp field -> dropped
+        ("muonpi/data/user1/station1", "1704067798.77 1704067798.778550129 120 417 1 0 1"),
+        # leading dot -> dropped
+        ("muonpi/data/user1/station1", ".704067798.778549829 1704067798.778550129 120 417 1 0 1"),
+        # cluster user -> dropped
+        ("muonpi/data/cluster/station1", "1704067798.778549829 1704067798.778550129 120 417 1 0 1"),
+        # short topic -> dropped
+        ("muonpi/data", "1704067798.778549829 1704067798.778550129 120 417 1 0 1"),
+        # non-numeric -> dropped
+        ("muonpi/data/user1/station1", "oops17chars.oooooo 1704067798.778550129 120 417 1 0 1"),
+        # multi-part station id
+        ("muonpi/data/user2/site/det0", "1704067798.778549829 1704067798.778550129 55 1 1 0 1"),
+    ]
+    df = spark.createDataFrame(rows, "topic string, payload string")
+    out = parse_events(df).collect()
+    assert len(out) == 2
+    first = [r for r in out if r.username == "user1"][0]
+    assert first.start == 1704067798778549829  # exact ns (no double round-trip)
+    assert first.end == 1704067798778550129
+    assert first.time_acc == 120 and first.ublox_counter == 417 and first.fix == 1
+    second = [r for r in out if r.username == "user2"][0]
+    assert second.station_id == "site/det0"
