@@ -35,16 +35,9 @@ TRANSITION_SCHEMA = StructType(
 _MERGED_COLS = ["hash", "ts", "kind", "end", "time_acc", "ublox_counter", "fix", "dop", "h_acc", "v_acc"]
 
 
-def station_lifecycle(
-    logs: DataFrame, events: DataFrame | None = None, end_of_data_ts: int | None = None
-) -> DataFrame:
-    """Replay the lifecycle state machine per station.
-
-    logs:   (hash, ts, dop, h_acc, v_acc) detector_info stream (ns epoch)
-    events: optional (hash, start, end, time_acc, ublox_counter, fix)
-    Returns the status-transition stream (hash, ts, status, reason) — the
-    trigger::detector analog (reference include/messages/trigger.h:13-19).
-    """
+def merge_station_records(logs: DataFrame, events: DataFrame | None = None) -> DataFrame:
+    """Union logs + events into the canonical merged record shape consumed
+    by both the batch replay and the streaming state operator."""
     log_part = logs.select(
         F.col("hash").cast("long"),
         F.col("ts").cast("long"),
@@ -72,6 +65,20 @@ def station_lifecycle(
             F.lit(0.0).alias("v_acc"),
         )
         merged = merged.unionByName(ev_part)
+    return merged
+
+
+def station_lifecycle(
+    logs: DataFrame, events: DataFrame | None = None, end_of_data_ts: int | None = None
+) -> DataFrame:
+    """Replay the lifecycle state machine per station.
+
+    logs:   (hash, ts, dop, h_acc, v_acc) detector_info stream (ns epoch)
+    events: optional (hash, start, end, time_acc, ublox_counter, fix)
+    Returns the status-transition stream (hash, ts, status, reason) — the
+    trigger::detector analog (reference include/messages/trigger.h:13-19).
+    """
+    merged = merge_station_records(logs, events)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         # canonical order: ts, then logs before events on ties

@@ -221,13 +221,17 @@ class StationState:
         self.check_reliability(ts)
 
 
-def replay_station(records: list[dict], end_of_data_ts: int | None = None) -> list[dict]:
-    """Replay one station's merged, time-sorted record stream.
+def replay_records(
+    records: list[dict], state: StationState | None = None
+) -> tuple[list[dict], StationState | None]:
+    """Replay a chunk of one station's merged, time-sorted record stream,
+    optionally continuing from a prior state (streaming micro-batches).
 
     records: dicts with ``kind`` ('log'|'event'), ``ts`` and kind-specific
-    fields. Returns the transition list (hash, ts, status, reason).
+    fields. Returns (new transitions, state to carry forward).
     """
-    state: StationState | None = None
+    if state is not None:
+        state.transitions = []
     for rec in records:
         ts = rec["ts"]
         if state is None or state.status == DELETED:
@@ -252,6 +256,65 @@ def replay_station(records: list[dict], end_of_data_ts: int | None = None) -> li
             state.process_log(ts, rec["dop"], rec["h_acc"], rec["v_acc"])
         else:
             state.process_event(ts, rec["end"], rec["time_acc"], rec["ublox_counter"], rec["fix"])
-    if state is not None and end_of_data_ts is not None and state.status != DELETED:
-        state.step(end_of_data_ts)
-    return state.transitions if state is not None else []
+    return (state.transitions if state is not None else []), state
+
+
+def replay_station(records: list[dict], end_of_data_ts: int | None = None) -> list[dict]:
+    """Batch replay of one station's full record stream (see replay_records)."""
+    transitions, state = replay_records(records)
+    if state is None:
+        return transitions
+    if end_of_data_ts is not None and state.status != DELETED:
+        state.step(end_of_data_ts)  # appends to the same transitions list
+    return state.transitions
+
+
+def state_to_row(state: StationState | None) -> tuple | None:
+    """Serialize for the Spark streaming state store (see
+    streaming/station.py for the schema)."""
+    if state is None:
+        return None
+    return (
+        int(state.hash),
+        int(state.status),
+        int(state.last_log),
+        float(state.dop),
+        float(state.h_acc),
+        float(state.v_acc),
+        bool(state.initial),
+        int(state.last_ublox),
+        int(state.incoming),
+        int(state.ublox_progress),
+        list(state.current_rate.slots),
+        int(state.current_rate.counter),
+        state.current_rate.interval_start,
+        list(state.mean_rate.slots),
+        int(state.mean_rate.counter),
+        state.mean_rate.interval_start,
+        list(state.pulselength.buf),
+        list(state.time_acc.buf),
+        list(state.reliability_time_acc.buf),
+        float(state.factor),
+    )
+
+
+def state_from_row(row) -> StationState:
+    s = StationState(hash=int(row[0]))
+    s.status = int(row[1])
+    s.last_log = int(row[2])
+    s.dop, s.h_acc, s.v_acc = float(row[3]), float(row[4]), float(row[5])
+    s.initial = bool(row[6])
+    s.last_ublox = int(row[7])
+    s.incoming = int(row[8])
+    s.ublox_progress = int(row[9])
+    s.current_rate.slots = deque(row[10], maxlen=RATE_SLOTS)
+    s.current_rate.counter = int(row[11])
+    s.current_rate.interval_start = None if row[12] is None else int(row[12])
+    s.mean_rate.slots = deque(row[13], maxlen=RATE_SLOTS)
+    s.mean_rate.counter = int(row[14])
+    s.mean_rate.interval_start = None if row[15] is None else int(row[15])
+    s.pulselength.buf = deque(row[16], maxlen=100)
+    s.time_acc.buf = deque(row[17], maxlen=100)
+    s.reliability_time_acc.buf = deque(row[18], maxlen=5)
+    s.factor = float(row[19])
+    return s

@@ -572,6 +572,111 @@ def pair_delta_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAY_US = 86_400_000_000
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "assembly_count_based",
+    oracle=f"""
+WITH m AS (
+  SELECT user_id, epoch_us(ts) // {_HOUR_US} AS bucket,
+         (event_id % 4) + 2 AS expected, CAST(event_id AS VARCHAR) AS payload
+  FROM events
+)
+SELECT user_id, bucket, min(expected) AS expected_n, count(*) AS n_parts,
+       string_agg(payload, ',' ORDER BY payload) AS parts
+FROM m GROUP BY user_id, bucket
+HAVING count(*) >= min(expected)
+ORDER BY user_id, bucket
+""",
+    doc="S3 count-based reassembly analog (reference include/source/mqtt.h:169-212): emit a group only once its declared multiplicity is reached.",
+)
+def assembly_count_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.assembly import count_based_assembly
+
+    m = _events_us(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"ts_us div {_HOUR_US}").alias("bucket"),
+        ((F.col("event_id") % 4) + 2).alias("expected"),
+        F.col("event_id").cast("string").alias("payload"),
+    )
+    out = count_based_assembly(m, ["user_id", "bucket"], "expected", "payload")
+    return out.select(
+        "user_id",
+        "bucket",
+        "expected_n",
+        "n_parts",
+        F.concat_ws(",", "parts").alias("parts"),
+    ).orderBy("user_id", "bucket")
+
+
+@register(
+    "assembly_kv_pivot",
+    oracle=f"""
+WITH kv AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS bucket, event_type AS name,
+         json_extract_string(props, '$.k') AS value,
+         epoch_us(ts) AS ts_us, event_id
+  FROM events
+), firsts AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, bucket, name ORDER BY ts_us, event_id) AS rn
+    FROM kv
+  ) WHERE rn = 1
+)
+SELECT user_id, bucket,
+       {", ".join(f"max(CASE WHEN name = '{n}' THEN value END) AS {n}" for n in _EVENT_TYPES)},
+       {" + ".join(f"CASE WHEN max(CASE WHEN name = '{n}' THEN 1 END) = 1 THEN {1 << i} ELSE 0 END" for i, n in enumerate(_EVENT_TYPES))} AS bitmask,
+       {" + ".join(f"CASE WHEN max(CASE WHEN name = '{n}' THEN 1 END) = 1 THEN {1 << i} ELSE 0 END" for i, n in enumerate(_EVENT_TYPES))} = {(1 << len(_EVENT_TYPES)) - 1} AS complete
+FROM firsts GROUP BY user_id, bucket
+ORDER BY user_id, bucket
+""",
+    doc="S4 key-value pivot assembly analog (reference include/source/mqtt.h:126-167): first value per expected key pivoted to columns + completion bitmask.",
+)
+def assembly_kv_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.assembly import kv_pivot_assembly
+
+    kv = _events_us(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"ts_us div {_DAY_US}").alias("bucket"),
+        F.col("event_type").alias("name"),
+        F.get_json_object("props", "$.k").alias("value"),
+        "ts_us",
+        "event_id",
+    )
+    return kv_pivot_assembly(
+        kv, ["user_id", "bucket"], "name", "value", _EVENT_TYPES, ["ts_us", "event_id"]
+    ).orderBy("user_id", "bucket")
+
+
+@register(
+    "assembly_eav_collect",
+    oracle=f"""
+WITH eav AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS bucket,
+         event_type || '=' || json_extract_string(props, '$.k') AS item
+  FROM events
+)
+SELECT user_id, bucket, count(*) AS n_items,
+       string_agg(item, ',' ORDER BY item) AS items
+FROM eav GROUP BY user_id, bucket
+ORDER BY user_id, bucket
+""",
+    doc="S5 EAV accumulation analog (reference include/source/mqtt.h:250-349): per-key windowed collection committed as one ordered record.",
+)
+def assembly_eav_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.assembly import eav_collect
+
+    eav = _events_us(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"ts_us div {_DAY_US}").alias("bucket"),
+        F.col("event_type").alias("name"),
+        F.get_json_object("props", "$.k").alias("value"),
+    )
+    return eav_collect(eav, ["user_id", "bucket"], "name", "value").orderBy("user_id", "bucket")
+
+
 @register(
     "eav_json_stats",
     oracle="""

@@ -114,3 +114,62 @@ def test_parse_events_lines(spark):
     assert first.time_acc == 120 and first.ublox_counter == 417 and first.fix == 1
     second = [r for r in out if r.username == "user2"][0]
     assert second.station_id == "site/det0"
+
+
+def test_stream_station_lifecycle_matches_batch(spark):
+    import numpy as np
+
+    from detector_network_processor_spark.operators.station import (
+        merge_station_records,
+        station_lifecycle,
+    )
+    from detector_network_processor_spark.streaming.station import stream_station_lifecycle
+
+    NS = 10**9
+    rng = np.random.default_rng(17)
+    GOOD = dict(dop=1.0, h_acc=10.0, v_acc=10.0)
+    BAD = dict(dop=4.0, h_acc=80.0, v_acc=60.0)
+    logs, events = [], []
+    for h in [1, 2, 3]:
+        t = 0.0
+        while t < 3000:
+            logs.append(dict(hash=h, ts=int(t * NS), **(GOOD if rng.random() < 0.7 else BAD)))
+            for _ in range(int(rng.integers(0, 5))):
+                te = t + float(rng.uniform(0, 40))
+                events.append(
+                    dict(hash=h, start=int(te * NS), end=int(te * NS) + 300,
+                         time_acc=int(rng.choice([100, 5000, 200_000])),
+                         ublox_counter=int(rng.integers(0, 65536)), fix=1)
+                )
+            t += float(rng.choice([60.0, 100.0, 350.0]))
+
+    merged = merge_station_records(spark.createDataFrame(logs), spark.createDataFrame(events))
+    batch = station_lifecycle(spark.createDataFrame(logs), spark.createDataFrame(events)).collect()
+
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="dnp_station_stream_")
+    try:
+        rows = sorted(merged.collect(), key=lambda r: r["ts"])
+        schema = merged.schema
+        n = len(rows)
+        for i in range(3):
+            chunk = [r.asDict() for r in rows[i * n // 3 : (i + 1) * n // 3]]
+            spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/in/f{i}")
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/f*")
+        q = (
+            stream_station_lifecycle(stream)
+            .writeStream.format("memory").queryName("station_stream_test")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql("select * from station_stream_test").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def canon(rows):
+        return sorted((r["hash"], r["ts"], r["status"], r["reason"]) for r in rows)
+
+    assert canon([r.asDict() for r in got]) == canon([r.asDict() for r in batch])
