@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from detector_network_processor_spark.plans import all_queries
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
-_FLAGSHIP = "q1_pricing_summary"
+_FLAGSHIP = "l1_coincidence"  # the §2.5 coincidence-clustering operator
 
 
 def entry(spark: SparkSession) -> DataFrame:

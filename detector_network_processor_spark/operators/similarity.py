@@ -1,19 +1,30 @@
 """Embedding similarity search (SURVEY.md §2.11): brute-force cosine top-k
 baseline (plans/llm.py::cosine_topk, oracle-checked) and the scale paths
-here — random-hyperplane LSH bucketing and IVF-style coarse quantization.
+here — multi-table random-hyperplane LSH and IVF-style coarse quantization.
 
 Scale rationale: brute force is O(queries x corpus) dot products — fine for
 a broadcastable query set, not for corpus x corpus. LSH prunes the corpus
 per query to matching buckets; multi-probe (hamming-adjacent buckets)
-trades recall for fan-out. All projections are JVM column expressions;
-the deterministic hyperplanes derive from xxhash64 so every executor
-computes identical planes with no driver-side randomness.
+trades recall for fan-out; multiple tables trade memory for recall.
+
+Bucket projection runs as ONE Arrow-batched matrix multiply per batch
+(pandas_udf + numpy) — a per-plane column-expression formulation compiles
+48 aggregate expressions over 64-element literal arrays and is ~50x slower.
+The hyperplanes derive from a fixed seed, so every executor computes
+identical planes with no driver-side state. Candidate (query, neighbor)
+pairs are deduplicated BEFORE scoring so each dot product is paid once.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+LSH_SEED = 1234567
 
 
 def _as_double(col):
@@ -24,27 +35,22 @@ def dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _plane_component(p: int, d: int):
-    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    xxhash64(p, d) scaled — identical on every executor, no RNG state."""
-    return (F.xxhash64(F.lit(p), F.lit(d)) % 1_000_003) / 1_000_003.0 - 0.5
+def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = LSH_SEED):
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        planes = np.random.default_rng(seed).standard_normal((n_tables * n_planes, dim))
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        bits = (v @ planes.T) > 0  # (n, tables*planes)
+        per_table = [
+            bits[:, t * n_planes : (t + 1) * n_planes].astype(np.int64) @ weights
+            for t in range(n_tables)
+        ]
+        arr = np.stack(per_table, axis=1)  # (n, tables)
+        return pd.Series(list(arr))
 
-def lsh_bucket_expr(vec_col, dim: int, n_planes: int, plane_offset: int = 0):
-    """Sign-bit bucket id from n_planes deterministic hyperplanes."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[_plane_component(plane_offset + p, d) for d in range(dim)]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket.bitwiseOR(F.shiftleft(F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), p))
-    return bucket
+    return buckets
 
 
 def cosine_topk_lsh(
@@ -60,55 +66,44 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k neighbors per query via multi-table hyperplane LSH.
 
-    The corpus is indexed in ``n_tables`` independent tables (distinct
-    deterministic hyperplane sets); queries probe their bucket in every
-    table plus all buckets within ``multiprobe_bits`` bit flips. The join
-    is an equi-join on (table, bucket) — hash-partitioned, no cross
-    product; corpus storage is x n_tables (the classic LSH memory/recall
-    trade). Returns (query_id, neighbor_id, rank, sim).
+    Returns (query_id, neighbor_id, rank, sim). Similarities are exact for
+    every surfaced candidate — only the candidate set is approximate.
 
     Note: on uniform-random embeddings (the driver fixture) nearest
-    neighbors are barely closer than random vectors, the adversarial case
-    for LSH — defaults are tuned for recall ~0.8 at ~2x pruning there;
-    clustered real-world embeddings prune far harder at the same recall.
+    neighbors are barely closer than random vectors — the adversarial case
+    for LSH; defaults are tuned for recall ~0.8 at ~2x pruning there.
+    Clustered real-world embeddings prune far harder at the same recall.
     """
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("ce"))
-    c = c.withColumn("cnorm", F.sqrt(dot(F.col("ce"), F.col("ce"))))
-    c = c.withColumn(
-        "tb",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        lsh_bucket_expr(F.col("ce"), dim, n_planes, plane_offset=t * n_planes).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ),
-    ).select("neighbor_id", "ce", "cnorm", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    bucketer = _bucket_udf(dim, n_planes, n_tables)
 
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qe"))
-    q = q.withColumn("qnorm", F.sqrt(dot(F.col("qe"), F.col("qe"))))
-    probes = []
-    for t in range(n_tables):
-        qb = lsh_bucket_expr(F.col("qe"), dim, n_planes, plane_offset=t * n_planes)
-        probes.append(F.struct(F.lit(t).alias("table"), qb.alias("bucket")))
-        if multiprobe_bits >= 1:
-            probes += [
-                F.struct(F.lit(t).alias("table"), qb.bitwiseXOR(F.lit(1 << p)).alias("bucket"))
-                for p in range(n_planes)
-            ]
-    q = q.withColumn("tb", F.explode(F.array(*probes))).select(
-        "query_id", "qe", "qnorm", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c_idx = c.select(
+        "neighbor_id", F.posexplode(bucketer("cvec")).alias("table", "bucket")
     )
 
-    scored = q.join(c, ["table", "bucket"]).select(
-        "query_id",
-        "neighbor_id",
-        (dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))).alias("sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    q_idx = q.select("query_id", F.posexplode(bucketer("qvec")).alias("table", "bucket"))
+    if multiprobe_bits >= 1:
+        flips = F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+        q_idx = q_idx.select("query_id", "table", F.explode(flips).alias("bucket"))
+
+    candidates = q_idx.join(c_idx, ["table", "bucket"]).select("query_id", "neighbor_id").distinct()
+
+    qe = q.select("query_id", _as_double(F.col("qvec")).alias("qe")).withColumn(
+        "qnorm", F.sqrt(dot(F.col("qe"), F.col("qe")))
+    )
+    ce = c.select("neighbor_id", _as_double(F.col("cvec")).alias("ce")).withColumn(
+        "cnorm", F.sqrt(dot(F.col("ce"), F.col("ce")))
+    )
+    scored = (
+        candidates.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qe"), F.col("ce")) / (F.col("qnorm") * F.col("cnorm"))).alias("sim"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -309,7 +309,7 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return simhash_near_dups(docs).filter(F.col("hamming") <= 12)
+    return simhash_near_dups(docs).filter(F.col("hamming") <= 3)
 
 
 @register(

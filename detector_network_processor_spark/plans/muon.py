@@ -43,13 +43,15 @@ def muonize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start") + (F.col("event_id") * 131) % 250_000).alias("start"),
     )
     hits = base.unionByName(partners)
+    # time_acc spans [0, 3000) so the F1 quality gate (<= 1000 ns) has real
+    # pass/fail traffic; fix drops ~1% of rows.
     return hits.select(
         F.col("station").cast("long").alias("hash"),
         F.col("start"),
         (F.col("start") + 1000 + F.col("event_id") % 400_000).alias("end"),
-        (F.col("event_id") % 900).cast("int").alias("time_acc"),
+        (F.col("event_id") % 3000).cast("int").alias("time_acc"),
         (F.col("event_id") % 65536).cast("int").alias("ublox_counter"),
-        F.lit(1).cast("int").alias("fix"),
+        F.when(F.col("event_id") % 97 == 0, 0).otherwise(1).cast("int").alias("fix"),
         (47.0 + (F.col("station") % 4) * 0.12).alias("lat"),
         (8.0 + F.floor(F.col("station") / 4) * 0.15).alias("lon"),
         F.lit(450.0).alias("h"),
@@ -159,6 +161,154 @@ def station_lifecycle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(40.0).alias("v_acc"),
     )
     return station_lifecycle(logs, events)
+
+
+@register(
+    "timebase_calibration",
+    oracle="""
+WITH ev AS (SELECT user_id, epoch_us(ts) * 1000 AS start FROM events),
+b AS (SELECT start // 2000000000 AS bucket, start FROM ev)
+SELECT bucket, max(start) - min(start) AS span_ns, count(*) AS n_events,
+       greatest(800000000, least(120000000000, max(start) - min(start))) AS timebase_ns
+FROM b GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="W1 adaptive timebase batch calibration (reference src/supervision/timebase.cpp:17-45): observed event-time span per 2 s sample, clamped to [800 ms, 2 min].",
+)
+def timebase_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timebase import timebase_calibration
+
+    ev = _station_events_us(spark, sf_dir).select((F.col("start") * 1000).alias("start"))
+    return timebase_calibration(ev).orderBy("bucket")
+
+
+@register(
+    "rate_factor",
+    oracle="""
+WITH ev AS (SELECT user_id AS hash, epoch_us(ts) * 1000 AS start FROM events),
+counts AS (
+  SELECT hash, start // 30000000000 AS ivl, count(*) AS c FROM ev GROUP BY hash, ivl
+), win AS (
+  SELECT hash, ivl, c,
+         avg(c) OVER w AS mean_c,
+         sqrt(avg(c * c) OVER w - avg(c) OVER w * avg(c) OVER w) AS sigma_c
+  FROM counts
+  WINDOW w AS (PARTITION BY hash ORDER BY ivl ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT hash, ivl, c AS n_events,
+       round(mean_c, 6) AS mean_rate, round(sigma_c, 6) AS sigma_rate,
+       round(CASE WHEN sigma_c > 0 AND c < mean_c - sigma_c
+                  THEN ((mean_c - c) / sigma_c + 1.0) * 2.0 ELSE 1.0 END, 6) AS factor
+FROM win
+ORDER BY hash, ivl
+""",
+    doc="W2 adaptive slowdown factor (reference src/analysis/detectorstation.cpp:127-135): rate-dip test over trailing 10 intervals, ((mean-cur)/sigma+1)*2.",
+)
+def rate_factor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timebase import rate_factor
+
+    ev = _station_events_us(spark, sf_dir).select("hash", (F.col("start") * 1000).alias("start"))
+    return rate_factor(ev).orderBy("hash", "ivl")
+
+
+@register(
+    "adaptive_timeout",
+    oracle="""
+WITH ev AS (SELECT user_id AS hash, epoch_us(ts) * 1000 AS start FROM events),
+counts AS (SELECT hash, start // 30000000000 AS ivl, count(*) AS c FROM ev GROUP BY hash, ivl),
+win AS (
+  SELECT hash, ivl, c, avg(c) OVER w AS mean_c,
+         sqrt(avg(c * c) OVER w - avg(c) OVER w * avg(c) OVER w) AS sigma_c
+  FROM counts
+  WINDOW w AS (PARTITION BY hash ORDER BY ivl ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+), factors AS (
+  SELECT ivl, max(CASE WHEN sigma_c > 0 AND c < mean_c - sigma_c
+                       THEN ((mean_c - c) / sigma_c + 1.0) * 2.0 ELSE 1.0 END) AS max_factor
+  FROM win GROUP BY ivl
+), spans AS (
+  SELECT start // 30000000000 AS ivl,
+         greatest(800000000, least(120000000000, max(start) - min(start))) AS timebase_ns
+  FROM ev GROUP BY ivl
+)
+SELECT spans.ivl AS ivl, timebase_ns, round(max_factor, 6) AS max_factor,
+       greatest(2000000000, least(1800000000000, CAST(trunc(timebase_ns * max_factor) AS BIGINT))) AS timeout_ns
+FROM spans JOIN factors ON spans.ivl = factors.ivl
+ORDER BY spans.ivl
+""",
+    doc="W1+W2+W3 composition (reference src/supervision/station.cpp:65-82, src/messages/event.cpp:7-11): cluster-wide max factor x timebase, clamped to [2 s, 30 min] group timeout.",
+)
+def adaptive_timeout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timebase import TIMEBASE_MAX_NS, TIMEBASE_MIN_NS, group_timeout, rate_factor
+
+    ev = _station_events_us(spark, sf_dir).select("hash", (F.col("start") * 1000).alias("start"))
+    factors = (
+        rate_factor(ev)
+        .groupBy("ivl")
+        .agg(F.round(F.max("factor"), 6).alias("max_factor"))
+    )
+    spans = (
+        ev.withColumn("ivl", F.expr("start div 30000000000"))
+        .groupBy("ivl")
+        .agg(
+            F.greatest(
+                F.lit(TIMEBASE_MIN_NS), F.least(F.lit(TIMEBASE_MAX_NS), F.max("start") - F.min("start"))
+            ).alias("timebase_ns")
+        )
+    )
+    return (
+        spans.join(factors, "ivl")
+        .select("ivl", "timebase_ns", "max_factor", group_timeout(F.col("timebase_ns"), F.col("max_factor")).alias("timeout_ns"))
+        .orderBy("ivl")
+    )
+
+
+@register(
+    "quality_filter",
+    oracle="""
+WITH raw AS (
+  SELECT user_id AS hash, event_id FROM events
+  UNION ALL
+  SELECT (user_id + 3) % 15 AS hash, event_id + 10000000 AS event_id
+  FROM events WHERE event_id % 7 = 0
+),
+ev AS (
+  SELECT hash, event_id % 3000 AS time_acc,
+         CASE WHEN event_id % 97 = 0 THEN 0 ELSE 1 END AS fix
+  FROM raw
+)
+SELECT hash,
+       count(*) AS incoming,
+       sum(CASE WHEN time_acc <= 1000 AND fix = 1 THEN 1 ELSE 0 END) AS accepted,
+       sum(CASE WHEN time_acc > 100000 THEN 1 ELSE 0 END) AS extreme
+FROM ev GROUP BY hash
+ORDER BY hash
+""",
+    doc="F1 event quality gate accounting (reference src/analysis/detectorstation.cpp:31-62): accept iff time_acc <= 1 us and fix = 1; extreme counter for the unreliable side effect.",
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = muonize_events(spark, sf_dir)
+    return (
+        hits.groupBy("hash")
+        .agg(
+            F.count(F.lit(1)).alias("incoming"),
+            F.sum(F.when((F.col("time_acc") <= 1000) & (F.col("fix") == 1), 1).otherwise(0)).alias("accepted"),
+            F.sum(F.when(F.col("time_acc") > 100_000, 1).otherwise(0)).alias("extreme"),
+        )
+        .orderBy("hash")
+    )
+
+
+@register(
+    "main_path_l1",
+    oracle=None,
+    doc="§3.1 main path composition: F1 quality gate -> physics coincidence clustering -> F4 n>=2 filter -> K1 flatten (reference src/application.cpp:188-197 wiring). Rows-only; each stage is oracle- or golden-checked individually.",
+)
+def main_path_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = muonize_events(spark, sf_dir).filter(
+        (F.col("time_acc") <= 1000) & (F.col("fix") == 1)
+    )
+    l1 = cluster_coincidences(hits, stations=None, criterion="physics")
+    return l1_flatten(l1, min_n=2)
 
 
 def _ecef_sql(lat: str, lon: str, h: str) -> tuple[str, str, str]:

@@ -572,6 +572,189 @@ def pair_delta_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semi_anti_join",
+    oracle="""
+SELECT 'with_lineitem' AS tag, count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+UNION ALL
+SELECT 'without_lineitem' AS tag, count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+ORDER BY tag
+""",
+    doc="Left-semi / left-anti join parity (SURVEY §2.10 — absent in reference, Spark built-in).",
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    heavy = li.filter(F.col("l_quantity") > 45)
+    semi = (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(F.lit("with_lineitem").alias("tag"), "n", "total")
+    )
+    anti = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(F.lit("without_lineitem").alias("tag"), "n", "total")
+    )
+    return semi.unionAll(anti).orderBy("tag")
+
+
+@register(
+    "correlated_exists",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="Correlated EXISTS subquery parity (SURVEY §2.10): Catalyst rewrites to a semi join.",
+)
+def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_base_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_extendedprice), 4)                        AS median_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4)           AS p95_price,
+       round(min(l_extendedprice), 4)                           AS min_price,
+       round(max(l_extendedprice), 4)                           AS max_price
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Exact percentile aggregation parity (SURVEY §2.10). (approx_percentile/HLL also exist in Spark; exact forms are the oracle-comparable ones.)",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+            F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "scalar_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                                  AS name_upper,
+       substr(p_type, 1, 6)                           AS type_prefix,
+       length(p_name)                                 AS name_len,
+       replace(p_brand, 'Brand#', 'B')                AS brand_short,
+       round(sqrt(p_retailprice), 6)                  AS price_sqrt,
+       round(ln(p_retailprice + 1), 6)                AS price_ln,
+       abs(p_size - 25)                               AS size_dev,
+       CAST(trunc(p_retailprice) AS BIGINT) % 7       AS price_mod
+FROM part
+ORDER BY p_partkey
+LIMIT 500
+""",
+    doc="Scalar string/math function library parity (SURVEY §2.10: the reference has no general scalar library; Spark functions module supplies it).",
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_type", 1, 6).alias("type_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.expr("replace(p_brand, 'Brand#', 'B')").alias("brand_short"),
+            F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+            F.abs(F.col("p_size") - 25).alias("size_dev"),
+            (F.col("p_retailprice").cast("bigint") % 7).alias("price_mod"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total,
+       min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day
+FROM orders
+GROUP BY y, m
+ORDER BY y, m
+""",
+    doc="Date/time function parity (SURVEY §2.10).",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+@register(
+    "case_pivot",
+    oracle="""
+SELECT n_name,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_orders,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_orders,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    doc="Pivot (conditional aggregation) parity (SURVEY §2.10); Spark side uses the native pivot operator.",
+)
+def case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    piv = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return piv.select(
+        "n_name",
+        F.col("F").alias("f_orders"),
+        F.col("O").alias("o_orders"),
+        F.col("P").alias("p_orders"),
+    ).orderBy("n_name")
+
+
+def register_base_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
 _DAY_US = 86_400_000_000
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 

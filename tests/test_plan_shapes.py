@@ -1,0 +1,50 @@
+"""Physical-plan regression tests: the optimizations SURVEY.md §4.2 relies
+on must actually appear in the plans (a correct-but-shuffling plan is a
+perf bug at 100 TB, not a style issue)."""
+
+from __future__ import annotations
+
+from detector_network_processor_spark.plans import all_queries
+
+from conftest import SF_DIR
+
+
+def plan_of(spark, name, execute=False):
+    df = all_queries()[name].fn(spark, SF_DIR)
+    if execute:  # AQE finalizes (and codegen appears) only after execution
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_join_broadcast_parts_is_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast_parts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_pushes_filter_to_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_prunes_columns(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # only the 7 needed columns reach the scan — no l_orderkey/l_partkey/...
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_band_join_is_hash_not_cartesian(spark):
+    plan = plan_of(spark, "coincidence_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_whole_stage_codegen(spark):
+    plan = plan_of(spark, "q1_pricing_summary", execute=True)
+    # under AQE, whole-stage-codegen spans are the "*(n)" markers
+    assert "*(" in plan
