@@ -91,54 +91,61 @@ def _resolve_sessions_stream(compare):
     """mapInPandas kernel: rows arrive grouped by session (shuffled on
     session_id, sorted within partitions); sessions may straddle Arrow
     batches, so an explicit carry buffer stitches them. One Python
-    invocation per Arrow batch — not per session — keeps per-group overhead
-    amortized across the thousands of small physics-bounded sessions."""
+    invocation per Arrow batch — not per session — and numpy boundary
+    slicing instead of pandas.groupby keep per-group overhead amortized
+    across the thousands of small physics-bounded sessions."""
+    import numpy as np
     import pandas as pd
 
-    cols = ["hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h"]
+    cols = ["session_id", "hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h"]
 
-    def hits_of(frame: pd.DataFrame) -> list:
-        return [
+    def process_block(arrs, lo, hi, out):
+        sid = int(arrs[0][lo])
+        hits = [
             Hit(
-                hash=int(t[0]),
-                start=int(t[1]),
-                end=int(t[2]),
-                time_acc=int(t[3]),
-                ublox_counter=int(t[4]),
-                fix=int(t[5]),
-                lat=float(t[6]),
-                lon=float(t[7]),
-                h=float(t[8]),
+                hash=int(arrs[1][i]),
+                start=int(arrs[2][i]),
+                end=int(arrs[3][i]),
+                time_acc=int(arrs[4][i]),
+                ublox_counter=int(arrs[5][i]),
+                fix=int(arrs[6][i]),
+                lat=float(arrs[7][i]),
+                lon=float(arrs[8][i]),
+                h=float(arrs[9][i]),
             )
-            for t in frame[cols].itertuples(index=False, name=None)
+            for i in range(lo, hi)
         ]
+        out.extend(_session_rows_to_l1(sid, hits, compare))
 
     def kernel(iterator):
         carry: pd.DataFrame | None = None
-        out: list[dict] = []
         for pdf in iterator:
-            if carry is not None:
+            if carry is not None and len(carry):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
+            carry = None
             if len(pdf) == 0:
                 continue
-            sids = pdf["session_id"].to_numpy()
+            arrs = [pdf[c].to_numpy() for c in cols]
+            sids = arrs[0]
             # hold back the trailing session — it may continue in the next batch
-            last_sid = sids[-1]
-            cut = int((sids != last_sid).nonzero()[0].max() + 1) if (sids != last_sid).any() else 0
-            body, tail = pdf.iloc[:cut], pdf.iloc[cut:]
-            if len(body):
-                for sid, grp in body.groupby("session_id", sort=False):
-                    out.extend(_session_rows_to_l1(int(sid), hits_of(grp), compare))
-            carry = tail.copy()
+            cut = int((sids != sids[-1]).nonzero()[0].max() + 1) if (sids != sids[-1]).any() else 0
+            out: list[dict] = []
+            if cut:
+                bounds = np.flatnonzero(np.concatenate(([True], sids[1:cut] != sids[: cut - 1], [True])))
+                for lo, hi in zip(bounds[:-1], bounds[1:]):
+                    process_block(arrs, int(lo), int(hi), out)
+            carry = pdf.iloc[cut:]
             if out:
                 yield pd.DataFrame(out, columns=[f.name for f in L1_SCHEMA.fields])
-                out = []
         if carry is not None and len(carry):
-            for sid, grp in carry.groupby("session_id", sort=False):
-                out.extend(_session_rows_to_l1(int(sid), hits_of(grp), compare))
-        if out:
-            yield pd.DataFrame(out, columns=[f.name for f in L1_SCHEMA.fields])
+            out = []
+            arrs = [carry[c].to_numpy() for c in cols]
+            sids = arrs[0]
+            bounds = np.flatnonzero(np.concatenate(([True], sids[1:] != sids[:-1], [True])))
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                process_block(arrs, int(lo), int(hi), out)
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in L1_SCHEMA.fields])
 
     return kernel
 

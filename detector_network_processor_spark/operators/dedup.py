@@ -40,17 +40,38 @@ def _shingles(text_col: str = "text"):
     )
 
 
+_MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def _permutation_params(k: int = MINHASH_K, seed: int = 99991) -> list[tuple[int, int]]:
+    """Deterministic universal-hash family parameters (a*h + b) mod P."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(k)]
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, signature array<long>[K]) — fully JVM-side. Documents shorter
-    than one shingle are dropped (no signature is defined for them)."""
+    than one shingle are dropped (no signature is defined for them).
+
+    Each shingle is xxhash64'd ONCE; the K permutations are the universal
+    family (a_i*h + b_i) mod (2^31-1) over the base hash — K x cheaper than
+    re-hashing strings per slot, and the modular space keeps every product
+    within int64 (ANSI overflow-safe)."""
     t = F.split(F.col(text_col), " ")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-        lambda i: F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(i, s))),
+    params = _permutation_params()
+    base = F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_h"), lambda h: (h * a + b) % _MERSENNE_P))
+            for a, b in params
+        ]
     )
     return (
         docs.filter(F.size(t) >= _SHINGLE_W)
         .select(F.col(id_col), _shingles(text_col).alias("_sh"))
+        .select(id_col, base.alias("_h"))
         .select(id_col, sig.alias("signature"))
     )
 
@@ -60,6 +81,8 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFram
 
     Returns (doc_a, doc_b, est_jaccard) for pairs colliding in >=1 band.
     """
+    # signatures feed both sides of the self-join — materialize once
+    signatures = signatures.localCheckpoint(eager=False)
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
         lambda b: F.struct(

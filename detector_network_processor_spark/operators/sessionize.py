@@ -65,7 +65,11 @@ def sessionize_global_gap(
 
     out_schema = StructType(
         ranged.schema.fields
-        + [StructField("_local_sid", LongType(), False), StructField("_local_n", LongType(), False)]
+        + [
+            StructField("_local_sid", LongType(), False),
+            StructField("_local_n", LongType(), False),
+            StructField("_is_last", LongType(), False),
+        ]
     )
     ts_name = ts_col
 
@@ -82,6 +86,7 @@ def sessionize_global_gap(
         pdf = pdf.copy()
         pdf["_local_sid"] = sids
         pdf["_local_n"] = counts[sids]
+        pdf["_is_last"] = (sids == sids[-1]).astype(np.int64)
         yield pdf
 
     local = ranged.mapInPandas(assign_local, out_schema).persist()
@@ -93,6 +98,7 @@ def sessionize_global_gap(
             F.max(ts_col).alias("max_ts"),
             F.max("_local_sid").alias("max_sid"),
             F.sum(F.when(F.col("_local_sid") == 0, 1).otherwise(0)).alias("first_n"),
+            F.sum("_is_last").alias("last_n"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("_pid")
@@ -110,20 +116,10 @@ def sessionize_global_gap(
         return (
             local.withColumn(SESSION_COL, F.col("_local_sid"))
             .withColumn(SESSION_N_COL, F.col("_local_n"))
-            .drop("_pid", "_local_sid", "_local_n")
+            .drop("_pid", "_local_sid", "_local_n", "_is_last")
         )
 
-    # Sizes of each partition's LAST session (only first/last sessions can
-    # merge across boundaries). first_n is aggregated above; last_n needs
-    # max_sid, so compute it with a second tiny aggregate.
-    max_sid_map = {r["_pid"]: r["max_sid"] for r in stats}
-    last_n_rows = (
-        local.filter(F.col("_local_sid") == F.element_at(_lit_map(max_sid_map), F.col("_pid")))
-        .groupBy("_pid")
-        .count()
-        .collect()
-    )
-    last_n = {r["_pid"]: r["count"] for r in last_n_rows}
+    last_n = {r["_pid"]: r["last_n"] for r in stats}
 
     # Union-find over boundary sessions of adjacent (non-empty) partitions.
     parent: dict[int, int] = {}
@@ -179,5 +175,5 @@ def sessionize_global_gap(
     return (
         local.withColumn(SESSION_COL, session.cast("long"))
         .withColumn(SESSION_N_COL, session_n.cast("long"))
-        .drop("_pid", "_local_sid", "_local_n")
+        .drop("_pid", "_local_sid", "_local_n", "_is_last")
     )

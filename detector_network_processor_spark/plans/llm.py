@@ -195,7 +195,14 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    shingles = docs.filter(F.size(t) >= _SHINGLE_W).select("doc_id", shingle.alias("sh"))
+    # The shingle computation feeds three consumers (posting + both size
+    # sides of the self-join); checkpoint it once instead of recomputing
+    # the lineage per consumer (lazy: materializes on first action).
+    shingles = (
+        docs.filter(F.size(t) >= _SHINGLE_W)
+        .select("doc_id", shingle.alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     sizes = shingles.select("doc_id", F.size("sh").alias("n_sh"))
     # Join on the 64-bit shingle hash: the shuffle carries 8-byte keys
     # instead of multi-word strings (collision odds ~2^-64 — negligible).

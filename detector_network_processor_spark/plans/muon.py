@@ -27,13 +27,20 @@ def muonize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     n = ev.count()
     span = n * _NS_PER_EVENT
-    # Knuth multiplicative scatter: the multiplier must exceed the span so
-    # successive ids wrap and land pseudo-uniformly (a small multiplier
-    # yields evenly-spaced starts => one giant session).
+    # Shifted-quadratic scatter: multiplicative (affine) maps of consecutive
+    # ids produce only three distinct sorted gaps (three-distance theorem) —
+    # one giant session. (id+1e6)^2 always wraps the modulus, giving
+    # Poisson-like gaps (~60% singleton sessions, p99 size 6, max ~16,
+    # scale-invariant) while staying exactly expressible in DuckDB SQL for
+    # the oracle (no engine hash functions, no int64 overflow up to sf~1e3).
+    mixed = (
+        ((F.col("event_id") + 1_000_003) * (F.col("event_id") + 1_000_003)) % span * 31
+        + F.col("event_id") * 48271
+    ) % span
     base = ev.select(
         F.col("user_id").alias("station"),
         F.col("event_id"),
-        ((F.col("event_id") * 2654435761) % span).alias("start"),
+        mixed.alias("start"),
     )
     # Partner hits at a different station, dt in [0, 250 us) — half inside
     # the 207.9 us physics window (coincidences), half outside.
@@ -334,11 +341,13 @@ def _pair_tof_histogram_oracle() -> str:
 WITH n AS (SELECT count(*) AS cnt FROM events),
 raw AS (
   SELECT user_id AS hash,
-         (event_id * 2654435761) % ((SELECT cnt FROM n) * 400000) AS start
+         (((event_id + 1000003) * (event_id + 1000003)) % ((SELECT cnt FROM n) * 400000) * 31
+          + event_id * 48271) % ((SELECT cnt FROM n) * 400000) AS start
   FROM events
   UNION ALL
   SELECT (user_id + 3) % 15 AS hash,
-         (event_id * 2654435761) % ((SELECT cnt FROM n) * 400000) + (event_id * 131) % 250000 AS start
+         (((event_id + 1000003) * (event_id + 1000003)) % ((SELECT cnt FROM n) * 400000) * 31
+          + event_id * 48271) % ((SELECT cnt FROM n) * 400000) + (event_id * 131) % 250000 AS start
   FROM events WHERE event_id % 7 = 0
 ),
 hits AS (
