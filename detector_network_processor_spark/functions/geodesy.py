@@ -81,6 +81,32 @@ def straight_distance_col(
     return F.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2)
 
 
+def geohash_col(lat: Column, lon: Column, precision: int = 6) -> Column:
+    """Geohash as a flat JVM column expression (no UDF): the interleaved
+    geohash bits ARE the binary expansions of the scaled coordinates, so
+    each of the 5*precision bits is one shift-and-mask of two quantized
+    integers (an unrolled bisection would build an exponentially-growing
+    expression tree). Used by the F5 anonymization projection (reference
+    include/sink/mqtt.h:156-158 — truncate to max_geohash_length)."""
+    base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    total = precision * 5
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    lon_q = F.least(F.lit((1 << nlon) - 1), F.floor((lon + 180.0) / 360.0 * (1 << nlon))).cast("long")
+    lat_q = F.least(F.lit((1 << nlat) - 1), F.floor((lat + 90.0) / 180.0 * (1 << nlat))).cast("long")
+
+    def bit(k: int) -> Column:  # k-th interleaved bit, 0-based, even=lon
+        if k % 2 == 0:
+            return F.shiftright(lon_q, nlon - 1 - k // 2).bitwiseAND(F.lit(1))
+        return F.shiftright(lat_q, nlat - 1 - k // 2).bitwiseAND(F.lit(1))
+
+    chars = []
+    for c in range(precision):
+        idx = sum(bit(c * 5 + j) * (1 << (4 - j)) for j in range(5))
+        chars.append(F.substr(F.lit(base32), (idx + 1).cast("int"), F.lit(1)))
+    return F.concat(*chars)
+
+
 def geohash_encode(lat: float, lon: float, precision: int = 6) -> str:
     """Standard public geohash encoding (reference uses libmuonpi's encoder
     for the anonymization projection, include/sink/mqtt.h:156-158)."""

@@ -236,6 +236,65 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish tokenization: GPT-2-style pre-tokenizer regex classes (word
+# pieces / digit runs / punctuation runs), counted JVM-side. An actual BPE
+# vocab merge is a lookup table away; the regex split is the expensive
+# distributed part.
+_BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+
+@register(
+    "bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_REGEX}')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_digit_runs,
+       len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]+')) AS n_punct_runs,
+       CAST(ceil(len(regexp_extract_all(text, '{_BPE_REGEX}')) * 1.3) AS BIGINT) AS est_bpe_upper
+FROM documents ORDER BY doc_id
+""",
+    doc="BPE-ish token counting (SURVEY §2.11 text analysis): pre-tokenizer regex classes counted JVM-side; the 1.3x factor is the standard subword-inflation upper-bound estimate.",
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_REGEX), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).alias("n_digit_runs"),
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9\\s]+"), F.lit(0))).alias("n_punct_runs"),
+        F.ceil(n_bpe * 1.3).cast("bigint").alias("est_bpe_upper"),
+    ).orderBy("doc_id")
+
+
+_RH_BASE = 257
+_RH_MOD = 1_000_000_007
+
+
+@register(
+    "rolling_hash_fingerprint",
+    oracle=f"""
+WITH codes AS (
+  SELECT doc_id, list_transform(string_split_regex(text, ''), c -> ord(c)) AS cs
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cs, x -> CAST(x AS BIGINT))),
+                   (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD}) AS fingerprint,
+       len(cs) AS n_chars
+FROM codes ORDER BY doc_id
+""",
+    doc="Document fingerprinting via Karp-Rabin rolling hash over codepoints (SURVEY §2.11) — pure modular column arithmetic, identical in both engines (no engine-native hash).",
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cs = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(cs, F.lit(0).cast("long"), lambda acc, c: (acc * _RH_BASE + c) % _RH_MOD)
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.size(cs).alias("n_chars")
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # Language-ID heuristic (marker-token voting; deterministic tie-break)
 # --------------------------------------------------------------------------

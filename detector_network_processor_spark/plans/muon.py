@@ -443,6 +443,102 @@ def l1_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_dt_histogram(l1, stations)
 
 
+def _geohash_sql(lat: str, lon: str, precision: int) -> str:
+    """Geohash in portable SQL — same integer formulation as
+    functions.geodesy.geohash_col."""
+    base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    total = precision * 5
+    nlon = (total + 1) // 2
+    nlat = total // 2
+    lon_q = f"least({(1 << nlon) - 1}, CAST(floor(({lon} + 180.0) / 360.0 * {1 << nlon}) AS BIGINT))"
+    lat_q = f"least({(1 << nlat) - 1}, CAST(floor(({lat} + 90.0) / 180.0 * {1 << nlat}) AS BIGINT))"
+
+    def bit(k: int) -> str:
+        if k % 2 == 0:
+            return f"(({lon_q} >> {nlon - 1 - k // 2}) & 1)"
+        return f"(({lat_q} >> {nlat - 1 - k // 2}) & 1)"
+
+    chars = []
+    for c in range(precision):
+        idx = " + ".join(f"{bit(c * 5 + j)} * {1 << (4 - j)}" for j in range(5))
+        chars.append(f"substr('{base32}', CAST(({idx}) + 1 AS INTEGER), 1)")
+    return " || ".join(chars)
+
+
+@register(
+    "station_geohash",
+    oracle=f"""
+WITH stations AS (
+  SELECT DISTINCT user_id AS hash,
+         47.0 + (user_id % 4) * 0.12 AS lat,
+         8.0 + (user_id // 4) * 0.15 AS lon
+  FROM events
+)
+SELECT hash, {_geohash_sql("lat", "lon", 6)} AS geohash,
+       substr({_geohash_sql("lat", "lon", 6)}, 1, 3) AS geohash_anon
+FROM stations ORDER BY hash
+""",
+    doc="F5 anonymization projection (reference include/sink/mqtt.h:156-158): geohash encode + truncate to max_geohash_length — flat JVM bit arithmetic, no UDF; oracle carries the identical integer formulation in SQL.",
+)
+def station_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geodesy import geohash_col
+
+    st = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("hash"))
+        .distinct()
+        .select(
+            "hash",
+            (47.0 + (F.col("hash") % 4) * 0.12).alias("lat"),
+            (8.0 + F.floor(F.col("hash") / 4) * 0.15).alias("lon"),
+        )
+    )
+    gh = geohash_col(F.col("lat"), F.col("lon"), 6)
+    return st.select(
+        "hash", gh.alias("geohash"), F.substring(gh, 1, 3).alias("geohash_anon")
+    ).orderBy("hash")
+
+
+@register(
+    "cluster_log",
+    oracle=None,
+    doc="A6 cluster health log (reference src/supervision/state.cpp:106-136, include/messages/clusterlog.h:12-32): per 10s window — single_in/l1_out frequencies, outgoing count-by-multiplicity map, running max_n, mean plausibility (true_e / (n(n-1)/2)) of L1 events. cpu/mem live in the StreamingQueryListener, outside the data plane. Rows-only: clustering upstream.",
+)
+def cluster_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = muonize_events(spark, sf_dir)
+    l1 = cluster_coincidences(hits, stations=None, criterion="physics").localCheckpoint(eager=False)
+    win = F.expr("start div 10000000000")  # 10 s of muonized time
+    max_edges = (F.col("n") * (F.col("n") - 1) / 2).cast("double")
+    base = l1.select(
+        win.alias("window"),
+        "n",
+        F.when(F.col("n") >= 2, F.col("true_e") / max_edges).alias("plausibility"),
+    )
+    stats = base.groupBy("window").agg(
+        F.sum("n").alias("single_in"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).alias("l1_out"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("plausibility"), 6).alias("mean_plausibility"),
+    )
+    # outgoing: count-by-coincidence-level map (clusterlog.h:21)
+    outgoing = (
+        base.groupBy("window", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("window")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("n", "cnt")))
+            ).alias("outgoing")
+        )
+    )
+    return (
+        stats.join(outgoing, "window")
+        .withColumn("in_rate_hz", F.round(F.col("single_in") / 10.0, 6))
+        .withColumn("out_rate_hz", F.round(F.col("l1_out") / 10.0, 6))
+        .orderBy("window")
+    )
+
+
 @register(
     "l1_multiplicity_histogram",
     oracle=None,
