@@ -415,6 +415,76 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_DUP_THRESHOLD = 0.4
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > {_EMB_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+""",
+    doc="Embedding-cosine near-dup (SURVEY §2.11): all-pairs above a cosine threshold. Oracle = exact brute force; at 100 TB the LSH-bucketed variant (cosine_topk_lsh machinery) generates the candidate pairs instead of the cross join.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), norm.alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), norm.alias("nb"))
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") > _EMB_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "ivf_assignment",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 4),
+d AS (
+  SELECT e.vec_id, cent.centroid_id,
+         list_sum(list_transform(list_zip(e.v, cent.cv), x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM e CROSS JOIN cent
+),
+r AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+  FROM d
+)
+SELECT vec_id, centroid_id FROM r WHERE rn = 1
+ORDER BY vec_id
+""",
+    doc="IVF coarse quantization (SURVEY §2.11 similarity scale path): nearest-centroid assignment via broadcast centroid table — at 100 TB vectors are co-partitioned by centroid id and probes prune to matching partitions.",
+)
+def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return (
+        ivf_assign(emb, centroids, dim=64)
+        .select("vec_id", "centroid_id")
+        .orderBy("vec_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search: brute-force cosine top-k (baseline; LSH variant in
 # operators/similarity.py)

@@ -173,3 +173,80 @@ def test_stream_station_lifecycle_matches_batch(spark):
         return sorted((r["hash"], r["ts"], r["status"], r["reason"]) for r in rows)
 
     assert canon([r.asDict() for r in got]) == canon([r.asDict() for r in batch])
+
+
+def test_stream_kv_assembly_completion(spark):
+    import shutil
+    import tempfile
+
+    from detector_network_processor_spark.streaming.assembly import stream_kv_assembly
+
+    names = ["lat", "lon", "dop"]
+    rows = [
+        # station 1: complete across two batches
+        (1, "lat", "47.0"), (1, "lon", "8.0"),
+        # station 2: complete in one batch; duplicate lat ignored (first wins)
+        (2, "lat", "40.0"), (2, "lat", "41.0"), (2, "lon", "-74.0"), (2, "dop", "1.5"),
+        # station 3: never completes
+        (3, "lat", "0.0"),
+    ]
+    rows2 = [(1, "dop", "2.0"), (1, "lat", "99.0")]  # completes 1; extra lat starts a new partial
+    tmp = tempfile.mkdtemp(prefix="dnp_kv_stream_")
+    try:
+        schema = "hash long, name string, value string"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/in/f0")
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{tmp}/in/f1")
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/f*")
+        q = (
+            stream_kv_assembly(stream, names)
+            .writeStream.format("memory").queryName("kv_stream_test")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        got = {r.hash: list(r.values) for r in spark.sql("select * from kv_stream_test").collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got[2] == ["40.0", "-74.0", "1.5"]  # first lat wins
+    assert got[1] == ["47.0", "8.0", "2.0"]  # assembled across batches
+    assert 3 not in got
+
+
+def test_stream_eav_windows(spark):
+    import datetime
+    import shutil
+    import tempfile
+
+    from detector_network_processor_spark.streaming.assembly import stream_eav_windows
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, ts(0), "temp", "20"), (1, ts(1), "vbias", "33"), (1, ts(2), "temp", "21"),
+        (2, ts(3), "temp", "19"),
+        (1, ts(30), "temp", "22"),  # next window
+    ]
+    sentinel = [(9, ts(300), "x", "y")]
+    tmp = tempfile.mkdtemp(prefix="dnp_eav_stream_")
+    try:
+        schema = "hash long, ts timestamp, name string, value string"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{tmp}/in/f0")
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(f"{tmp}/in/f1")
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/f*")
+        q = (
+            stream_eav_windows(stream)
+            .writeStream.format("memory").queryName("eav_stream_test")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        got = {(r.hash, r.window_start.second): (r.n_items, r.items)
+               for r in spark.sql("select * from eav_stream_test").collect() if r.hash != 9}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got[(1, 0)] == (3, "temp=20,temp=21,vbias=33")
+    assert got[(2, 0)] == (1, "temp=19")
+    assert got[(1, 30)] == (1, "temp=22")
