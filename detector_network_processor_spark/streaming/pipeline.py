@@ -1,0 +1,45 @@
+"""End-to-end streaming main path (SURVEY.md §3.1 / §3.4):
+
+    line source -> S2 parse -> F1 quality gate -> J1 station enrichment
+    (broadcast) -> §2.5 coincidence clustering -> F4/K1 flatten
+
+as ONE composable function over a streaming (topic, payload) DataFrame —
+the engine's equivalent of the reference's whole `application::priv_run`
+wiring (src/application.cpp:68-250), minus the transport clients.
+
+Each stage is the same column-transform/operator used in batch; the only
+streaming-specific piece is the session-window clustering. Catalyst plans
+the parse+filter+join stages into the micro-batch's codegen stage; the
+broadcast station dimension refreshes per batch when backed by a snapshot
+table.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..constants import MAX_TIMING_ERROR_NS
+from ..sources.lines import parse_events
+from .coincidence import stream_cluster_coincidences
+
+
+def stream_main_path(
+    lines: DataFrame,
+    stations: DataFrame,
+    criterion: str = "physics",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """lines: streaming (topic, payload); stations: static/batch dimension
+    (hash, lat, lon, h). Returns the streaming L1 table (n>=2 flattening is
+    the caller's sink projection — operators.coincidence.l1_flatten)."""
+    events = parse_events(lines)
+    # F1 quality gate (reference src/analysis/detectorstation.cpp:31-62)
+    gated = events.filter(
+        (F.col("time_acc") <= int(MAX_TIMING_ERROR_NS)) & (F.col("fix") == 1)
+    )
+    # J1 enrichment: broadcast the small station dimension
+    enriched = gated.join(
+        F.broadcast(stations.select("hash", "lat", "lon", "h")), "hash", "inner"
+    )
+    return stream_cluster_coincidences(enriched, criterion=criterion, watermark=watermark)

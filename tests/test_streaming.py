@@ -250,3 +250,76 @@ def test_stream_eav_windows(spark):
     assert got[(1, 0)] == (3, "temp=20,temp=21,vbias=33")
     assert got[(2, 0)] == (1, "temp=19")
     assert got[(1, 30)] == (1, "temp=22")
+
+
+def test_stream_main_path_end_to_end(spark):
+    """§3.1 in streaming mode: text lines -> parse -> gate -> enrich ->
+    cluster -> L1, equal to the batch composition of the same stages."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from detector_network_processor_spark.constants import MAX_TIMING_ERROR_NS
+    from detector_network_processor_spark.sources.lines import parse_events
+    from detector_network_processor_spark.streaming.pipeline import stream_main_path
+
+    events = make_events(n_base=400, seed=41)
+    events.sort(key=lambda e: e["start"])
+
+    EPOCH_NS = 1_700_000_000 * 10**9  # parser requires >=17-char timestamps
+
+    def line(e):
+        s, en = (e["start"] + EPOCH_NS) / 1e9, (e["end"] + EPOCH_NS) / 1e9
+        return (f"muonpi/data/user{e['hash']}/det", f"{s:.9f} {en:.9f} {e['time_acc']} {e['ublox_counter']} {e['fix']} 0 1")
+
+    lines = [line(e) for e in events]
+    # malformed + poor-quality traffic the pipeline must drop
+    lines.insert(5, ("muonpi/data/user1001/det", "garbage not_a_number 1 2 3 0 1"))
+    lines.insert(10, ("muonpi/data/cluster/det", lines[0][1]))
+    bad_quality = dict(events[0]); bad_quality["time_acc"] = 50_000
+    lines.insert(15, line(bad_quality))
+
+    st_rows = [
+        dict(username=f"user{h}", station_id="det", lat=lat, lon=lon, h=hh)
+        for (h, lat, lon, hh) in STATIONS
+    ]
+    stations = spark.createDataFrame(st_rows).select(
+        F.xxhash64(F.concat_ws("/", "username", "station_id")).alias("hash"), "lat", "lon", "h"
+    )
+
+    schema = "topic string, payload string"
+    lines_df = spark.createDataFrame(lines, schema)
+
+    # batch composition of the same stages
+    from detector_network_processor_spark.operators.coincidence import cluster_coincidences
+
+    parsed = parse_events(lines_df).filter(
+        (F.col("time_acc") <= int(MAX_TIMING_ERROR_NS)) & (F.col("fix") == 1)
+    )
+    batch_l1 = cluster_coincidences(parsed, stations=stations, criterion="physics").collect()
+
+    tmp = tempfile.mkdtemp(prefix="dnp_mainpath_")
+    try:
+        n = len(lines)
+        for i in range(3):
+            spark.createDataFrame(lines[i * n // 3 : (i + 1) * n // 3], schema).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
+        sent_s = (max(e["start"] for e in events) + EPOCH_NS + 10**12) / 1e9
+        spark.createDataFrame(
+            [("muonpi/data/user1001/det", f"{sent_s:.9f} {sent_s + 1e-6:.9f} 1 0 1 0 1")], schema
+        ).coalesce(1).write.parquet(f"{tmp}/in/f9_sentinel")
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/f*")
+        q = (
+            stream_main_path(stream, stations)
+            .writeStream.format("memory").queryName("mainpath_test")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        got = [r for r in spark.sql("select * from mainpath_test").collect() if r.start < sent_s * 1e9]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    cb, cs = _canon_l1(batch_l1), _canon_l1(got)
+    assert cb == cs
+    assert len(cb) > 100
