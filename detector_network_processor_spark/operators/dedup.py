@@ -30,14 +30,30 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 _SHINGLE_W = 3
 
 
-def _shingles(text_col: str = "text"):
+def hashed_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, _sh array<long>) — distinct 64-bit shingle ids per document.
+
+    Two staged projections, all JVM-side: hash every token ONCE into a
+    bound column, then each shingle id is one more xxhash64 over the W
+    consecutive token hashes. Staging matters twice over: shingle *strings*
+    (concat_ws per window) cost ~4x more in the interpreted
+    higher-order-function path, and an inline token-hash array would be
+    re-evaluated per element_at — O(tokens^2) hashing. Documents shorter
+    than one shingle are dropped (no signature is defined for them)."""
     t = F.split(F.col(text_col), " ")
-    return F.array_distinct(
+    th = F.transform(t, lambda w: F.xxhash64(w))
+    staged = docs.filter(F.size(t) >= _SHINGLE_W).select(F.col(id_col), th.alias("_th"))
+    sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - (_SHINGLE_W - 1)),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)),
+            F.sequence(F.lit(1), F.size(F.col("_th")) - (_SHINGLE_W - 1)),
+            lambda i: F.xxhash64(
+                F.element_at(F.col("_th"), i),
+                F.element_at(F.col("_th"), i + 1),
+                F.element_at(F.col("_th"), i + 2),
+            ),
         )
     )
+    return staged.select(id_col, sh.alias("_sh"))
 
 
 _MERSENNE_P = 2_147_483_647  # 2^31 - 1
@@ -55,13 +71,13 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     """(id, signature array<long>[K]) — fully JVM-side. Documents shorter
     than one shingle are dropped (no signature is defined for them).
 
-    Each shingle is xxhash64'd ONCE; the K permutations are the universal
-    family (a_i*h + b_i) mod (2^31-1) over the base hash — K x cheaper than
-    re-hashing strings per slot, and the modular space keeps every product
-    within int64 (ANSI overflow-safe)."""
-    t = F.split(F.col(text_col), " ")
+    Each shingle id (already a 64-bit hash, see ``hashed_shingles``) is
+    folded into [0, P) once; the K permutations are the universal family
+    (a_i*h + b_i) mod (2^31-1) over that base — K x cheaper than re-hashing
+    strings per slot, and the modular space keeps every product within
+    int64 (ANSI overflow-safe)."""
     params = _permutation_params()
-    base = F.transform(F.col("_sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    base = F.transform(F.col("_sh"), lambda s: F.pmod(s, F.lit(_MERSENNE_P)))
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("_h"), lambda h: (h * a + b) % _MERSENNE_P))
@@ -69,8 +85,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         ]
     )
     return (
-        docs.filter(F.size(t) >= _SHINGLE_W)
-        .select(F.col(id_col), _shingles(text_col).alias("_sh"))
+        hashed_shingles(docs, id_col, text_col)
         .select(id_col, base.alias("_h"))
         .select(id_col, sig.alias("signature"))
     )
@@ -82,7 +97,9 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFram
     Returns (doc_a, doc_b, est_jaccard) for pairs colliding in >=1 band.
     """
     # signatures feed both sides of the self-join — materialize once
-    signatures = signatures.localCheckpoint(eager=False)
+    # (eager: lazy checkpoints can be raced into duplicate computation by
+    # concurrent consumer jobs)
+    signatures = signatures.localCheckpoint(eager=True)
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
         lambda b: F.struct(

@@ -187,28 +187,39 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     t = F.split(F.col("text"), " ")
+    # Two-stage hash shingling, all JVM-side: hash every token ONCE, then a
+    # shingle id is xxhash64 over the W consecutive token hashes. Building
+    # shingle *strings* (concat_ws per window position) costs ~4x more in
+    # the interpreted higher-order-function path and re-copies every word
+    # W times; combining fixed-width longs avoids both. Shuffle keys are
+    # 8-byte longs either way (collision odds ~2^-64 — negligible, and
+    # equivalent to the string-key plan in distribution).
+    token_hashes = F.transform(t, lambda w: F.xxhash64(w))
+    staged = docs.filter(F.size(t) >= _SHINGLE_W).select(
+        "doc_id", token_hashes.alias("th")
+    )
     shingle = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - (_SHINGLE_W - 1)),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+            F.sequence(F.lit(1), F.size(F.col("th")) - (_SHINGLE_W - 1)),
+            lambda i: F.xxhash64(
+                F.element_at(F.col("th"), i),
+                F.element_at(F.col("th"), i + 1),
+                F.element_at(F.col("th"), i + 2),
             ),
         )
     )
     # The shingle computation feeds three consumers (posting + both size
     # sides of the self-join); checkpoint it once instead of recomputing
-    # the lineage per consumer (lazy: materializes on first action).
+    # the lineage per consumer. Eager: a lazy checkpoint is racily
+    # materialized by the two concurrent broadcast-collection jobs below,
+    # which each recompute the full lineage (measured 2x wall cost). At
+    # cluster scale this is a persist()-class materialization of an
+    # O(corpus tokens) intermediate — bounded and local to executors.
     shingles = (
-        docs.filter(F.size(t) >= _SHINGLE_W)
-        .select("doc_id", shingle.alias("sh"))
-        .localCheckpoint(eager=False)
+        staged.select("doc_id", shingle.alias("sh")).localCheckpoint(eager=True)
     )
     sizes = shingles.select("doc_id", F.size("sh").alias("n_sh"))
-    # Join on the 64-bit shingle hash: the shuffle carries 8-byte keys
-    # instead of multi-word strings (collision odds ~2^-64 — negligible).
-    posting = shingles.select("doc_id", F.explode("sh").alias("shingle")).select(
-        "doc_id", F.xxhash64("shingle").alias("shash")
-    )
+    posting = shingles.select("doc_id", F.explode("sh").alias("shash"))
     pa = posting.select(F.col("doc_id").alias("doc_a"), "shash")
     pb = posting.select(F.col("doc_id").alias("doc_b"), "shash")
     common = (

@@ -25,7 +25,11 @@ def test_minhash_identical_docs_collide(spark):
         [
             _doc(1, base),
             _doc(2, base),  # exact dup
-            _doc(3, base.replace("lazy", "sleepy")),  # near dup
+            # near dup: one appended word -> jaccard 11/12, band-collision
+            # miss probability ~3e-9 (a mid-string replacement at this doc
+            # length gives jaccard ~0.57 where LSH legitimately misses ~17%
+            # of hash families — too flaky for a unit test)
+            _doc(3, base + " tonight"),
             _doc(4, "completely different words about spark query engines and shuffles here"),
         ]
     )
