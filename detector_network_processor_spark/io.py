@@ -42,3 +42,45 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --------------------------------------------------------------------------
+# Scale-out storage layout (100 TB posture)
+# --------------------------------------------------------------------------
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout: one directory level per
+    partition column. Readers with equality/range predicates on these
+    columns get PARTITION PRUNING — whole directories skipped before any
+    file is opened, the difference between scanning 100 TB and scanning
+    one day of it. Time-derived columns (e.g. ``day = ts div 86400e9``)
+    are the canonical choice for the event stream; keep cardinality
+    per level ≤ ~10^4 so the file listing stays metadata-cheap."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table: rows are pre-shuffled into
+    ``n_buckets`` files by ``hash(bucket_col)`` at WRITE time, so every
+    subsequent join or aggregation on that key runs with ZERO exchange —
+    the shuffle is paid once instead of per query. Two tables bucketed
+    the same way co-locate their keys (bucket i joins bucket i). This is
+    the storage analog of the reference keeping per-station state sharded
+    by station hash. Requires a catalog table (`saveAsTable`)."""
+    w = df.write.bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.mode(mode).format("parquet").saveAsTable(table)

@@ -750,6 +750,123 @@ def case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_name")
 
 
+@register(
+    "cube_orders",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)                         AS n_orders,
+       round(sum(o_totalprice), 4)      AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+    doc="CUBE grouping-sets parity (SURVEY §2.10): all 4 grouping combinations in one pass (Spark expands to a single Expand + hash agg — one shuffle, not 4 scans).",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       dense_rank()   OVER w                            AS drnk,
+       ntile(4)       OVER w                            AS quartile,
+       round(percent_rank() OVER w, 6)                  AS prnk,
+       round(cume_dist() OVER w, 6)                     AS cdist,
+       lag(o_orderkey)  OVER w                          AS prev_key,
+       lead(o_orderkey) OVER w                          AS next_key,
+       first_value(o_orderkey) OVER w                   AS top_key,
+       nth_value(o_orderkey, 2) OVER w                  AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderpriority, drnk, o_orderkey
+LIMIT 2000
+""",
+    doc="Window-function library parity (SURVEY §2.10): rank/ntile/percent_rank/cume_dist/lag/lead/first/nth in ONE window spec — one shuffle+sort serves all nine functions.",
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.lag("o_orderkey").over(w).alias("prev_key"),
+            F.lead("o_orderkey").over(w).alias("next_key"),
+            F.first("o_orderkey").over(w).alias("top_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .orderBy("o_orderpriority", "drnk", "o_orderkey")
+        .limit(2000)
+    )
+
+
+@register(
+    "approx_aggregates",
+    oracle="""
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_distinct,
+       true                      AS approx_distinct_within_5pct,
+       true                      AS approx_p50_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc=(
+        "Approximate aggregation (SURVEY §2.10: approx_count_distinct / "
+        "percentile_approx). Sketch values differ across engines by design, "
+        "so the oracle-checkable contract is the ERROR BOUND: the query "
+        "emits booleans asserting Spark's HLL estimate and approximate "
+        "median land within 5% of the exact values computed in the same "
+        "pass; the oracle pins the exact values and expects the booleans "
+        "true. At 100 TB the approx forms are the only affordable ones — "
+        "fixed-size sketches, map-side combinable, no distinct shuffle."
+    ),
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel_err = lambda approx, exact: F.abs(approx - exact) / exact  # noqa: E731
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_distinct"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_apx_d"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("_exact_p50"),
+            F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("_apx_p50"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_distinct",
+            (rel_err(F.col("_apx_d"), F.col("exact_distinct")) < 0.05).alias(
+                "approx_distinct_within_5pct"
+            ),
+            (rel_err(F.col("_apx_p50"), F.col("_exact_p50")) < 0.05).alias(
+                "approx_p50_within_5pct"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def register_base_views(spark: SparkSession, sf_dir: str, names: list[str]) -> None:
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
