@@ -120,7 +120,18 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, dim: int,
 
     centroids: (centroid_id, centroid array<double>).
     """
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
+    return _nearest_centroids(corpus, centroids, 1, id_col, vec_col).select(
+        id_col, "centroid_id", F.col("e").alias("embedding")
+    )
+
+
+def _nearest_centroids(
+    vecs: DataFrame, centroids: DataFrame, n: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, centroid_id, e) for each vector's n nearest centroids
+    (L2; ties broken by centroid_id). Centroid table is broadcast — the
+    cross product never shuffles the big side."""
+    c = vecs.select(F.col(id_col), _as_double(F.col(vec_col)).alias("e"))
     cent = centroids.select(
         F.col("centroid_id"), _as_double(F.col("centroid")).alias("ce")
     )
@@ -132,6 +143,46 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame, dim: int,
     return (
         joined.withColumn("d2", d2)
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "centroid_id", F.col("e").alias("embedding"))
+        .filter(F.col("rn") <= n)
+        .select(id_col, "centroid_id", "e")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors live in inverted lists
+    keyed by nearest centroid; each query scores ONLY the lists of its
+    ``nprobe`` nearest centroids. Returns (query_id, neighbor_id, rank,
+    sim) with exact cosine similarity for every surfaced candidate.
+
+    100 TB shape: the corpus is hash-partitioned (or directory-partitioned,
+    io.py::write_partitioned) by centroid_id once at ingest; a query batch
+    probes nprobe/n_lists of the data — the scan itself is pruned, which
+    no LSH-over-full-scan variant achieves. The candidate join is a hash
+    equi-join on centroid_id; the broadcast centroid table is tiny
+    (n_lists x dim doubles)."""
+    lists = _nearest_centroids(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id", F.col("e").alias("ce")
+    )
+    probes = _nearest_centroids(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "centroid_id", F.col("e").alias("qe")
+    )
+    sim = dot(F.col("qe"), F.col("ce")) / (
+        F.sqrt(dot(F.col("qe"), F.col("qe"))) * F.sqrt(dot(F.col("ce"), F.col("ce")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        probes.join(lists, "centroid_id")
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )

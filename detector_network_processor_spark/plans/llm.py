@@ -496,6 +496,74 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_N_CENT = 16
+_IVF_NPROBE = 4
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {_IVF_N_CENT}),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+cd AS (
+  SELECT c.vec_id, cent.centroid_id,
+         row_number() OVER (PARTITION BY c.vec_id ORDER BY
+           list_sum(list_transform(list_zip(c.v, cent.cv), x -> (x[1]-x[2])*(x[1]-x[2]))),
+           cent.centroid_id) AS rn
+  FROM c CROSS JOIN cent
+),
+lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM cd WHERE rn = 1),
+qd AS (
+  SELECT q.vec_id, cent.centroid_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_sum(list_transform(list_zip(q.v, cent.cv), x -> (x[1]-x[2])*(x[1]-x[2]))),
+           cent.centroid_id) AS rn
+  FROM q CROSS JOIN cent
+),
+probes AS (SELECT vec_id AS query_id, centroid_id FROM qd WHERE rn <= {_IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, l.neighbor_id,
+         list_dot_product(qv.v, cv.v)
+           / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+  FROM probes p
+  JOIN lists l USING (centroid_id)
+  JOIN e qv ON qv.vec_id = p.query_id
+  JOIN e cv ON cv.vec_id = l.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    doc=(
+        "IVF-flat ANN top-k (SURVEY §2.11 similarity scale path): corpus in "
+        "inverted lists by nearest centroid, queries probe nprobe lists, "
+        "exact cosine rescoring of candidates only. At 100 TB the corpus is "
+        "partitioned by centroid_id at ingest so the probe prunes the SCAN, "
+        "not just the compare count. Deterministic seed centroids (first "
+        f"{_IVF_N_CENT} vectors) make the whole pipeline oracle-checkable."
+    ),
+)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _IVF_N_CENT).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return ivf_topk(
+        corpus, queries, centroids, dim=64, k=_TOP_K, nprobe=_IVF_NPROBE
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # Similarity search: brute-force cosine top-k (baseline; LSH variant in
 # operators/similarity.py)

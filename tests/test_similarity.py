@@ -39,3 +39,30 @@ def test_multimodal_decode_contract(spark):
     # determinism across runs
     rows2 = all_queries()["multimodal_features"].fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with nprobe=4 of 16 lists scores ~1/4 of the corpus; on the
+    uniform-random fixture (LSH/IVF's adversarial case) recall still has to
+    clear a floor, and every surfaced similarity must be exact."""
+    brute = all_queries()["cosine_topk"].fn(spark, SF_DIR).collect()
+    ivf = all_queries()["ivf_topk"].fn(spark, SF_DIR).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(v) for v in brute_sets.values())
+    hits = sum(len(v & ivf_sets.get(q, set())) for q, v in brute_sets.items())
+    recall = hits / total
+    assert recall >= 0.3, f"IVF recall vs brute force too low: {recall}"
+    # every IVF result is fully ranked: exactly k rows per query, ranks 1..k
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+    brute_sims = {(r.query_id, r.neighbor_id): r.sim for r in brute}
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in brute_sims:
+            assert abs(brute_sims[(r.query_id, r.neighbor_id)] - r.sim) < 1e-9
