@@ -117,8 +117,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
-       sum(n_chars) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(avg(n_chars), 6) AS mean_chars
 FROM documents
 GROUP BY lang

@@ -118,7 +118,7 @@ WITH ev AS (
          round(sqrt(sum(c * c) / 4.0 - (sum(c) / 4.0) * (sum(c) / 4.0)), 6) AS rate_std
   FROM per_sub GROUP BY hash, win
 ), base AS (
-  SELECT hash, win, count(*) AS incoming, sum(delta) AS ublox_counter_progress,
+  SELECT hash, win, count(*) AS incoming, CAST(sum(delta) AS BIGINT) AS ublox_counter_progress,
          round(avg(CASE WHEN pulse > 0 AND pulse < 1000000 THEN pulse END), 6) AS mean_pulselength,
          round(avg(time_acc), 6) AS mean_time_acc
   FROM e GROUP BY hash, win
@@ -285,8 +285,8 @@ ev AS (
 )
 SELECT hash,
        count(*) AS incoming,
-       sum(CASE WHEN time_acc <= 1000 AND fix = 1 THEN 1 ELSE 0 END) AS accepted,
-       sum(CASE WHEN time_acc > 100000 THEN 1 ELSE 0 END) AS extreme
+       CAST(sum(CASE WHEN time_acc <= 1000 AND fix = 1 THEN 1 ELSE 0 END) AS BIGINT) AS accepted,
+       CAST(sum(CASE WHEN time_acc > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS extreme
 FROM ev GROUP BY hash
 ORDER BY hash
 """,
@@ -377,7 +377,7 @@ binned AS (
   FROM scored
 )
 SELECT hash_lo, hash_hi, bin, count(*) AS n, min(distance) AS distance, min(bin_width) AS bin_width
-FROM (SELECT *, floor((dt + bin_width * 1000) / bin_width) AS bin FROM binned)
+FROM (SELECT *, CAST(floor((dt + bin_width * 1000) / bin_width) AS BIGINT) AS bin FROM binned)
 WHERE bin >= 0 AND bin < 2000
 GROUP BY hash_lo, hash_hi, bin
 ORDER BY hash_lo, hash_hi, bin
@@ -520,13 +520,15 @@ def cluster_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_n"),
         F.round(F.avg("plausibility"), 6).alias("mean_plausibility"),
     )
-    # outgoing: count-by-coincidence-level map (clusterlog.h:21)
+    # outgoing: count-by-coincidence-level map (clusterlog.h:21), emitted as a
+    # deterministic JSON string (sorted by n) — scalar column so every
+    # comparator (driver canon included) can sort/hash it.
     outgoing = (
         base.groupBy("window", "n")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("window")
         .agg(
-            F.map_from_entries(
+            F.to_json(
                 F.sort_array(F.collect_list(F.struct("n", "cnt")))
             ).alias("outgoing")
         )

@@ -360,9 +360,9 @@ WITH ev AS (
   FROM ev
 )
 SELECT user_id,
-       sum(CASE WHEN prev IS NULL THEN 0
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
                 WHEN counter <= prev THEN counter + (65535 - prev)
-                ELSE counter - prev END) AS counter_progress,
+                ELSE counter - prev END) AS BIGINT) AS counter_progress,
        count(*) AS incoming
 FROM d
 GROUP BY user_id
@@ -457,7 +457,7 @@ brk AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts_us,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
   FROM brk
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -720,9 +720,9 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "case_pivot",
     oracle="""
 SELECT n_name,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_orders,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_orders,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_orders
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name

@@ -138,8 +138,8 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
 m AS (SELECT ts_us // 60000000 AS mb, count(*) AS n, sum(value) AS s
       FROM ev GROUP BY 1),
-h AS (SELECT mb // 60 AS hb, sum(n) AS n, sum(s) AS s FROM m GROUP BY 1),
-d AS (SELECT hb // 24 AS db, sum(n) AS n, sum(s) AS s FROM h GROUP BY 1)
+h AS (SELECT mb // 60 AS hb, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s FROM m GROUP BY 1),
+d AS (SELECT hb // 24 AS db, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s FROM h GROUP BY 1)
 SELECT 'minute' AS resolution, mb * 60000000 AS bucket_us,
        n AS n_events, round(s, 4) AS sum_value
 FROM m
