@@ -50,7 +50,14 @@ def asof_join(
     Returned columns: all of ``left``'s, plus ``{prefix}{c}`` for each
     ``c`` in ``right_cols``.
     """
+    from pyspark.sql.types import StructType
+
     tiebreak = right_tiebreak or right_cols[0]
+    # The right payload travels as ONE struct so the running last() picks the
+    # latest matching right row atomically — per-column last(ignorenulls)
+    # would let each column independently fall back past a NULL in the
+    # latest row, stitching a composite row that never existed.
+    rrow_type = StructType([right.schema[c] for c in right_cols])
 
     l_tagged = left.select(
         F.col(on).alias("_k"),
@@ -59,7 +66,7 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tie"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -67,7 +74,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         F.col(tiebreak).alias("_tie"),
         F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
     )
 
     w = (
@@ -78,12 +85,12 @@ def asof_join(
     filled = l_tagged.unionByName(r_tagged).select(
         "_lrow",
         "_side",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in right_cols],
+        F.last("_rrow", ignorenulls=True).over(w).alias("_asof"),
     )
     out = filled.filter(F.col("_side") == 1)
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"{prefix}{c}") for c in right_cols],
+        *[F.col(f"_asof.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
 
 

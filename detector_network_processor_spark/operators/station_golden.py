@@ -51,9 +51,11 @@ RATE_SLOTS = 10
 
 # status / reason enums (reference include/messages/detectorstatus.h:9-25)
 INVALID, DELETED, CREATED, OFFLINE, UNRELIABLE, RELIABLE = 0, 1, 2, 3, 4, 5
+# Vocabulary follows detector_status::to_string (detectorstation.cpp:178-179),
+# which publishes "online" for the `created` state.
 STATUS_NAMES = {
     DELETED: "deleted",
-    CREATED: "created",
+    CREATED: "online",
     OFFLINE: "offline",
     UNRELIABLE: "unreliable",
     RELIABLE: "reliable",
@@ -150,8 +152,18 @@ class StationState:
         loc_precision = self.dop * math.sqrt(self.h_acc**2 + self.v_acc**2)
         f_location = loc_precision / MAX_LOCATION_ERROR_M
         f_time = self.reliability_time_acc.mean() / MAX_TIMING_ERROR_NS
+        # stddev/(mean*0.75) UNGUARDED, like the reference
+        # (detectorstation.cpp:96): a zero mean rate yields 0/0 = NaN, which
+        # fails BOTH hysteresis branches — the reference never marks a
+        # station reliable before its rate ring is nonzero. (IEEE semantics
+        # replicated explicitly; Python raises on 0.0/0.0.)
         rm = self.mean_rate.mean()
-        f_rate = (self.mean_rate.stddev() / (rm * STDDEV_FACTOR)) if rm > 0 else 0.0
+        sd = self.mean_rate.stddev()
+        denom = rm * STDDEV_FACTOR
+        if denom == 0.0:
+            f_rate = math.nan if sd == 0.0 else math.inf
+        else:
+            f_rate = sd / denom
         hi, lo = 1.0 + HYSTERESIS, 1.0 - HYSTERESIS
         if f_location > hi:
             self.set_status(ts, UNRELIABLE, R_LOC)
@@ -185,8 +197,11 @@ class StationState:
         if self.current_rate.step(now):
             self.mean_rate.step(now)
             cur, mean, sigma = self.current_rate.mean(), self.mean_rate.mean(), self.mean_rate.stddev()
-            if sigma > 0 and cur < (mean - sigma):
-                self.factor = ((mean - cur) / sigma + 1.0) * 2.0
+            if cur < (mean - sigma):
+                # sigma == 0 → (mean-cur)/0 = +inf in the reference
+                # (detectorstation.cpp:127-135, IEEE division); the timeout
+                # clamp downstream bounds it to 30 min, same as there.
+                self.factor = ((mean - cur) / sigma + 1.0) * 2.0 if sigma > 0 else math.inf
             else:
                 self.factor = 1.0
 

@@ -85,10 +85,15 @@ def stream_cluster_coincidences(
     events: DataFrame,
     criterion: str = "physics",
     gap_ns: int | None = None,
-    watermark: str = "10 seconds",
+    watermark_ns: int = 10_000_000_000,
 ) -> DataFrame:
     """events: streaming DataFrame with hash,start,end,time_acc,
     ublox_counter,fix,lat,lon,h (start/end int64 ns).
+
+    ``watermark_ns`` is the late-data tolerance in REAL event-time
+    nanoseconds (default 10 s). Internally the stream relabels ns as µs for
+    exact-integer session grouping, so the delay is converted to the
+    relabeled domain here — callers never see the 1000× scaling.
 
     Returns a streaming L1 DataFrame (append mode; sessions emit once the
     watermark passes their gap horizon)."""
@@ -96,7 +101,8 @@ def stream_cluster_coincidences(
         gap_ns = int(math.ceil(MAX_TIME_NS)) if criterion == "physics" else SIMPLE_WINDOW_NS
 
     ts = F.timestamp_micros(F.col("start"))  # ns relabeled as us — exact ints
-    with_ts = events.withColumn("_ts", ts).withWatermark("_ts", watermark)
+    # 1 real ns == 1 relabeled us: express the ns delay as that many us.
+    with_ts = events.withColumn("_ts", ts).withWatermark("_ts", f"{int(watermark_ns)} microseconds")
     resolver = _make_resolver(criterion)
     # session_window needs a companion grouping key in streaming; the
     # coincidence buffer is one logical stream (cross-station sessions), so

@@ -28,7 +28,7 @@ def stream_main_path(
     lines: DataFrame,
     stations: DataFrame,
     criterion: str = "physics",
-    watermark: str = "10 seconds",
+    watermark_ns: int = 10_000_000_000,
 ) -> DataFrame:
     """lines: streaming (topic, payload); stations: static/batch dimension
     (hash, lat, lon, h). Returns the streaming L1 table (n>=2 flattening is
@@ -42,4 +42,4 @@ def stream_main_path(
     enriched = gated.join(
         F.broadcast(stations.select("hash", "lat", "lon", "h")), "hash", "inner"
     )
-    return stream_cluster_coincidences(enriched, criterion=criterion, watermark=watermark)
+    return stream_cluster_coincidences(enriched, criterion=criterion, watermark_ns=watermark_ns)

@@ -45,6 +45,20 @@ def test_asof_no_match_yields_null_and_keys_isolated(spark):
     assert rows[20]["asof_rid"] == 5
 
 
+def test_asof_latest_row_taken_atomically(spark):
+    # A NULL inside the latest matching right row must NOT fall back to an
+    # older row's value for that column: right rows (t=1, a=5, b=7) and
+    # (t=2, a=NULL, b=9) → the as-of result at t=3 is (NULL, 9), not (5, 9).
+    left = _df(spark, [(1, 3, 10)], "k long, t long, lid long")
+    right = spark.createDataFrame(
+        [(1, 1, 5, 7), (1, 2, None, 9)], "k long, t long, a long, b long"
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    right_cols=["a", "b"], right_tiebreak="b").collect()
+    assert out[0]["asof_a"] is None
+    assert out[0]["asof_b"] == 9
+
+
 def test_interval_join_closed_boundaries(spark):
     iv = _df(spark, [(1, 100, 200, 1)], "k long, s long, e long, ivid long")
     pts = _df(spark, [(1, 99, 1), (1, 100, 2), (1, 200, 3), (1, 201, 4)],

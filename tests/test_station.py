@@ -27,22 +27,33 @@ def statuses(trans):
     return [(t["status"], t["reason"]) for t in trans]
 
 
-def test_creation_and_reliable():
-    # logs every 60 s, good location, events with good time_acc
+def test_creation_and_no_reliable_before_rate_warm():
+    # The reference computes stddev/(mean*0.75) UNGUARDED
+    # (detectorstation.cpp:96): with a zero mean rate the factor is 0/0=NaN,
+    # which fails both hysteresis branches — so a station with good location
+    # and timing but a cold rate ring must NOT become reliable yet.
     recs = [log(0)] + [ev(10 + i, time_acc=100) for i in range(5)] + [log(60), log(120)]
     trans = replay_station(recs)
-    assert statuses(trans)[0] == ("created", "miscellaneous")
-    # reliable once 5-sample time_acc mean and location are good
-    assert ("reliable", "miscellaneous") in statuses(trans)
+    assert statuses(trans)[0] == ("online", "miscellaneous")
+    assert ("reliable", "miscellaneous") not in statuses(trans)
+
+
+def test_reliable_after_rate_warm():
+    # steady 1 Hz for 540 s fills the 10x30 s mean-rate ring; once stddev/mean
+    # settles below the hysteresis floor the station goes reliable
+    steady = [ev(t + 0.5) for t in range(540)]
+    logs = [log(t) for t in range(0, 541, 60)]
+    trans = replay_station(sorted(logs + steady, key=lambda r: r["ts"]))
+    assert statuses(trans)[0] == ("online", "miscellaneous")
+    assert statuses(trans)[-1] == ("reliable", "miscellaneous")
 
 
 def test_bad_location_unreliable():
-    # the step() preceding the second log still sees the good location ->
-    # reliable (the reference's tick does the same); the bad log then flips it
+    # cold rate ring -> NaN rate factor -> no reliable transition before the
+    # bad log; the bad log then flips created(online) -> unreliable
     trans = replay_station([log(0), log(60, BAD_LOC)])
     assert statuses(trans) == [
-        ("created", "miscellaneous"),
-        ("reliable", "miscellaneous"),
+        ("online", "miscellaneous"),
         ("unreliable", "location_precision"),
     ]
 
@@ -86,7 +97,7 @@ def test_missed_log_timers_and_thresholds():
     trans = replay_station([log(0), ev(49 * 3600), log(50 * 3600)])
     s = statuses(trans)
     assert ("deleted", "missed_log_interval") in s
-    assert s[-1] == ("created", "miscellaneous")
+    assert s[-1] == ("online", "miscellaneous")
 
 
 def test_end_of_data_timer():
@@ -96,7 +107,7 @@ def test_end_of_data_timer():
 
 def test_events_before_first_log_dropped():
     trans = replay_station([ev(0), ev(1), log(10)])
-    assert statuses(trans) == [("created", "miscellaneous")]
+    assert statuses(trans) == [("online", "miscellaneous")]
 
 
 def test_spark_matches_golden(spark):
