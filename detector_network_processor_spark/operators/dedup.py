@@ -29,8 +29,42 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 
 _SHINGLE_W = 3
 
+# Portable-hash family: Karp-Rabin modular arithmetic instead of xxhash64.
+# Same LSH/banding structure, but every hash is reproducible in ANSI SQL
+# (the DuckDB oracle recomputes them), at the cost of interpreted
+# higher-order-function evaluation — use the xxhash64 default in production,
+# the portable family where cross-engine verifiability matters.
+PORTABLE_P = 2_147_483_647  # 2^31 - 1, also the minhash permutation modulus
+PORTABLE_TOKEN_BASE = 257
+PORTABLE_TOKEN_BASE2 = 263  # second independent family (simhash high bits)
+PORTABLE_SHINGLE_BASE = 131
+PORTABLE_BAND_BASE = 131
 
-def hashed_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+
+def kr_token_hash(w, base: int = PORTABLE_TOKEN_BASE):
+    """Karp-Rabin hash of one token's characters, mod 2^31-1 — identical to
+    ``list_reduce((acc*base + greatest(ord(c),0)) % P)`` in DuckDB. ascii('')
+    is 0 in Spark while ord('') is -1 in DuckDB, hence the greatest() guard
+    on the SQL side; here ascii already yields 0."""
+    cs = F.split(w, "")
+    return F.aggregate(
+        cs, F.lit(0).cast("long"), lambda acc, c: (acc * base + F.ascii(c).cast("long")) % PORTABLE_P
+    )
+
+
+def portable_combine(parts: list, base: int = PORTABLE_BAND_BASE):
+    """Modular polynomial combine of already-reduced (< P) values — the
+    portable stand-in for xxhash64(a, b, ...). Every intermediate stays
+    below 2^52, ANSI-overflow-safe."""
+    acc = None
+    for p in parts:
+        acc = p if acc is None else (acc * base + p) % PORTABLE_P
+    return acc
+
+
+def hashed_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """(id, _sh array<long>) — distinct 64-bit shingle ids per document.
 
     Two staged projections, all JVM-side: hash every token ONCE into a
@@ -39,14 +73,22 @@ def hashed_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     (concat_ws per window) cost ~4x more in the interpreted
     higher-order-function path, and an inline token-hash array would be
     re-evaluated per element_at — O(tokens^2) hashing. Documents shorter
-    than one shingle are dropped (no signature is defined for them)."""
+    than one shingle are dropped (no signature is defined for them).
+
+    ``portable=True`` swaps xxhash64 for the Karp-Rabin family so the DuckDB
+    oracle can recompute identical shingle ids."""
     t = F.split(F.col(text_col), " ")
-    th = F.transform(t, lambda w: F.xxhash64(w))
+    if portable:
+        th = F.transform(t, lambda w: kr_token_hash(w))
+        combine = lambda a, b, c: portable_combine([a, b, c], PORTABLE_SHINGLE_BASE)  # noqa: E731
+    else:
+        th = F.transform(t, lambda w: F.xxhash64(w))
+        combine = F.xxhash64
     staged = docs.filter(F.size(t) >= _SHINGLE_W).select(F.col(id_col), th.alias("_th"))
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(F.col("_th")) - (_SHINGLE_W - 1)),
-            lambda i: F.xxhash64(
+            lambda i: combine(
                 F.element_at(F.col("_th"), i),
                 F.element_at(F.col("_th"), i + 1),
                 F.element_at(F.col("_th"), i + 2),
@@ -67,7 +109,9 @@ def _permutation_params(k: int = MINHASH_K, seed: int = 99991) -> list[tuple[int
     return [(rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P)) for _ in range(k)]
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """(id, signature array<long>[K]) — fully JVM-side. Documents shorter
     than one shingle are dropped (no signature is defined for them).
 
@@ -85,13 +129,15 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         ]
     )
     return (
-        hashed_shingles(docs, id_col, text_col)
+        hashed_shingles(docs, id_col, text_col, portable=portable)
         .select(id_col, base.alias("_h"))
         .select(id_col, sig.alias("signature"))
     )
 
 
-def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_lsh_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", portable: bool = False
+) -> DataFrame:
     """Candidate pairs from LSH banding, scored by signature agreement.
 
     Returns (doc_a, doc_b, est_jaccard) for pairs colliding in >=1 band.
@@ -100,12 +146,17 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFram
     # (eager: lazy checkpoints can be raced into duplicate computation by
     # concurrent consumer jobs)
     signatures = signatures.localCheckpoint(eager=True)
+    if portable:
+        bhash_of = lambda b: F.aggregate(  # noqa: E731
+            F.slice(F.col("signature"), b * LSH_ROWS + 1, LSH_ROWS),
+            F.lit(0).cast("long"),
+            lambda acc, s: (acc * PORTABLE_BAND_BASE + s) % PORTABLE_P,
+        )
+    else:
+        bhash_of = lambda b: F.xxhash64(F.slice(F.col("signature"), b * LSH_ROWS + 1, LSH_ROWS))  # noqa: E731
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.slice(F.col("signature"), b * LSH_ROWS + 1, LSH_ROWS)).alias("bhash"),
-        ),
+        lambda b: F.struct(b.alias("band"), bhash_of(b).alias("bhash")),
     )
     exploded = signatures.select(id_col, "signature", F.explode(bands).alias("bb")).select(
         id_col, "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
@@ -153,10 +204,46 @@ def simhash_col(text_col: str = "text"):
     return sim
 
 
-def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+SIMHASH_PORTABLE_BITS = 62  # 2 x 31-bit Karp-Rabin families
+
+
+def simhash_portable_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) with a 62-bit portable fingerprint: bits 0-30 vote on
+    one Karp-Rabin family, bits 31-61 on an independent-base family — every
+    step reproducible in ANSI SQL. Tokens explode to rows so the 62 vote
+    sums run as one JVM hash aggregation instead of 62 interpreted
+    array-aggregate passes per document."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    ex = docs.select(F.col(id_col), F.explode(toks).alias("_w")).select(
+        id_col,
+        kr_token_hash(F.col("_w"), PORTABLE_TOKEN_BASE).alias("_h1"),
+        kr_token_hash(F.col("_w"), PORTABLE_TOKEN_BASE2).alias("_h2"),
+    )
+
+    def vote(i: int):
+        src = F.col("_h1") if i < 31 else F.col("_h2")
+        bit = F.shiftright(src, i % 31).bitwiseAND(F.lit(1))
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_v{i}")
+
+    agg = ex.groupBy(id_col).agg(*[vote(i) for i in range(SIMHASH_PORTABLE_BITS)])
+    sim = F.lit(0).cast("long")
+    for i in range(SIMHASH_PORTABLE_BITS):
+        b = F.when(F.col(f"_v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sim = sim.bitwiseOR(F.shiftleft(b, i))
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """Near-dup pairs by SimHash banding: 4x16-bit chunks, candidates share
     >=1 exact chunk; scored by full hamming distance (JVM bit ops)."""
-    sh = docs.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    if portable:
+        sh = simhash_portable_fingerprints(docs, id_col, text_col)
+    else:
+        sh = docs.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
     chunks = F.array(
         *[
             F.struct(

@@ -23,7 +23,6 @@ extraction carries features, not media.
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -63,26 +62,38 @@ DECODED_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("checksum", LongType()),
         StructField("features", ArrayType(FloatType())),
+        StructField("feature_sums", ArrayType(LongType())),
     ]
 )
 
 N_FEATURES = 16
 
+# Karp-Rabin checksum over the raw bytes — pure modular arithmetic, so any
+# engine (the DuckDB oracle included) can recompute it; an engine-native
+# hash (crc32/xxhash) would make the decode stage un-oracle-able.
+_CK_BASE = 257
+_CK_MOD = 1_000_000_007
 
-def _fake_decode_one(media: bytes) -> tuple[int, int, int, list[float]]:
-    """Deterministic stand-in for the real decoder: dimensions and a
-    16-dim "embedding" derived from the byte content."""
-    crc = zlib.crc32(media)
-    width = 64 + (crc & 0x3FF)
-    height = 64 + ((crc >> 10) & 0x3FF)
+
+def _fake_decode_one(media: bytes) -> tuple[int, int, int, list[float], list[int]]:
+    """Deterministic stand-in for the real decoder: dimensions, a 16-dim
+    "embedding", and the exact per-slot byte sums (integer domain, for
+    cross-engine comparison without float32 round-off)."""
     arr = np.frombuffer(media, dtype=np.uint8)
+    ck = 0
+    for b in arr.tolist():
+        ck = (ck * _CK_BASE + b) % _CK_MOD
+    width = 64 + (ck & 0x3FF)
+    height = 64 + ((ck >> 10) & 0x3FF)
     if len(arr) == 0:
         feats = [0.0] * N_FEATURES
+        sums = [0] * N_FEATURES
     else:
         pad = (-len(arr)) % N_FEATURES
         chunks = np.pad(arr, (0, pad)).reshape(-1, N_FEATURES)
+        sums = chunks.sum(axis=0, dtype=np.int64).tolist()
         feats = (chunks.mean(axis=0) / 255.0).astype(np.float32).tolist()
-    return width, height, crc, feats
+    return width, height, ck, feats, sums
 
 
 def decode_media(media_df: DataFrame, fake: bool = False) -> DataFrame:
@@ -99,8 +110,8 @@ def decode_media(media_df: DataFrame, fake: bool = False) -> DataFrame:
                         "available in this environment — run with fake=True "
                         "for the deterministic test decoder"
                     )
-                w, h, crc, feats = _fake_decode_one(media)
-                out.append((media_id, mtype, w, h, len(media), crc, feats))
+                w, h, ck, feats, sums = _fake_decode_one(media)
+                out.append((media_id, mtype, w, h, len(media), ck, feats, sums))
             yield pd.DataFrame(
                 out, columns=[f.name for f in DECODED_SCHEMA.fields]
             )

@@ -354,16 +354,91 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# MinHash-LSH and SimHash near-dup (scale paths; hashing is engine-native,
-# so these are rows-only for the driver — pinned instead by tests against
-# the exact-jaccard oracle query above)
+# MinHash-LSH and SimHash near-dup. The driver-visible queries run the
+# PORTABLE (Karp-Rabin) hash family so the DuckDB oracle can recompute the
+# identical signatures end-to-end; the xxhash64 production family shares
+# every line of LSH/banding/pair logic and is pinned by the recall tests in
+# tests/test_dedup.py.
 # --------------------------------------------------------------------------
+
+# KR token hash as DuckDB SQL over a token column `w` (greatest() guard:
+# ord('') is -1 in DuckDB but ascii('') is 0 in Spark)
+def _kr_sql(base: int, p: int, var: str = "w") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex({var}, ''), c -> CAST(greatest(ord(c), 0) AS BIGINT))), "
+        f"(acc, c) -> (acc * {base} + c) % {p})"
+    )
+
+
+def _minhash_oracle() -> str:
+    from ..operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        PORTABLE_BAND_BASE,
+        PORTABLE_P,
+        PORTABLE_SHINGLE_BASE,
+        PORTABLE_TOKEN_BASE,
+        _SHINGLE_W,
+        _permutation_params,
+    )
+
+    P = PORTABLE_P
+    B, B2 = PORTABLE_SHINGLE_BASE, PORTABLE_SHINGLE_BASE**2
+    params = _permutation_params()
+    sig_cols = ", ".join(
+        f"CAST(list_min(list_transform(s, x -> (x * {a} + {b}) % {P})) AS BIGINT) AS s{k}"
+        for k, (a, b) in enumerate(params)
+    )
+
+    def bhash(j: int) -> str:
+        expr = "CAST(0 AS BIGINT)"
+        for r in range(LSH_ROWS):
+            expr = f"(({expr}) * {PORTABLE_BAND_BASE} + s{j * LSH_ROWS + r}) % {P}"
+        return expr
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, sig, {j} AS band, {bhash(j)} AS bhash FROM sigs"
+        for j in range(LSH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+th AS (
+  SELECT doc_id, list_transform(t, w -> {_kr_sql(PORTABLE_TOKEN_BASE, P)}) AS h
+  FROM toks WHERE len(t) >= {_SHINGLE_W}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(h) - {_SHINGLE_W - 1}),
+           i -> ((h[i] * {B2}) % {P} + (h[i + 1] * {B}) % {P} + h[i + 2]) % {P})) AS s
+  FROM th
+),
+sigc AS (SELECT doc_id, {sig_cols} FROM sh),
+sigs AS (SELECT doc_id, [{", ".join(f"s{k}" for k in range(MINHASH_K))}] AS sig, * FROM sigc),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT doc_a, doc_b,
+         round(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) / {MINHASH_K}.0, 6)
+           AS est_jaccard
+  FROM cand
+) WHERE est_jaccard >= 0.34
+ORDER BY doc_a, doc_b
+"""
 
 
 @register(
     "minhash_near_dup",
-    oracle=None,
-    doc="MinHash(K=64) + LSH banding (16x4) near-dup candidates with signature-agreement jaccard estimate; fully JVM-side signatures (SURVEY §2.11). Recall vs the exact-jaccard oracle is asserted in tests/test_dedup.py.",
+    oracle=_minhash_oracle(),
+    doc="MinHash(K=64) + LSH banding (16x4) near-dup candidates with signature-agreement jaccard estimate (SURVEY §2.11). Portable Karp-Rabin hash family so the oracle recomputes the full signature->band->pair pipeline in SQL; the xxhash64 fast path shares all LSH logic (operators/dedup.py) and is recall-tested in tests/test_dedup.py.",
 )
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs, minhash_signatures
@@ -371,14 +446,58 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    sigs = minhash_signatures(docs)
-    return minhash_lsh_pairs(sigs).filter(F.col("est_jaccard") >= 0.34)
+    sigs = minhash_signatures(docs, portable=True)
+    return (
+        minhash_lsh_pairs(sigs, portable=True)
+        .filter(F.col("est_jaccard") >= 0.34)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_oracle() -> str:
+    from ..operators.dedup import (
+        PORTABLE_P,
+        PORTABLE_TOKEN_BASE,
+        PORTABLE_TOKEN_BASE2,
+        SIMHASH_PORTABLE_BITS,
+    )
+
+    votes = ", ".join(
+        f"sum(CASE WHEN ({'h1' if i < 31 else 'h2'} >> {i % 31}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_PORTABLE_BITS)
+    )
+    sim = " | ".join(
+        f"(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT) << {i})"
+        for i in range(SIMHASH_PORTABLE_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {_kr_sql(PORTABLE_TOKEN_BASE, PORTABLE_P)} AS h1,
+         {_kr_sql(PORTABLE_TOKEN_BASE2, PORTABLE_P)} AS h2
+  FROM toks
+),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sim AS (SELECT doc_id, {sim} AS simhash FROM votes),
+chunks AS (
+  SELECT doc_id, simhash, j, (simhash >> (j * 16)) & 65535 AS chash
+  FROM sim, range(4) r(j)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM chunks a JOIN chunks b ON a.j = b.j AND a.chash = b.chash AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 @register(
     "simhash_near_dup",
-    oracle=None,
-    doc="64-bit SimHash fingerprints, 4x16-bit banded candidate generation, exact hamming scoring — all JVM bit arithmetic (SURVEY §2.11).",
+    oracle=_simhash_oracle(),
+    doc="SimHash fingerprints with 16-bit chunk banding and exact hamming scoring (SURVEY §2.11). Driver query runs the 62-bit portable Karp-Rabin family (two independent bases) so the oracle rebuilds fingerprints in SQL; the 64-bit xxhash64 fast path shares the banding/pair logic.",
 )
 def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_dups
@@ -386,7 +505,12 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return simhash_near_dups(docs).filter(F.col("hamming") <= 3)
+    return (
+        simhash_near_dups(docs, portable=True)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 @register(
@@ -403,10 +527,40 @@ def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(corpus, queries, dim=64, k=_TOP_K)
 
 
+def _multimodal_oracle() -> str:
+    from ..operators.multimodal import _CK_BASE, _CK_MOD
+
+    def fsum(j: int) -> str:
+        return (
+            f"coalesce(CAST(list_sum(list_transform(generate_series(0, nchunks - 1), "
+            f"k -> coalesce(cs[k * 16 + {j + 1}], 0))) AS BIGINT), 0) AS fsum{j}"
+        )
+
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS media_type,
+         list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+  FROM documents
+), base AS (
+  SELECT media_id, media_type, cs, CAST(len(cs) AS BIGINT) AS n_bytes,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                     (acc, c) -> (acc * {_CK_BASE} + c) % {_CK_MOD}) AS checksum,
+         CAST(ceil(len(cs) / 16.0) AS BIGINT) AS nchunks
+  FROM m
+)
+SELECT media_id, media_type,
+       64 + (checksum & 1023) AS width,
+       64 + ((checksum >> 10) & 1023) AS height,
+       n_bytes, checksum,
+       {fsum(0)}, {fsum(7)}, {fsum(15)}
+FROM base ORDER BY media_id
+"""
+
+
 @register(
     "multimodal_features",
-    oracle=None,
-    doc="Multimodal column plumbing (SURVEY §2.11): opaque binary media + typed metadata through the Arrow-batched decode/feature-extract stage (deterministic fake decoder — real decoders stubbed, see operators/multimodal.py).",
+    oracle=_multimodal_oracle(),
+    doc="Multimodal column plumbing (SURVEY §2.11): opaque binary media + typed metadata through the Arrow-batched decode/feature-extract stage. The fake decoder is deterministic modular math (real decoders stubbed, see operators/multimodal.py), so the oracle recomputes dimensions/checksum/per-slot byte sums from the document bytes in SQL — the Arrow batch plumbing itself is what the hash match certifies.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_media, documents_as_media
@@ -422,8 +576,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "n_bytes",
         "checksum",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-    )
+        F.element_at("feature_sums", 1).alias("fsum0"),
+        F.element_at("feature_sums", 8).alias("fsum7"),
+        F.element_at("feature_sums", 16).alias("fsum15"),
+    ).orderBy("media_id")
 
 
 _EMB_DUP_THRESHOLD = 0.4

@@ -541,6 +541,102 @@ def cluster_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _muonize_hits_sql() -> str:
+    """DuckDB mirror of muonize_events (hash, start, e_end, time_acc, fix) —
+    shared CTE text for the flagship-adjacent oracles."""
+    return """
+nn AS (SELECT count(*) AS cnt FROM events),
+raw AS (
+  SELECT user_id AS hash, event_id,
+         (((event_id + 1000003) * (event_id + 1000003)) % ((SELECT cnt FROM nn) * 400000) * 31
+          + event_id * 48271) % ((SELECT cnt FROM nn) * 400000) AS start
+  FROM events
+  UNION ALL
+  SELECT (user_id + 3) % 15 AS hash, event_id + 10000000 AS event_id,
+         (((event_id + 1000003) * (event_id + 1000003)) % ((SELECT cnt FROM nn) * 400000) * 31
+          + event_id * 48271) % ((SELECT cnt FROM nn) * 400000) + (event_id * 131) % 250000 AS start
+  FROM events WHERE event_id % 7 = 0
+),
+hits AS (
+  SELECT hash, start, start + 1000 + event_id % 400000 AS e_end,
+         event_id % 3000 AS time_acc,
+         CASE WHEN event_id % 97 = 0 THEN 0 ELSE 1 END AS fix
+  FROM raw
+)"""
+
+
+def _session_gap_ns() -> int:
+    import math
+
+    from ..constants import MAX_TIME_NS
+
+    return int(math.ceil(MAX_TIME_NS))
+
+
+@register(
+    "l1_candidate_sessions",
+    oracle=f"""
+WITH {_muonize_hits_sql()},
+brk AS (
+  SELECT start, CASE WHEN start - lag(start) OVER (ORDER BY start) > {_session_gap_ns()}
+                THEN 1 ELSE 0 END AS b
+  FROM hits
+),
+sess AS (
+  SELECT start, sum(b) OVER (ORDER BY start ROWS UNBOUNDED PRECEDING) AS sid FROM brk
+)
+SELECT min(start) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(*) AS BIGINT) AS session_n,
+       max(start) - min(start) AS span_ns
+FROM sess GROUP BY sid
+ORDER BY session_start
+""",
+    doc="Candidate-generation phase of the §2.5 flagship operator, driver-adjudicated: the distributed range-sort sessionizer (operators/sessionize.py — one full shuffle, O(#partitions) boundary union-find) against a global-window SQL sessionization. session_n doubles as a check of the operator's boundary size-fix path.",
+)
+def l1_candidate_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sessionize_global_gap
+
+    hits = muonize_events(spark, sf_dir)
+    sess = sessionize_global_gap(hits, "start", _session_gap_ns())
+    return (
+        sess.groupBy("session_id")
+        .agg(
+            F.min("start").alias("session_start"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("session_n").alias("session_n"),
+            (F.max("start") - F.min("start")).alias("span_ns"),
+        )
+        .drop("session_id")
+        .orderBy("session_start")
+    )
+
+
+@register(
+    "l1_invariants",
+    oracle=f"""
+WITH {_muonize_hits_sql()}
+SELECT CAST(count(*) AS BIGINT) AS total_constituents,
+       min(start) AS min_group_start,
+       CAST(sum(CASE WHEN time_acc <= 1000 AND fix = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS mainpath_constituents
+FROM hits
+""",
+    doc="Driver-adjudicated mass-balance invariants of the flagship clustering (reference src/analysis/coincidencefilter.cpp:94-143): every hit lands in exactly one group, so sum(n) over all groups equals the input count (and the F1-gated main path's sum(n) equals the post-gate count); the group envelope floor equals the earliest hit. A dropped/duplicated event in the sessionize->kernel pipeline breaks the hash match.",
+)
+def l1_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = muonize_events(spark, sf_dir)
+    l1 = cluster_coincidences(hits, stations=None, criterion="physics")
+    gated = hits.filter((F.col("time_acc") <= 1000) & (F.col("fix") == 1))
+    l1_main = cluster_coincidences(gated, stations=None, criterion="physics")
+    a = l1.agg(
+        F.sum("n").cast("long").alias("total_constituents"),
+        F.min("start").alias("min_group_start"),
+    )
+    b = l1_main.agg(F.sum("n").cast("long").alias("mainpath_constituents"))
+    return a.crossJoin(b)
+
+
 @register(
     "l1_multiplicity_histogram",
     oracle=None,

@@ -35,7 +35,8 @@ def test_multimodal_decode_contract(spark):
     rows = df.collect()
     assert len(rows) == 500
     r = rows[0]
-    assert r.n_bytes > 0 and 64 <= r.width < 64 + 1024 and 0.0 <= r.f0 <= 1.0
+    assert r.n_bytes > 0 and 64 <= r.width < 64 + 1024
+    assert 0 <= r.fsum0 <= 255 * ((r.n_bytes + 15) // 16)
     # determinism across runs
     rows2 = all_queries()["multimodal_features"].fn(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
