@@ -35,6 +35,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_ROWCOUNT_CACHE: dict[str, int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet footer metadata — no Spark job.
+    Cached per (sf_dir, table); used by plans that derive deterministic
+    constants from the fixture size (e.g. the muonized time span)."""
+    key = os.path.join(sf_dir, f"{name}.parquet")
+    if key not in _ROWCOUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(key):
+            ds = pq.ParquetDataset(key)
+            _ROWCOUNT_CACHE[key] = sum(
+                frag.metadata.num_rows for frag in (pq.ParquetFile(f) for f in ds.files)
+            )
+        else:
+            _ROWCOUNT_CACHE[key] = pq.ParquetFile(key).metadata.num_rows
+    return _ROWCOUNT_CACHE[key]
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import load_table
+from ..io import load_table, table_row_count
 from ..operators.coincidence import cluster_coincidences, l1_flatten
 from . import register
 
@@ -25,7 +25,9 @@ _NS_PER_EVENT = 400_000  # mean gap ~2x the physics cutoff -> bounded sessions
 def muonize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events fixture -> muon hit stream (hash,start,end,...,lat,lon,h)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-    n = ev.count()
+    # footer-metadata row count (cached, zero Spark jobs) — an eager
+    # ev.count() here would run one extra job per muon-family query
+    n = table_row_count(sf_dir, "events")
     span = n * _NS_PER_EVENT
     # Shifted-quadratic scatter: multiplicative (affine) maps of consecutive
     # ids produce only three distinct sorted gaps (three-distance theorem) —

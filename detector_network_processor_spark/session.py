@@ -25,7 +25,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size rather than max parallelism
+        # when coalescing — the documented recommendation; at cluster scale
+        # it keeps post-shuffle partitions near 64 MB instead of exploding
+        # task counts, and on tiny inputs it collapses empty tasks.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # single-host local mode has no data locality to wait for
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
