@@ -106,10 +106,12 @@ def stream_cluster_coincidences(
     resolver = _make_resolver(criterion)
     # session_window needs a companion grouping key in streaming; the
     # coincidence buffer is one logical stream (cross-station sessions), so
-    # the key is a constant. Session-state updates therefore serialize onto
-    # one state partition — same ordering constraint the reference's single
-    # `muon::filter` thread has; per-station/per-region keys would shard it
-    # when a deployment can bound station-to-station distances.
+    # the key is a constant and session-state updates serialize onto one
+    # state partition. This path is therefore the LOW-VOLUME convenience
+    # API (mirrors the reference's single `muon::filter` thread). The scale
+    # path is streaming/incremental.py: the distributed batch operator per
+    # micro-batch with a carried open tail — same exact semantics, state
+    # and compute sharded by the range shuffle.
     sessions = (
         with_ts.withColumn("_k", F.lit(0))
         .groupBy("_k", F.session_window("_ts", f"{gap_ns + 1} microseconds"))

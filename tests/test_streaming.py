@@ -86,6 +86,67 @@ def test_stream_matches_batch_coincidence(spark):
     assert cs == cb
 
 
+def test_incremental_matches_batch_coincidence(spark):
+    """The foreachBatch incremental clusterer (the streaming SCALE path —
+    distributed batch operator per micro-batch + carried open tail) must
+    reproduce the offline batch result exactly, including sessions that
+    span micro-batch boundaries."""
+    from detector_network_processor_spark.streaming.incremental import (
+        flush_incremental_state,
+        incremental_cluster_query,
+    )
+
+    events = make_events(n_base=800, seed=29)
+    stations = {s[0]: s for s in STATIONS}
+    enriched = [
+        {**e, "lat": stations[e["hash"]][1], "lon": stations[e["hash"]][2], "h": stations[e["hash"]][3]}
+        for e in events
+    ]
+    ev_df = spark.createDataFrame(enriched)
+    batch = cluster_coincidences(ev_df, stations=None, criterion="physics").collect()
+
+    tmp = tempfile.mkdtemp(prefix="dnp_incr_")
+    try:
+        enriched.sort(key=lambda e: e["start"])
+        n = len(enriched)
+        schema = ev_df.schema
+        # 4 time-ordered chunks -> 4 micro-batches; chunk edges fall inside
+        # sessions, so the carried-tail stitching is exercised for real
+        for i in range(4):
+            spark.createDataFrame(
+                enriched[i * n // 4 : (i + 1) * n // 4], schema
+            ).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/f*")
+        )
+        out_path, state_path = f"{tmp}/out", f"{tmp}/state"
+        q = (
+            incremental_cluster_query(stream, out_path, state_path, f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # end-of-stream carried state exists (the last chunk's open tail)
+        assert os.path.isdir(state_path)
+        # the scale contract: the per-increment processing plan distributes
+        # over a >1-partition range shuffle — no single-partition state
+        # serialization anywhere (what the session_window path cannot avoid)
+        plan = (
+            cluster_coincidences(ev_df, stations=None, criterion="physics")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "rangepartitioning(start" in plan, plan
+        assert "rangepartitioning(start#" in plan and ", 1)" not in plan.split("rangepartitioning")[1][:80], plan
+        flush_incremental_state(spark, state_path, out_path)
+        got = spark.read.parquet(out_path).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    cb, cs = _canon_l1(batch), _canon_l1(got)
+    assert len(cs) == len(cb), f"group counts differ: batch={len(cb)} stream={len(cs)}"
+    assert cs == cb
+
+
 def test_parse_events_lines(spark):
     rows = [
         # valid
