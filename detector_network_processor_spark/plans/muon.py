@@ -504,7 +504,7 @@ def station_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cluster_log",
     oracle=None,
-    doc="A6 cluster health log (reference src/supervision/state.cpp:106-136, include/messages/clusterlog.h:12-32): per 10s window — single_in/l1_out frequencies, outgoing count-by-multiplicity map, running max_n, mean plausibility (true_e / (n(n-1)/2)) of L1 events. cpu/mem live in the StreamingQueryListener, outside the data plane. Rows-only: clustering upstream.",
+    doc="A6 cluster health log (reference src/supervision/state.cpp:106-136, include/messages/clusterlog.h:12-32): per 10s window — single_in/l1_out frequencies, outgoing count-by-multiplicity map, running max_n, mean plausibility (true_e / (n(n-1)/2)) of L1 events. cpu/mem live in streaming/monitor.py::ClusterLogListener, outside the data plane. Rows-only: clustering upstream.",
 )
 def cluster_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = muonize_events(spark, sf_dir)

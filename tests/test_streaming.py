@@ -147,6 +147,121 @@ def test_incremental_matches_batch_coincidence(spark):
     assert cs == cb
 
 
+def test_adaptive_timeout_responds_to_rate_dip(spark):
+    """W1-W3 live loop: a rate dip must widen the group timeout, exactly
+    like the reference's timebase_t feedback into the coincidence filter
+    (src/supervision/station.cpp:66-82)."""
+    from detector_network_processor_spark.operators.timebase import NS
+    from detector_network_processor_spark.streaming.adaptive import (
+        AdaptiveTimeoutController,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dnp_adaptive_")
+    try:
+        ctl = AdaptiveTimeoutController(spark, f"{tmp}/rates")
+        # steady phase: 10 events / 30 s interval / station, 10 intervals
+        steady = [
+            dict(hash=h, start=(i * 30 + j * 3) * NS)
+            for h in (1, 2)
+            for i in range(10)
+            for j in range(10)
+        ]
+        t_steady = ctl.update(spark.createDataFrame(steady))
+        assert ctl.last_factor == 1.0
+
+        # dip phase: 1 event in the next interval
+        dip = [dict(hash=h, start=(10 * 30 + 1) * NS) for h in (1, 2)]
+        t_dip = ctl.update(spark.createDataFrame(dip))
+        assert ctl.last_factor > 1.0
+        assert t_dip > t_steady, (t_steady, t_dip)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_adaptive_incremental_matches_batch(spark):
+    """Adaptivity changes WHEN groups emit, never WHAT emits: the adaptive
+    incremental stream still equals the offline batch result."""
+    from detector_network_processor_spark.streaming.adaptive import (
+        adaptive_incremental_cluster_query,
+    )
+    from detector_network_processor_spark.streaming.incremental import (
+        flush_incremental_state,
+    )
+
+    events = make_events(n_base=500, seed=31)
+    stations = {s[0]: s for s in STATIONS}
+    enriched = [
+        {**e, "lat": stations[e["hash"]][1], "lon": stations[e["hash"]][2], "h": stations[e["hash"]][3]}
+        for e in events
+    ]
+    ev_df = spark.createDataFrame(enriched)
+    batch = cluster_coincidences(ev_df, stations=None, criterion="physics").collect()
+
+    tmp = tempfile.mkdtemp(prefix="dnp_adincr_")
+    try:
+        enriched.sort(key=lambda e: e["start"])
+        n = len(enriched)
+        schema = ev_df.schema
+        for i in range(3):
+            spark.createDataFrame(
+                enriched[i * n // 3 : (i + 1) * n // 3], schema
+            ).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/f*")
+        )
+        out_path, state_path = f"{tmp}/out", f"{tmp}/state"
+        writer, ctl = adaptive_incremental_cluster_query(
+            stream, out_path, state_path, f"{tmp}/ckpt"
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(300)
+        assert ctl.last_timebase_ns is not None  # the loop actually ran
+        flush_incremental_state(spark, state_path, out_path)
+        got = spark.read.parquet(out_path).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert _canon_l1(got) == _canon_l1(batch)
+
+
+def test_cluster_log_listener_emits_health_rows(spark):
+    """A6 control-plane analog: the StreamingQueryListener turns micro-batch
+    progress into cluster-health rows with cpu/mem (state.cpp:57-92)."""
+    import time
+
+    from detector_network_processor_spark.streaming.monitor import (
+        MONITOR_FIELDS,
+        ClusterLogListener,
+    )
+
+    listener = ClusterLogListener()
+    spark.streams.addListener(listener)
+    tmp = tempfile.mkdtemp(prefix="dnp_mon_")
+    try:
+        df = spark.createDataFrame([(i,) for i in range(100)], "x long")
+        df.coalesce(1).write.parquet(f"{tmp}/in/f0")
+        stream = spark.readStream.schema(df.schema).parquet(f"{tmp}/in/f*")
+        q = (
+            stream.groupBy().count()
+            .writeStream.format("memory").queryName("mon_test")
+            .outputMode("complete").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        for _ in range(40):  # listener events are delivered asynchronously
+            if listener.rows:
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert listener.rows, "no progress rows captured"
+    row = listener.rows[0]
+    assert set(MONITOR_FIELDS) <= set(row)
+    assert row["input_rows"] >= 0 and row["mem_rss_kb"] > 0 and row["cpu_user_s"] > 0
+
+
 def test_parse_events_lines(spark):
     rows = [
         # valid
