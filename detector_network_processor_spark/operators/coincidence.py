@@ -68,21 +68,23 @@ L1_SCHEMA = StructType(
 _EVENT_COLS = ("hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h")
 
 
-def _session_rows_to_l1(sid: int, hits: list, compare) -> list[dict]:
+def _session_rows_to_l1(sid: int, hits: list, compare) -> list[tuple]:
+    """Rows as tuples in L1_SCHEMA field order — pandas builds a frame from
+    tuples measurably faster than from dicts, and this runs per session."""
     rows = groups_to_rows(cluster_hits(hits, compare))
     return [
-        {
-            "session_id": sid,
-            "start": r["start"],
-            "end": r["end"],
-            "n": r["n"],
-            "conflicting": r["conflicting"],
-            "true_e": r["true_e"],
-            "events": [
+        (
+            sid,
+            r["start"],
+            r["end"],
+            r["n"],
+            r["conflicting"],
+            r["true_e"],
+            [
                 (e["hash"], e["start"], e["end"], e["time_acc"], e["ublox_counter"], e["fix"])
                 for e in r["events"]
             ],
-        }
+        )
         for r in rows
     ]
 
@@ -150,6 +152,76 @@ def _resolve_sessions_stream(compare):
     return kernel
 
 
+def _resolve_pairs_jvm(pairs: DataFrame, criterion: str) -> DataFrame:
+    """Exact 2-hit-session resolution as column expressions (no Python).
+
+    Replay semantics for two hits a <= b in (start, hash) order
+    (golden.py::cluster_hits): same station -> two singletons (F6);
+    otherwise one 1-on-1 criterion verdict — Valid (score > 0) folds them
+    into a group with true_e = 1 and conflicting = False, Invalid leaves
+    two singletons. score > 0 reduces to ``dt <= MAX_TIME && dt < tof``
+    for physics (1 - dt/tof > 0 iff dt < tof in IEEE arithmetic) and
+    ``dt <= window`` for simple."""
+    from ..constants import C_M_PER_NS, MIN_TOF_NS
+    from ..functions.geodesy import straight_distance_col
+
+    agg = pairs.groupBy("session_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "start", "hash", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h"
+                )
+            )
+        ).alias("p")
+    )
+    e1, e2 = F.col("p")[0], F.col("p")[1]
+    dt = (e2["start"] - e1["start"]).cast("double")  # sorted: e2.start >= e1.start
+    if criterion == "physics":
+        dist = straight_distance_col(
+            e1["lat"], e1["lon"], e1["h"], e2["lat"], e2["lon"], e2["h"]
+        )
+        tof = F.greatest(dist / F.lit(C_M_PER_NS), F.lit(float(MIN_TOF_NS)))
+        score_pos = (dt <= F.lit(float(MAX_TIME_NS))) & (dt < tof)
+    else:
+        score_pos = dt <= F.lit(float(SIMPLE_WINDOW_NS))
+    valid = (e1["hash"] != e2["hash"]) & score_pos
+
+    def cons(e):
+        return F.struct(
+            e["hash"].alias("hash"),
+            e["start"].alias("start"),
+            e["end"].alias("end"),
+            e["time_acc"].alias("time_acc"),
+            e["ublox_counter"].alias("ublox_counter"),
+            e["fix"].alias("fix"),
+        )
+
+    def row(start, end, n, true_e, events):
+        return F.struct(
+            F.col("session_id").alias("session_id"),
+            start.alias("start"),
+            end.alias("end"),
+            F.lit(n).cast("int").alias("n"),
+            F.lit(False).alias("conflicting"),
+            F.lit(true_e).cast("int").alias("true_e"),
+            events.alias("events"),
+        )
+
+    # single pass: a conditional row array + one explode — branching into
+    # filter(valid) ∪ filter(~valid) would evaluate the aggregation twice
+    out_rows = F.when(
+        valid,
+        # envelope end of a promoted group = max constituent start
+        F.array(row(e1["start"], e2["start"], 2, 1, F.array(cons(e1), cons(e2)))),
+    ).otherwise(
+        F.array(
+            row(e1["start"], e1["end"], 1, 0, F.array(cons(e1))),
+            row(e2["start"], e2["end"], 1, 0, F.array(cons(e2))),
+        )
+    )
+    return agg.select(F.explode(out_rows).alias("g")).select("g.*")
+
+
 def cluster_coincidences(
     events: DataFrame,
     stations: DataFrame | None = None,
@@ -207,17 +279,22 @@ def cluster_coincidences(
         ).alias("events"),
     )
 
-    # Only multi-event sessions (a small fraction of the stream at physical
-    # event rates) are shuffled on session_id and cross the Arrow boundary.
+    # 2-hit sessions (the bulk of the multi mass at physical rates) resolve
+    # in closed form — one pairwise verdict decides group-vs-two-singletons
+    # (a 1-on-1 criterion can only be Valid or Invalid, criterion.cpp:7-14)
+    # — so they run as pure column expressions inside whole-stage codegen.
+    # Only sessions of n >= 3 pay the Arrow/Python replay.
+    pair_path = _resolve_pairs_jvm(sess.filter(F.col("_n") == 2), criterion)
+
     multis = (
-        sess.filter(F.col("_n") > 1)
+        sess.filter(F.col("_n") > 2)
         .drop("_n")
         .repartition(F.col("session_id"))
         .sortWithinPartitions("session_id", "start", "hash")
         .mapInPandas(_resolve_sessions_stream(compare), L1_SCHEMA)
     )
 
-    return singles.drop("_n").unionByName(multis)
+    return singles.drop("_n").unionByName(pair_path).unionByName(multis)
 
 
 def l1_flatten(l1: DataFrame, min_n: int = 2) -> DataFrame:

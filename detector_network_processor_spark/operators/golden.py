@@ -67,7 +67,23 @@ class Hit:
     z: float = field(init=False, default=0.0)
 
     def __post_init__(self):
-        self.x, self.y, self.z = ecef_scalar(self.lat, self.lon, self.h)
+        self.x, self.y, self.z = _ecef_memo(self.lat, self.lon, self.h)
+
+
+_ECEF_MEMO: dict = {}
+
+
+def _ecef_memo(lat: float, lon: float, h: float) -> tuple[float, float, float]:
+    """Station coordinates repeat across millions of hits — memoize the
+    trig. Bounded: the station dimension is small; the clear() guard is a
+    safety valve, not an LRU."""
+    k = (lat, lon, h)
+    v = _ECEF_MEMO.get(k)
+    if v is None:
+        if len(_ECEF_MEMO) > 1_000_000:
+            _ECEF_MEMO.clear()
+        v = _ECEF_MEMO[k] = ecef_scalar(lat, lon, h)
+    return v
 
 
 @dataclass
