@@ -69,13 +69,13 @@ def muonize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l1_coincidence",
-    oracle=None,
-    doc="Flagship §2.5 operator: gap-session candidate generation + per-session exact replay kernel (conflicting/true_e/transitive-merge semantics, reference src/analysis/coincidencefilter.cpp:60-143). Output = K1 sink projection, one row per constituent of each n>=2 group.",
+    oracle=None,  # replaced by the recursive-CTE replay oracle below
+    doc="Flagship §2.5 operator: gap-session candidate generation + per-session exact replay kernel (conflicting/true_e/transitive-merge semantics, reference src/analysis/coincidencefilter.cpp:60-143). Output = K1 sink projection, one row per constituent of each n>=2 group. Driver-adjudicated against the full recursive-CTE replay oracle (_l1_groups_cte). session_id is dropped from the projection: the sessionizer's id space is offset-based (gaps after boundary merges) and intentionally not oracle-canonical; session assignment itself is adjudicated by l1_candidate_sessions.",
 )
 def l1_coincidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = muonize_events(spark, sf_dir)
     l1 = cluster_coincidences(hits, stations=None, criterion="physics")
-    return l1_flatten(l1, min_n=2)
+    return l1_flatten(l1, min_n=2).drop("session_id")
 
 
 def _station_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,15 +309,15 @@ def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "main_path_l1",
-    oracle=None,
-    doc="§3.1 main path composition: F1 quality gate -> physics coincidence clustering -> F4 n>=2 filter -> K1 flatten (reference src/application.cpp:188-197 wiring). Rows-only; each stage is oracle- or golden-checked individually.",
+    oracle=None,  # replaced by the gated recursive-CTE replay oracle below
+    doc="§3.1 main path composition: F1 quality gate -> physics coincidence clustering -> F4 n>=2 filter -> K1 flatten (reference src/application.cpp:188-197 wiring). Driver-adjudicated end to end via the gated variant of the replay oracle.",
 )
 def main_path_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = muonize_events(spark, sf_dir).filter(
         (F.col("time_acc") <= 1000) & (F.col("fix") == 1)
     )
     l1 = cluster_coincidences(hits, stations=None, criterion="physics")
-    return l1_flatten(l1, min_n=2)
+    return l1_flatten(l1, min_n=2).drop("session_id")
 
 
 def _ecef_sql(lat: str, lon: str, h: str) -> tuple[str, str, str]:
@@ -575,6 +575,158 @@ def _session_gap_ns() -> int:
     return int(math.ceil(MAX_TIME_NS))
 
 
+_MEMBER_T = (
+    "STRUCT(hash BIGINT, start BIGINT, e_end BIGINT, time_acc BIGINT, "
+    "x DOUBLE, y DOUBLE, z DOUBLE)"
+)
+_GROUP_T = f"STRUCT(ord BIGINT, conflicting BOOLEAN, true_e BIGINT, members {_MEMBER_T}[])"
+
+
+def _physics_score_sql(h: str, mm: str) -> str:
+    """compare_physics as SQL text — op-for-op the golden model's arithmetic
+    (operators/golden.py::compare_physics), so IEEE results are identical up
+    to libm trig ulps in the ECEF inputs (verdict flips are measure-zero:
+    dt is integer ns, tof carries ~1e-10 ns of ulp sensitivity)."""
+    from ..constants import C_M_PER_NS, MAX_TIME_NS
+
+    delta = f"CAST(abs({h}.start - {mm}.start) AS DOUBLE)"
+    dist = (
+        f"sqrt(({h}.x-{mm}.x)*({h}.x-{mm}.x) + ({h}.y-{mm}.y)*({h}.y-{mm}.y)"
+        f" + ({h}.z-{mm}.z)*({h}.z-{mm}.z))"
+    )
+    tof = f"greatest({dist} / {C_M_PER_NS!r}, 150.0)"
+    return (
+        f"CASE WHEN {delta} > {MAX_TIME_NS!r} THEN -1.0 "
+        f"ELSE greatest(1.0 - {delta} / {tof}, -1.0) END"
+    )
+
+
+def _l1_groups_cte(gated: bool) -> str:
+    """Full coincidence-filter replay as a DuckDB recursive CTE.
+
+    This is the SQL oracle for the §2.5 flagship (reference
+    src/analysis/coincidencefilter.cpp:60-143): per gap-session the buffer
+    is ONE row whose state is a LIST of open groups; each recursive
+    iteration folds the next hit (canonical (start, hash) order) using list
+    lambdas only — probe scan (overlap exclusion + criterion verdict),
+    first-match fold, transitive merge with the ORIGINAL incoming event,
+    conflicting/true_e bookkeeping. Validated group-for-group (member order
+    included) against the golden model at sf0.001 and sf0.01.
+
+    Emits ``groups(sid, g_start, g_end, n, conflicting, true_e, members)``;
+    callers append their final SELECT. Starts with WITH RECURSIVE.
+    """
+    from ..constants import MEAN_FALSE_THRESHOLD, MEAN_TRUE_THRESHOLD
+
+    x, y, z = _ecef_sql("47.0 + (hash % 4) * 0.12", "8.0 + (hash // 4) * 0.15", "450.0")
+    gate = "WHERE time_acc <= 1000 AND fix = 1" if gated else ""
+    score = _physics_score_sql("h", "mm")
+    # Bind the per-group score list once via the single-element-list lambda
+    # trick; verdicts mirror criterion::apply (golden.py::apply_criterion).
+    vstruct = f"""list_transform(
+        [list_transform(g.members, mm -> {score})],
+        sc -> struct_pack(
+          verdict := CASE WHEN len(g.members) = 1
+                 THEN CASE WHEN sc[1] > 0.0 THEN 2 ELSE 0 END
+                 ELSE CASE
+                   WHEN list_aggregate(sc, 'sum') / CAST(len(g.members) AS DOUBLE)
+                        < {MEAN_FALSE_THRESHOLD!r} THEN 0
+                   WHEN list_aggregate(sc, 'sum') / CAST(len(g.members) AS DOUBLE)
+                        > {MEAN_TRUE_THRESHOLD!r}
+                        AND len(list_filter(sc, v -> v > 0.0)) = len(g.members) THEN 2
+                   ELSE 1 END END,
+          vtrue := CASE WHEN len(g.members) = 1
+                 THEN CASE WHEN sc[1] > 0.0 THEN 1 ELSE 0 END
+                 ELSE len(list_filter(sc, v -> v > 0.0)) END))[1]"""
+    merged = """list_filter(
+        list_transform(scored, sx -> CASE WHEN sx.g.ord = m[1].g.ord THEN
+            struct_pack(ord := sx.g.ord,
+                        conflicting := sx.g.conflicting OR len(m) > 1,
+                        true_e := sx.g.true_e +
+                          CAST(list_aggregate(list_transform(m, yy -> CAST(yy.v.vtrue AS BIGINT)), 'sum') AS BIGINT),
+                        members := sx.g.members || [h] || flatten(list_transform(m[2:], yy -> yy.g.members)))
+          ELSE sx.g END),
+        gg -> gg.ord = m[1].g.ord OR NOT list_contains(list_transform(m[2:], yy -> yy.g.ord), gg.ord))"""
+    singleton = (
+        "list_append(buf, struct_pack(ord := i, conflicting := false, "
+        "true_e := CAST(0 AS BIGINT), members := [h]))"
+    )
+    return f"""
+WITH RECURSIVE {_muonize_hits_sql()},
+geo AS (
+  SELECT CAST(hash AS BIGINT) AS hash, CAST(start AS BIGINT) AS start,
+         CAST(e_end AS BIGINT) AS e_end, CAST(time_acc AS BIGINT) AS time_acc,
+         {x} AS x, {y} AS y, {z} AS z
+  FROM hits {gate}
+),
+l1brk AS (
+  SELECT *, CASE WHEN start - lag(start) OVER (ORDER BY start, hash) > {_session_gap_ns()}
+                 THEN 1 ELSE 0 END AS b
+  FROM geo
+),
+l1sess AS (
+  SELECT *, sum(b) OVER (ORDER BY start, hash ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l1brk
+),
+shits AS (
+  SELECT sid, CAST(count(*) AS BIGINT) AS len,
+         list(struct_pack(hash := hash, start := start, e_end := e_end,
+                          time_acc := time_acc, x := x, y := y, z := z)
+              ORDER BY start, hash) AS hl
+  FROM l1sess GROUP BY sid
+),
+replay(sid, i, len, buf) AS (
+  SELECT sid, CAST(0 AS BIGINT), len, CAST([] AS {_GROUP_T}[]) FROM shits WHERE len >= 2
+  UNION ALL
+  SELECT sid, i, len,
+         CASE WHEN len(m) = 0 THEN {singleton} ELSE {merged} END
+  FROM (
+    SELECT sid, i, len, buf, h, scored,
+           list_filter(scored, sx -> NOT sx.ov AND sx.v.verdict != 0) AS m
+    FROM (
+      SELECT sid, i, len, buf, h,
+             list_transform(buf, g -> struct_pack(
+                g := g,
+                ov := list_contains(list_transform(g.members, mm -> mm.hash), h.hash),
+                v := {vstruct})) AS scored
+      FROM (
+        SELECT r.sid, r.i + 1 AS i, r.len, r.buf AS buf, s.hl[r.i + 1] AS h
+        FROM replay r JOIN shits s ON r.sid = s.sid
+        WHERE r.i < r.len
+      )
+    )
+  )
+),
+all_groups AS (
+  SELECT sid, unnest(buf) AS g FROM replay WHERE i = len
+  UNION ALL
+  SELECT sid, struct_pack(ord := CAST(1 AS BIGINT), conflicting := false,
+                          true_e := CAST(0 AS BIGINT), members := [hl[1]]) AS g
+  FROM shits WHERE len = 1
+),
+groups AS (
+  SELECT sid,
+         list_aggregate(list_transform(g.members, mm -> mm.start), 'min') AS g_start,
+         CASE WHEN len(g.members) = 1 THEN g.members[1].e_end
+              ELSE list_aggregate(list_transform(g.members, mm -> mm.start), 'max') END AS g_end,
+         len(g.members) AS n, g.conflicting AS conflicting, g.true_e AS true_e,
+         g.members AS members
+  FROM all_groups
+)"""
+
+
+_L1_FLATTEN_SELECT = """
+SELECT lpad(hex(members[1].hash), 16, '0') || lpad(hex(g_start), 16, '0') AS uuid,
+       g_start AS group_start, g_end AS group_end,
+       CAST(n AS INTEGER) AS n, conflicting, CAST(true_e AS INTEGER) AS true_e,
+       CAST(pos AS INTEGER) AS pos, m.hash AS hash, m.start AS start,
+       m.e_end AS "end", CAST(m.time_acc AS INTEGER) AS time_acc
+FROM (
+  SELECT *, unnest(members) AS m, unnest(range(0, n)) AS pos
+  FROM groups WHERE n >= 2
+)"""
+
+
 @register(
     "l1_candidate_sessions",
     oracle=f"""
@@ -648,3 +800,98 @@ def l1_multiplicity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = muonize_events(spark, sf_dir)
     l1 = cluster_coincidences(hits, stations=None, criterion="physics")
     return l1.groupBy("n").agg(F.count(F.lit(1)).alias("n_groups")).orderBy("n")
+
+
+# --- Replay-oracle attachment -------------------------------------------------
+# The five clustering-dependent queries above register with oracle=None (their
+# SQL needs the builders defined mid-module); the registry entries are
+# finalized here with the recursive-CTE replay oracle so the driver
+# adjudicates the full flagship pipeline, not just row counts.
+
+
+def _pair_hist_from_groups_sql() -> str:
+    """A7 histogram over replay-oracle groups — mirrors
+    operators/histogram.py::pair_dt_histogram column for column."""
+    from ..constants import C_M_PER_NS
+
+    xa, ya, za = _ecef_sql("lat_a", "lon_a", "h_a")
+    xb, yb, zb = _ecef_sql("lat_b", "lon_b", "h_b")
+    return f""",
+pr AS (
+  SELECT unnest(flatten(list_transform(members, (a, i) ->
+           list_transform(members[i+1:], b -> struct_pack(
+             hash_lo := least(a.hash, b.hash),
+             hash_hi := greatest(a.hash, b.hash),
+             dt := CASE WHEN a.hash < b.hash THEN a.start - b.start
+                        ELSE b.start - a.start END))))) AS p
+  FROM groups WHERE n >= 2
+),
+pe AS (
+  SELECT p.hash_lo AS hash_lo, p.hash_hi AS hash_hi, p.dt AS dt,
+         47.0 + (p.hash_lo % 4) * 0.12 AS lat_a, 8.0 + (p.hash_lo // 4) * 0.15 AS lon_a, 450.0 AS h_a,
+         47.0 + (p.hash_hi % 4) * 0.12 AS lat_b, 8.0 + (p.hash_hi // 4) * 0.15 AS lon_b, 450.0 AS h_b
+  FROM pr
+),
+pscored AS (
+  SELECT hash_lo, hash_hi, dt,
+         sqrt( ({xa}-{xb})*({xa}-{xb}) + ({ya}-{yb})*({ya}-{yb}) + ({za}-{zb})*({za}-{zb}) ) AS dist
+  FROM pe
+),
+pbinned AS (
+  SELECT hash_lo, hash_hi, round(dist, 3) AS distance,
+         CAST(trunc(greatest(1.0, least(100.0, 2.0 * (dist / {C_M_PER_NS!r}) / 2000.0))) AS INTEGER) AS bin_width,
+         dt
+  FROM pscored
+)
+SELECT hash_lo, hash_hi, min(distance) AS distance,
+       CAST(min(bin_width) AS INTEGER) AS bin_width, bin, count(*) AS n
+FROM (SELECT *, CAST(floor((dt + bin_width * 1000) / bin_width) AS BIGINT) AS bin FROM pbinned)
+WHERE bin >= 0 AND bin < 2000
+GROUP BY hash_lo, hash_hi, bin
+"""
+
+
+_CLUSTER_LOG_SELECT = """,
+wins AS (
+  SELECT g_start // 10000000000 AS "window", n, true_e FROM groups
+),
+wstats AS (
+  SELECT "window", CAST(sum(n) AS BIGINT) AS single_in,
+         CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS l1_out,
+         CAST(max(n) AS INTEGER) AS max_n,
+         round(avg(CASE WHEN n >= 2 THEN true_e / (n * (n - 1) / 2) END), 6) AS mean_plausibility
+  FROM wins GROUP BY "window"
+),
+wout AS (
+  SELECT "window", to_json(list_sort(list(struct_pack(n := n, cnt := cnt)))) AS outgoing
+  FROM (SELECT "window", CAST(n AS INTEGER) AS n, count(*) AS cnt FROM wins GROUP BY "window", n)
+  GROUP BY "window"
+)
+SELECT wstats."window" AS "window", single_in, l1_out, max_n, mean_plausibility,
+       wout.outgoing AS outgoing,
+       round(single_in / 10.0, 6) AS in_rate_hz, round(l1_out / 10.0, 6) AS out_rate_hz
+FROM wstats JOIN wout ON wstats."window" = wout."window"
+ORDER BY wstats."window"
+"""
+
+
+def _finalize_l1_oracles() -> None:
+    from dataclasses import replace
+
+    from . import REGISTRY
+
+    ungated = _l1_groups_cte(gated=False)
+    gated = _l1_groups_cte(gated=True)
+    oracles = {
+        "l1_coincidence": ungated + _L1_FLATTEN_SELECT,
+        "main_path_l1": gated + _L1_FLATTEN_SELECT,
+        "l1_multiplicity_histogram": ungated
+        + "\nSELECT CAST(n AS INTEGER) AS n, count(*) AS n_groups FROM groups GROUP BY n ORDER BY n",
+        "l1_pair_histogram": ungated + _pair_hist_from_groups_sql(),
+        "cluster_log": ungated + _CLUSTER_LOG_SELECT,
+    }
+    for name, sql in oracles.items():
+        REGISTRY[name] = replace(REGISTRY[name], oracle=sql)
+
+
+_finalize_l1_oracles()
