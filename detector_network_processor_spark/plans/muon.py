@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..io import load_table, table_row_count
 from ..operators.coincidence import cluster_coincidences, l1_flatten
 from . import register
+from .lifecycle_oracle import station_lifecycle_oracle_sql as _lifecycle_oracle_sql
 
 _NS_PER_EVENT = 400_000  # mean gap ~2x the physics cutoff -> bounded sessions
 
@@ -144,8 +145,8 @@ def detector_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "station_lifecycle",
-    oracle=None,
-    doc="§2.8 per-station lifecycle state machine batch replay (reference src/analysis/detectorstation.cpp:89-135): created/reliable/unreliable/offline/deleted transitions with 90s/270s/48h event-time timers and +-15% hysteresis. applyInPandas keyed by station; golden-tested in tests/test_station.py.",
+    oracle=_lifecycle_oracle_sql(),
+    doc="§2.8 per-station lifecycle state machine batch replay (reference src/analysis/detectorstation.cpp:89-135): created/reliable/unreliable/offline/deleted transitions with 90s/270s/48h event-time timers and +-15% hysteresis. applyInPandas keyed by station; golden-tested in tests/test_station.py and driver-adjudicated against the recursive-CTE state-machine oracle (plans/lifecycle_oracle.py).",
 )
 def station_lifecycle_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.station import station_lifecycle
