@@ -35,12 +35,27 @@ def dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def lcg_planes(n_rows: int, dim: int, seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic hyperplanes in [-1, 1) from a Lehmer-style integer mix.
+
+    Random-hyperplane LSH only needs directionally-spread planes, not
+    Gaussian ones; integer-derived planes make the whole bucket assignment
+    reproducible OUTSIDE this process — the DuckDB oracle recomputes the
+    identical matrix from the same formula (plans/llm.py cosine_topk_lsh
+    oracle), which a seeded RNG cannot offer cross-engine."""
+    m = 2147483647
+    idx = np.arange(n_rows * dim, dtype=np.int64) + 1 + seed
+    h = (idx * 48271) % m
+    h = (h * 16807) % m
+    return ((h.astype(np.float64) / 2147483647.0) * 2.0 - 1.0).reshape(n_rows, dim)
+
+
 def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int = LSH_SEED):
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @pandas_udf(ArrayType(LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
-        planes = np.random.default_rng(seed).standard_normal((n_tables * n_planes, dim))
+        planes = lcg_planes(n_tables * n_planes, dim, seed)
         v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
         bits = (v @ planes.T) > 0  # (n, tables*planes)
         per_table = [

@@ -513,10 +513,64 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_QUERY_VECS = 8
+_TOP_K = 5
+
+
+def _lsh_topk_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 8) -> str:
+    """SQL replication of operators/similarity.py::cosine_topk_lsh — the
+    LCG plane matrix (lcg_planes), per-table sign-bit buckets, single-bit
+    multiprobe, candidate dedup, exact cosine scoring, per-query top-k."""
+    from ..operators.similarity import LSH_SEED
+
+    n_rows = n_tables * n_planes
+    probe = ", ".join(f"xor(bucket, {1 << p})" for p in range(n_planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERY_VECS}),
+c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id >= {_N_QUERY_VECS}),
+planes AS (
+  SELECT pid // {n_planes} AS tbl, pid % {n_planes} AS bit,
+         list_transform(generate_series(0, {dim - 1}), d ->
+           (CAST((((pid * {dim} + d + 1 + {LSH_SEED}) * 48271) % 2147483647) * 16807 % 2147483647 AS DOUBLE)
+            / 2147483647.0) * 2.0 - 1.0) AS pv
+  FROM generate_series(0, {n_rows - 1}) g(pid)
+),
+cbits AS (
+  SELECT neighbor_id, tbl,
+         CAST(sum(CASE WHEN list_dot_product(cv, pv) > 0.0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM c CROSS JOIN planes GROUP BY neighbor_id, tbl
+),
+qbits AS (
+  SELECT query_id, tbl,
+         CAST(sum(CASE WHEN list_dot_product(qv, pv) > 0.0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS bucket
+  FROM q CROSS JOIN planes GROUP BY query_id, tbl
+),
+qprobe AS (
+  SELECT query_id, tbl, unnest([bucket, {probe}]) AS bucket FROM qbits
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qprobe JOIN cbits USING (tbl, bucket)
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored)
+WHERE rank <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 @register(
     "cosine_topk_lsh",
-    oracle=None,
-    doc="Hyperplane-LSH bucketed approximate cosine top-k with single-bit multiprobe — the ANN scale path next to the brute-force oracle query (SURVEY §2.11). Recall vs brute force asserted in tests/test_similarity.py.",
+    oracle=_lsh_topk_oracle(),
+    doc="Hyperplane-LSH bucketed approximate cosine top-k with single-bit multiprobe — the ANN scale path next to the brute-force oracle query (SURVEY §2.11). Recall vs brute force asserted in tests/test_similarity.py; buckets, candidates and scores driver-adjudicated via the LCG-plane SQL replication.",
 )
 def cosine_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk_lsh
@@ -725,8 +779,6 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/similarity.py)
 # --------------------------------------------------------------------------
 
-_N_QUERY_VECS = 8
-_TOP_K = 5
 
 
 @register(
