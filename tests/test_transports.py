@@ -1,0 +1,150 @@
+"""K1/K2 transport clients against in-process fake servers: a minimal MQTT
+3.1.1 broker (CONNECT/CONNACK, PUBLISH parse, PUBACK for QoS 1) and an
+InfluxDB /write endpoint. Verifies the wire format end to end — the
+formatters themselves are column expressions tested via the oracle gate."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pyspark.sql.functions as F
+
+from detector_network_processor_spark.streaming.sinks import l1_influx_points, l1_text_lines
+from detector_network_processor_spark.streaming.transports import (
+    InfluxWriter,
+    MqttPublisher,
+    influx_foreach_batch,
+    mqtt_foreach_batch,
+)
+
+
+class FakeBroker(threading.Thread):
+    """Accepts one client; records (topic, payload, qos) per PUBLISH."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.published: list[tuple[str, bytes, int]] = []
+        self.connected = False
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        with conn:
+            while True:
+                head = conn.recv(1)
+                if not head:
+                    return
+                ptype = head[0]
+                length, mult = 0, 1
+                while True:
+                    b = conn.recv(1)[0]
+                    length += (b & 0x7F) * mult
+                    if not b & 0x80:
+                        break
+                    mult *= 128
+                body = b""
+                while len(body) < length:
+                    body += conn.recv(length - len(body))
+                kind = ptype & 0xF0
+                if kind == 0x10:  # CONNECT
+                    self.connected = True
+                    conn.sendall(bytes([0x20, 2, 0, 0]))
+                elif kind == 0x30:  # PUBLISH
+                    qos = (ptype >> 1) & 0x3
+                    tlen = struct.unpack(">H", body[:2])[0]
+                    topic = body[2 : 2 + tlen].decode()
+                    rest = body[2 + tlen :]
+                    if qos:
+                        pid, rest = rest[:2], rest[2:]
+                        conn.sendall(bytes([0x40, 2]) + pid)
+                    self.published.append((topic, rest, qos))
+                elif kind == 0xE0:  # DISCONNECT
+                    return
+
+
+class FakeInflux(threading.Thread):
+    def __init__(self):
+        super().__init__(daemon=True)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers["Content-Length"])
+                outer.requests.append((self.path, self.rfile.read(n)))
+                self.send_response(204)
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.requests: list[tuple[str, bytes]] = []
+        self.httpd = HTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.httpd.server_address[1]
+
+    def run(self):
+        self.httpd.handle_request()
+
+
+def _flat_l1(spark):
+    rows = [
+        ("00AA", 10, 20, 2, False, 1, 0, 5, 12, 30, 400),
+        ("00AA", 10, 20, 2, False, 1, 1, 7, 18, 40, 500),
+    ]
+    cols = ["uuid", "group_start", "group_end", "n", "conflicting", "true_e",
+            "pos", "hash", "start", "end", "time_acc"]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_mqtt_publish_qos0_and_qos1(spark):
+    broker = FakeBroker()
+    broker.start()
+    pub = MqttPublisher("127.0.0.1", broker.port, client_id="test")
+    lines = [r["line"] for r in l1_text_lines(_flat_l1(spark)).collect()]
+    assert pub.publish_lines("muonpi/l1", lines, qos=0) == 2
+    pub.publish("muonpi/l1", "qos1-line", qos=1)  # blocks until PUBACK
+    pub.close()
+    broker.join(timeout=5)
+    assert broker.connected
+    topics = {t for t, _, _ in broker.published}
+    assert topics == {"muonpi/l1"}
+    payloads = [p.decode() for _, p, _ in broker.published]
+    assert payloads[:2] == lines and payloads[2] == "qos1-line"
+    assert [q for _, _, q in broker.published] == [0, 0, 1]
+    # K1 line shape: uuid pos n rel_start rel_end hash time_acc conflicting true_e
+    assert lines[0].split(" ") == ["00AA", "0", "2", "2", "20", "5", "400", "0", "1"]
+
+
+def test_influx_write_lines(spark):
+    srv = FakeInflux()
+    srv.start()
+    writer = InfluxWriter("127.0.0.1", srv.port, database="muonpi")
+    points = [r["point"] for r in l1_influx_points(_flat_l1(spark)).collect()]
+    assert writer.write_lines(points) == 2
+    srv.join(timeout=5)
+    path, body = srv.requests[0]
+    assert path.startswith("/write?") and "db=muonpi" in path and "precision=ns" in path
+    got = body.decode().split("\n")
+    assert got == points
+    assert got[0].startswith("L1Event,hash=5 uuid=") and got[0].endswith(" 12")
+
+
+def test_foreach_batch_adapters(spark):
+    broker = FakeBroker()
+    broker.start()
+    srv = FakeInflux()
+    srv.start()
+    flat = _flat_l1(spark)
+    pub = MqttPublisher("127.0.0.1", broker.port)
+    mqtt_foreach_batch(pub, "muonpi/l1")(l1_text_lines(flat), 0)
+    pub.close()
+    influx_foreach_batch(InfluxWriter("127.0.0.1", srv.port))(l1_influx_points(flat), 0)
+    broker.join(timeout=5)
+    srv.join(timeout=5)
+    assert len(broker.published) == 2
+    assert len(srv.requests) == 1
