@@ -5,9 +5,14 @@ The driver's fixtures carry no station geometry, so we derive a synthetic
 detector network deterministically from the data (same rows every run, any
 scale factor): user_id -> station on a lat/lon grid, event times remapped
 onto a span proportional to the row count so session sizes stay bounded and
-scale-invariant. No DuckDB oracle — the clustering semantics (transitive
-merge, conflicting/true_e bookkeeping) are not SQL-expressible; correctness
-is pinned by the golden-model tests in tests/test_coincidence.py instead.
+scale-invariant.
+
+Every query here carries a DuckDB oracle — including the clustering
+semantics (transitive merge, conflicting/true_e bookkeeping), which are
+replayed in SQL by a recursive CTE whose per-session state is one row
+holding the open-group buffer as a LIST of structs (_l1_groups_cte).
+Correctness is additionally pinned by the golden-model tests in
+tests/test_coincidence.py.
 """
 
 from __future__ import annotations
@@ -334,7 +339,9 @@ def _ecef_sql(lat: str, lon: str, h: str) -> tuple[str, str, str]:
     return x, y, z
 
 
-def _pair_tof_histogram_oracle() -> str:
+def _pair_tof_histogram_oracle(extra_where: str = "") -> str:
+    """A7 oracle; ``extra_where`` filters the hit stream (e.g. a parity
+    split standing in for the reference's periodic histogram saves)."""
     from ..constants import C_M_PER_NS, MAX_TIME_NS
 
     xa, ya, za = _ecef_sql("lat_a", "lon_a", "h_a")
@@ -358,7 +365,7 @@ hits AS (
          47.0 + (hash % 4) * 0.12 AS lat,
          8.0 + (hash // 4) * 0.15 AS lon,
          450.0 AS h
-  FROM raw
+  FROM raw {extra_where}
 ),
 pairs AS (
   SELECT a.hash AS hash_lo, b.hash AS hash_hi,
@@ -393,11 +400,19 @@ ORDER BY hash_lo, hash_hi, bin
     doc="A7 per-pair variable-width Δt histogram (reference src/analysis/stationcoincidence.cpp:224-240): bin width = clamp(2*tof/2000, 1, 100) ns from the WGS84 straight-line pair distance; Δt signed lower-hash minus higher-hash. Spark side = bucketed band join + broadcast station dim; oracle = full ECEF math in SQL.",
 )
 def pair_tof_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pair_hist_df(spark, sf_dir)
+
+
+def _pair_hist_df(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
+    """A7 band-join histogram over the muonized stream; ``pred`` filters the
+    hit stream (mirrors the oracle's ``extra_where``)."""
     from ..constants import MAX_TIME_NS
     from ..operators.histogram import MAX_BIN_WIDTH_NS, N_BINS, bin_width_expr
     from ..functions.geodesy import straight_distance_col
 
     hits = muonize_events(spark, sf_dir).select("hash", "start", "lat", "lon", "h")
+    if pred is not None:
+        hits = hits.filter(pred)
     max_dt = int(MAX_TIME_NS)
     bkt = F.expr(f"start div {max_dt}")
     a = hits.withColumn("bucket", F.explode(F.array(bkt - 1, bkt, bkt + 1))).select(
@@ -896,3 +911,42 @@ def _finalize_l1_oracles() -> None:
 
 
 _finalize_l1_oracles()
+
+
+@register(
+    "pair_totals",
+    oracle=f"""
+SELECT hash_lo, hash_hi, CAST(sum(n) AS BIGINT) AS total
+FROM ({_pair_tof_histogram_oracle()})
+GROUP BY hash_lo, hash_hi
+ORDER BY hash_lo, hash_hi
+""",
+    doc="A8 adjacency totals (reference src/analysis/stationcoincidence.cpp:214-222): per-pair coincidence counts summed over histogram bins — the long-format 'matrix' that stays distributed at 100 TB.",
+)
+def pair_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import pair_totals
+
+    return pair_totals(_pair_hist_df(spark, sf_dir)).orderBy("hash_lo", "hash_hi")
+
+
+@register(
+    "histogram_merge",
+    oracle=f"""
+SELECT hash_lo, hash_hi, min(distance) AS distance,
+       CAST(min(bin_width) AS INTEGER) AS bin_width, bin, CAST(sum(n) AS BIGINT) AS n
+FROM (
+  SELECT * FROM ({_pair_tof_histogram_oracle("WHERE start % 2 = 0")})
+  UNION ALL
+  SELECT * FROM ({_pair_tof_histogram_oracle("WHERE start % 2 = 1")})
+)
+GROUP BY hash_lo, hash_hi, bin
+ORDER BY hash_lo, hash_hi, bin
+""",
+    doc="A9 offline histogram merge (reference src/aggregation.cpp:125-203): two saved histogram tables (a parity split standing in for periodic saves) summed per (pair, bin) with per-pair metadata carried through — operators/histogram.py::merge_histograms, driver-adjudicated.",
+)
+def histogram_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import merge_histograms
+
+    even = _pair_hist_df(spark, sf_dir, F.col("start") % 2 == 0)
+    odd = _pair_hist_df(spark, sf_dir, F.col("start") % 2 == 1)
+    return merge_histograms(even, odd).orderBy("hash_lo", "hash_hi", "bin")
