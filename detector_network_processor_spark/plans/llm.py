@@ -775,6 +775,239 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus curation: repetition quality (Gopher-style), deterministic
+# stratified sampling, mixture token budgeting, benchmark decontamination.
+# These are the remaining ops a training-data pipeline runs between "raw
+# crawl" and "tokenizer input"; all pure column expressions + narrow
+# hash-shuffle aggs, no UDFs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "repetition_quality",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+b AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq_tokens,
+         list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+cnt AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY doc_id, g
+),
+top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
+SELECT b.doc_id, n_tokens,
+       round(1.0 - n_uniq_tokens * 1.0 / n_tokens, 6) AS dup_word_frac,
+       round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6) AS dup_bigram_frac,
+       round(top_c * 1.0 / len(bg), 6) AS top_bigram_frac
+FROM b JOIN top ON b.doc_id = top.doc_id
+ORDER BY b.doc_id
+""",
+    doc="Gopher-style repetition quality signals per document: duplicate-word fraction, duplicate-bigram fraction, top-bigram fraction (Rae et al. 2021 repetition filters). Bigrams are xxhash64-combined token hashes (8-byte shuffle keys); the mode count is a doc-local groupBy with map-side combine — no all-pairs, no UDF.",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = F.split(F.col("text"), " ")
+    base = docs.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.transform(t, lambda w: F.xxhash64(w)).alias("th"),
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("th")) - 1),
+        lambda i: F.xxhash64(F.element_at(F.col("th"), i), F.element_at(F.col("th"), i + 1)),
+    )
+    staged = base.select("doc_id", "n_tokens", "n_uniq_tokens", bg.alias("bg"))
+    top = (
+        staged.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    stats = staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq_tokens",
+        F.size("bg").alias("n_bg"),
+        F.size(F.array_distinct("bg")).alias("n_uniq_bg"),
+    )
+    return (
+        stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(1.0 - F.col("n_uniq_tokens") * 1.0 / F.col("n_tokens"), 6).alias(
+                "dup_word_frac"
+            ),
+            F.round(1.0 - F.col("n_uniq_bg") * 1.0 / F.col("n_bg"), 6).alias("dup_bigram_frac"),
+            F.round(F.col("top_c") * 1.0 / F.col("n_bg"), 6).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SAMPLE_MOD = 10_000  # sampling keys in basis points
+_SAMPLE_RATES_BP = {"en": 2500, "de": 5000, "es": 7500, "fr": 7500, "zh": 10000}
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang,
+       ((doc_id + 1) * 48271) % 2147483647 % {_SAMPLE_MOD} AS sample_key,
+       round({_SAMPLE_MOD}.0 / (CASE lang {" ".join(f"WHEN '{l}' THEN {r}" for l, r in sorted(_SAMPLE_RATES_BP.items()))} ELSE {_SAMPLE_MOD} END), 6) AS weight
+FROM documents
+WHERE ((doc_id + 1) * 48271) % 2147483647 % {_SAMPLE_MOD}
+      < CASE lang {" ".join(f"WHEN '{l}' THEN {r}" for l, r in sorted(_SAMPLE_RATES_BP.items()))} ELSE {_SAMPLE_MOD} END
+ORDER BY doc_id
+""",
+    doc="Deterministic stratified sampling by language: per-stratum keep-rates in basis points, decided by a Lehmer mix of doc_id (reproducible across engines/runs — no RNG state); emitted weight = 1/rate for loss reweighting. At 100 TB this is the shuffle-free downsampling pass of a mixture builder: a pure filter, pushed to the scan.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = ((F.col("doc_id") + 1) * 48271) % 2147483647 % _SAMPLE_MOD
+    rate = None
+    for l, r in sorted(_SAMPLE_RATES_BP.items()):
+        rate = (F.when(F.col("lang") == l, r) if rate is None else rate.when(F.col("lang") == l, r))
+    rate = rate.otherwise(_SAMPLE_MOD)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            key.alias("sample_key"),
+            F.round(F.lit(float(_SAMPLE_MOD)) / rate, 6).alias("weight"),
+        )
+        .filter(F.col("sample_key") < rate)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mixture_token_budget",
+    oracle="""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+         (CAST(substr(source, 4) AS INTEGER) % 4) + 1 AS target_w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens, CAST(sum(target_w) AS BIGINT) AS total_w FROM per_src)
+SELECT source, n_docs, tokens,
+       round(tokens * 1.0 / total_tokens, 6) AS corpus_share,
+       round(target_w * 1.0 / total_w, 6) AS target_share,
+       round(target_w * 1.0 / total_w * total_tokens / tokens, 6) AS upsample_epochs,
+       round(least(1.0, target_w * 1.0 / total_w * total_tokens / tokens), 6) AS sample_rate
+FROM per_src, tot
+ORDER BY source
+""",
+    doc="Data-mixture token budgeting: per-source token totals vs a target mixture (deterministic per-source weights), yielding the upsample-epochs / downsample-rate each source needs to hit the target share — the planning agg a mixture builder runs before writing the training shuffle. One map-side-combined agg + a broadcast 1-row totals join.",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("tokens"),
+        ((F.min(F.substring("source", 4, 10).cast("int")) % 4) + 1).alias("target_w"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens").alias("total_tokens"), F.sum("target_w").alias("total_w")
+    )
+    epochs = (
+        F.col("target_w") * 1.0 / F.col("total_w") * F.col("total_tokens") / F.col("tokens")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") * 1.0 / F.col("total_tokens"), 6).alias("corpus_share"),
+            F.round(F.col("target_w") * 1.0 / F.col("total_w"), 6).alias("target_share"),
+            F.round(epochs, 6).alias("upsample_epochs"),
+            F.round(F.least(F.lit(1.0), epochs), 6).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_DECON_W = 5  # shingle width for decontamination overlap
+_DECON_MOD = 29  # doc_id % _DECON_MOD == 0 -> held-out benchmark set
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {_DECON_W - 1}),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+  FROM toks WHERE len(t) >= {_DECON_W}
+),
+posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+bench AS (SELECT doc_id AS bench_id, g FROM posting WHERE doc_id % {_DECON_MOD} = 0),
+train AS (SELECT doc_id, g FROM posting WHERE doc_id % {_DECON_MOD} != 0),
+hits AS (
+  SELECT t.doc_id, count(DISTINCT t.g) AS n_shared_shingles,
+         count(DISTINCT b.bench_id) AS n_benchmark_docs
+  FROM train t JOIN bench b ON t.g = b.g
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, n_shared_shingles, n_benchmark_docs,
+       round(n_shared_shingles * 1.0 / len(s), 6) AS contamination_frac
+FROM hits h JOIN sh ON h.doc_id = sh.doc_id
+ORDER BY h.doc_id
+""",
+    doc=f"Benchmark decontamination: flag training documents sharing any {_DECON_W}-gram with a held-out benchmark set (doc_id % {_DECON_MOD} == 0 stands in for the eval suite). Shingle inverted-index join with the (small) benchmark side broadcast — the standard n-gram-overlap decontamination pass (GPT-3 appendix C / PaLM) that at 100 TB is a broadcast map-side join, never a corpus shuffle.",
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = F.split(F.col("text"), " ")
+    th = F.transform(t, lambda w: F.xxhash64(w))
+    staged = docs.filter(F.size(t) >= _DECON_W).select("doc_id", th.alias("th"))
+    shingle = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("th")) - (_DECON_W - 1)),
+            lambda i: F.xxhash64(*[F.element_at(F.col("th"), i + j) for j in range(_DECON_W)]),
+        )
+    )
+    sh = staged.select("doc_id", shingle.alias("s")).localCheckpoint(eager=True)
+    posting = sh.select("doc_id", F.explode("s").alias("g"))
+    bench = posting.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = posting.filter(F.col("doc_id") % _DECON_MOD != 0)
+    hits = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n_sh"))
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared_shingles",
+            "n_benchmark_docs",
+            F.round(F.col("n_shared_shingles") * 1.0 / F.col("n_sh"), 6).alias(
+                "contamination_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Similarity search: brute-force cosine top-k (baseline; LSH variant in
 # operators/similarity.py)
 # --------------------------------------------------------------------------
