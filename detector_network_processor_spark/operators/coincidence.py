@@ -286,10 +286,16 @@ def cluster_coincidences(
     # Only sessions of n >= 3 pay the Arrow/Python replay.
     pair_path = _resolve_pairs_jvm(sess.filter(F.col("_n") == 2), criterion)
 
+    # Pin the partition count: with a bare repartition(col), AQE coalesces
+    # this exchange by BYTES, but the replay kernel is CPU-bound Python —
+    # at sf0.1 AQE shrank it to 2 partitions and serialized the stage
+    # (measured: the longest tail of the whole query). The byte-size
+    # heuristic is wrong whenever downstream cost is per-row Python work.
+    n_part = events.sparkSession.sparkContext.defaultParallelism
     multis = (
         sess.filter(F.col("_n") > 2)
         .drop("_n")
-        .repartition(F.col("session_id"))
+        .repartition(n_part, F.col("session_id"))
         .sortWithinPartitions("session_id", "start", "hash")
         .mapInPandas(_resolve_sessions_stream(compare), L1_SCHEMA)
     )

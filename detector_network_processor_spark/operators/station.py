@@ -87,7 +87,16 @@ def station_lifecycle(
         out = replay_station(records, end_of_data_ts=end_of_data_ts)
         return pd.DataFrame(out, columns=["hash", "ts", "status", "reason"])
 
-    return merged.groupBy("hash").applyInPandas(kernel, TRANSITION_SCHEMA)
+    # Pin the shuffle width: the replay is CPU-bound Python, but AQE
+    # coalesces the groupBy exchange by BYTES (~tens of MB -> 1-2
+    # partitions), serializing all stations onto one worker (measured 2x+
+    # wall cost). An explicit user repartition on the same key is exempt
+    # from AQE coalescing and satisfies the groupBy's distribution, so no
+    # second exchange is added.
+    n_part = merged.sparkSession.sparkContext.defaultParallelism
+    return merged.repartition(n_part, "hash").groupBy("hash").applyInPandas(
+        kernel, TRANSITION_SCHEMA
+    )
 
 
 def detector_summaries(
