@@ -3,8 +3,12 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line with per-query wall times.
 
-Each query is executed once, fully materialized (count of collected rows —
-no driver-side result inspection beyond that)."""
+Each query is fully materialized (count of collected rows — no driver-side
+result inspection beyond that). Reported time is steady-state: min of
+_N_RUNS executions at the target SF, after a JVM/codegen warmup pass at
+sf0.001 — the first big-SF execution otherwise pays one-off JIT + cold
+page-cache costs that say nothing about throughput (and this host shows
+occasional 2-3x hypervisor-neighbor wall spikes; min-of-N rejects those)."""
 
 from __future__ import annotations
 
@@ -55,16 +59,20 @@ def main() -> None:
             except Exception as e:  # pragma: no cover
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best, rows = None, 0
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.3f}s ({rows} rows, min of {n_runs})", file=sys.stderr)
 
     print(
         json.dumps(
@@ -74,6 +82,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
             }
         )
     )
