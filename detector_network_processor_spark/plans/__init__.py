@@ -37,6 +37,6 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
-    from . import llm, muon, relational, sources, timeseries  # noqa: F401
+    from . import curation, llm, muon, relational, sources, timeseries  # noqa: F401
 
     return dict(REGISTRY)

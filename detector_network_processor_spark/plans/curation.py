@@ -1,0 +1,477 @@
+"""Training-corpus curation operators, second batch (SURVEY.md §2.11):
+PII redaction, semantic dedup (SemDeDup), sequence packing, duplicate
+n-gram span accounting, deterministic training-shard planning, and k-means
+centroid refinement.
+
+Design-for-100TB notes:
+- pii_redaction: pure regexp column expressions — pushed into whole-stage
+  codegen, zero shuffle; the shape of every PII scrubber that matters at
+  crawl scale.
+- semantic_dedup: all-pairs comparison happens ONLY within a coarse
+  cluster (broadcast centroids → hash shuffle on cluster id → per-cluster
+  self-join). Cluster size bounds the quadratic term; corpus-wide pairs
+  are never formed.
+- sequence_packing: the one genuinely sequential op here — greedy packing
+  is order-dependent, so it parallelizes across (source) groups, not
+  within; each group streams through one Arrow batch.
+- duplicate_ngram_spans: inverted index on shingle hash (8-byte keys);
+  the global-frequency side collapses to (hash, count) before the join
+  back, so the heavy join carries counts, not text.
+- training_shard_plan: a deterministic Lehmer mix replaces an RNG so the
+  shuffle order is reproducible across engines and re-runs; the real
+  write is `repartition(NSHARDS, shard_id)` + `sortWithinPartitions` —
+  one shuffle, then sorted parquet shards.
+- kmeans_refine: Lloyd iterations as repeated (broadcast-join → narrow
+  agg) passes; per-dimension means via posexplode keep the shuffle rows
+  (cluster, dim, partial-sum) — map-side combined, never vectors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+from . import register
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b and \d only.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id, lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call 555-867-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 100 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id, lang,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(text, '{_PII_IP}')) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS redacted_fp
+FROM seeded
+ORDER BY doc_id
+""",
+    doc=(
+        "PII detection + redaction: email / phone / IPv4 patterns counted and "
+        "replaced with typed placeholders. Deterministic PII is concatenated "
+        "into each document first (the fixture corpus contains none), so the "
+        "hash match certifies the actual redaction output, not just zeros. "
+        "Pure regexp_count/regexp_replace column expressions — whole-stage "
+        "codegen, no shuffle: the scan-speed scrubbing pass of a crawl "
+        "pipeline. Patterns restricted to the Java-regex ∩ RE2 dialect."
+    ),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(seeded, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(seeded, F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count(seeded, F.lit(_PII_IP)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): coarse cluster, then near-dup only in-cluster
+# --------------------------------------------------------------------------
+
+_SEM_N_CENT = 8
+_SEM_THRESHOLD = 0.35
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {_SEM_N_CENT}),
+a AS (
+  SELECT e.vec_id, e.v, cent.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_sum(list_transform(list_zip(e.v, cent.cv), x -> (x[1]-x[2])*(x[1]-x[2]))),
+           cent.centroid_id) AS rn
+  FROM e CROSS JOIN cent
+),
+m AS (SELECT vec_id, v, centroid_id FROM a WHERE rn = 1),
+pairs AS (
+  SELECT x.centroid_id AS cluster_id, x.vec_id AS keep_id, y.vec_id AS drop_id,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS sim
+  FROM m x JOIN m y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+)
+SELECT cluster_id, keep_id, drop_id, round(sim, 6) AS sim
+FROM pairs WHERE sim > {_SEM_THRESHOLD}
+ORDER BY cluster_id, keep_id, drop_id
+""",
+    doc=(
+        "Semantic dedup (SemDeDup, Abbas et al. 2023): embeddings are "
+        "coarse-clustered to their nearest seed centroid, then cosine "
+        "near-duplicates are detected ONLY within a cluster (keep = lower "
+        "vec_id). At 100 TB the quadratic pair term is bounded by cluster "
+        "size — corpus-wide all-pairs are never formed; centroids are "
+        "broadcast and the pair join is a hash shuffle on cluster id."
+    ),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _SEM_N_CENT).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = ivf_assign(emb, centroids, dim=64).select(
+        "vec_id", "centroid_id", F.col("embedding").alias("v")
+    )
+    norm = F.sqrt(dot(F.col("v"), F.col("v")))
+    x = assigned.select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("vx"),
+        norm.alias("nx"),
+    )
+    y = assigned.select(
+        F.col("centroid_id").alias("cluster_id"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("v").alias("vy"),
+        norm.alias("ny"),
+    )
+    sim = dot(F.col("vx"), F.col("vy")) / (F.col("nx") * F.col("ny"))
+    return (
+        x.join(y, "cluster_id")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") > _SEM_THRESHOLD)
+        .select("cluster_id", "keep_id", "drop_id", F.round("sim_raw", 6).alias("sim"))
+        .orderBy("cluster_id", "keep_id", "drop_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: greedy fixed-capacity context assembly
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 256
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT doc_id, source, n_tokens, rn,
+         0 AS seq_id, 0 AS tok_offset
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+         CASE WHEN p.tok_offset + p.n_tokens + d.n_tokens <= {_PACK_CAPACITY}
+              THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.tok_offset + p.n_tokens + d.n_tokens <= {_PACK_CAPACITY}
+              THEN p.tok_offset + p.n_tokens ELSE 0 END
+  FROM d JOIN pack p ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT doc_id, source, n_tokens, seq_id, tok_offset
+FROM pack ORDER BY doc_id
+""",
+    doc=(
+        f"Sequence packing for training batches: documents are greedily "
+        f"packed, in doc_id order, into fixed {_PACK_CAPACITY}-token context "
+        "windows per source (a doc that would overflow starts the next "
+        "window). Packing is inherently sequential, so it parallelizes "
+        "ACROSS sources (applyInPandas per source group — at 100 TB, per "
+        "shard), never within; the oracle replays the same greedy recursion "
+        "as a recursive CTE."
+    ),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, off = 0, 0
+        for n in pdf["n_tokens"]:
+            if offsets and off + n > _PACK_CAPACITY:
+                seq += 1
+                off = 0
+            seq_ids.append(seq)
+            offsets.append(off)
+            off += int(n)
+        pdf["seq_id"] = seq_ids
+        pdf["tok_offset"] = offsets
+        return pdf
+
+    out_schema = "doc_id long, source string, n_tokens int, seq_id int, tok_offset int"
+    return (
+        docs.groupBy("source")
+        .applyInPandas(pack, schema=out_schema)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate n-gram span accounting (train-vs-train substring dedup signal)
+# --------------------------------------------------------------------------
+
+_SPAN_W = 5
+
+
+@register(
+    "duplicate_ngram_spans",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {_SPAN_W - 1}),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+  FROM toks WHERE len(t) >= {_SPAN_W}
+),
+freq AS (SELECT g, count(*) AS c, count(DISTINCT doc_id) AS nd FROM pos GROUP BY g),
+per_doc AS (
+  SELECT p.doc_id,
+         count(*) AS n_positions,
+         CAST(sum(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
+         CAST(sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_positions
+  FROM pos p JOIN freq f ON p.g = f.g
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_positions, n_dup_positions, n_cross_doc_positions,
+       round(n_dup_positions * 1.0 / n_positions, 6) AS dup_span_frac
+FROM per_doc
+WHERE n_dup_positions > 0
+ORDER BY doc_id
+""",
+    doc=(
+        f"Duplicate-substring accounting (Lee et al. 2022 'Deduplicating "
+        f"Training Data...'): every {_SPAN_W}-token window position whose "
+        "shingle occurs more than once corpus-wide is a duplicated span; "
+        "reports per-document duplicated-position counts, cross-document "
+        "counts, and the duplicated fraction. Inverted index on xxhash64 "
+        "shingle keys; the frequency side collapses to (hash, count) before "
+        "joining back, so the join carries 16-byte rows — at 100 TB this is "
+        "the suffix-array substitute that actually distributes."
+    ),
+)
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = F.split(F.col("text"), " ")
+    th = F.transform(t, lambda w: F.xxhash64(w))
+    staged = docs.filter(F.size(t) >= _SPAN_W).select("doc_id", th.alias("th"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("th")) - (_SPAN_W - 1)),
+        lambda i: F.xxhash64(*[F.element_at(F.col("th"), i + j) for j in range(_SPAN_W)]),
+    )
+    pos = (
+        staged.select("doc_id", shingles.alias("s"))
+        .localCheckpoint(eager=True)
+        .select("doc_id", F.explode("s").alias("g"))
+    )
+    freq = pos.groupBy("g").agg(
+        F.count(F.lit(1)).alias("c"), F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        pos.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_positions"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_cross_doc_positions"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("n_dup_positions") > 0)
+        .select(
+            "doc_id",
+            "n_positions",
+            "n_dup_positions",
+            "n_cross_doc_positions",
+            F.round(F.col("n_dup_positions") * 1.0 / F.col("n_positions"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-shard planning (the global shuffle)
+# --------------------------------------------------------------------------
+
+_N_SHARDS = 16
+_SHUFFLE_MOD = 2147483647
+
+
+@register(
+    "training_shard_plan",
+    oracle=f"""
+WITH mixed AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+         ((doc_id + 1) * 16807) % {_SHUFFLE_MOD} AS mix
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       mix % {_N_SHARDS} AS shard_id,
+       CAST(row_number() OVER (PARTITION BY mix % {_N_SHARDS}
+                               ORDER BY mix, doc_id) AS BIGINT) AS pos
+FROM mixed
+ORDER BY shard_id, pos
+""",
+    doc=(
+        f"Training-shard planning: the deterministic global shuffle that "
+        f"turns a curated corpus into {_N_SHARDS} training shards — shard = "
+        "Lehmer mix of doc_id mod N, within-shard order = mix value. A "
+        "reproducible integer mix replaces an RNG so the epoch order is "
+        "identical across engines and re-runs. At 100 TB this plan IS the "
+        "write: repartition(N, shard_id) + sortWithinPartitions(mix) — one "
+        "shuffle, then streaming sorted parquet writers (io.py::"
+        "write_partitioned); the window here exposes the same order for "
+        "adjudication."
+    ),
+)
+def training_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mix = ((F.col("doc_id") + 1) * 16807) % _SHUFFLE_MOD
+    mixed = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        mix.alias("mix"),
+        (mix % _N_SHARDS).alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("mix", "doc_id")
+    return (
+        mixed.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "n_tokens", "shard_id", "pos")
+        .orderBy("shard_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# K-means refinement (Lloyd iterations) over the embedding corpus
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_assign_sql(cent_expr: str) -> str:
+    return f"""
+  SELECT e.vec_id, e.v, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_sum(list_transform(list_zip(e.v, c.cv), x -> (x[1]-x[2])*(x[1]-x[2]))),
+           c.centroid_id) AS rn
+  FROM e CROSS JOIN ({cent_expr}) c
+"""
+
+
+@register(
+    "kmeans_refine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {_KM_K}),
+a1 AS ({_km_assign_sql('SELECT * FROM c0')}),
+m1 AS (SELECT vec_id, v, centroid_id FROM a1 WHERE rn = 1),
+c1 AS (
+  SELECT centroid_id, list(mu ORDER BY i) AS cv
+  FROM (
+    SELECT centroid_id, i, round(avg(v[i]), 6) AS mu
+    FROM m1, generate_series(1, 64) AS gs(i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+),
+a2 AS ({_km_assign_sql('SELECT * FROM c1')}),
+m2 AS (SELECT vec_id, v, centroid_id FROM a2 WHERE rn = 1)
+SELECT m2.centroid_id AS cluster_id,
+       count(*) AS n_members,
+       round(sqrt(list_dot_product(any_value(c1.cv), any_value(c1.cv))), 4) AS centroid_norm
+FROM m2 JOIN c1 ON m2.centroid_id = c1.centroid_id
+GROUP BY m2.centroid_id
+ORDER BY cluster_id
+""",
+    doc=(
+        f"K-means refinement: {_KM_ITERS} Lloyd iterations over the "
+        f"embedding corpus from {_KM_K} deterministic seed centroids — the "
+        "clustering pass SemDeDup/IVF layouts train on. Each iteration is a "
+        "broadcast-centroid assignment plus a per-(cluster, dimension) mean "
+        "via posexplode, so the shuffle carries map-side-combined "
+        "(cluster, dim, sum, count) partials, never whole vectors. Means "
+        "are rounded to 6 decimals on both sides to pin the FP summation "
+        "order; the returned membership counts are exact integers."
+    ),
+)
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _nearest_centroids, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    for _ in range(_KM_ITERS - 1):
+        assigned = _nearest_centroids(emb, centroids, 1, "vec_id", "embedding")
+        centroids = (
+            assigned.select("centroid_id", F.posexplode("e").alias("i", "x"))
+            .groupBy("centroid_id", "i")
+            .agg(F.round(F.avg("x"), 6).alias("mu"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mu"))), lambda s: s["mu"]
+                ).alias("centroid")
+            )
+        )
+    final = _nearest_centroids(emb, centroids, 1, "vec_id", "embedding")
+    norm = F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+    return (
+        final.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(centroids.select("centroid_id", norm.alias("cn")), "centroid_id")
+        .select(
+            F.col("centroid_id").alias("cluster_id"),
+            "n_members",
+            F.round("cn", 4).alias("centroid_norm"),
+        )
+        .orderBy("cluster_id")
+    )
