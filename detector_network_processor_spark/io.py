@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
 
 TABLES = (
     "region",
@@ -28,11 +29,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    # default; read it as int64 nanoseconds — the engine's native time
-    # representation anyway (SURVEY.md §1.1: exact i64 ns arithmetic).
+    # The events fixture has carried two encodings of `ts` across driver
+    # regenerations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    # nanosAsLong maps it to int64 ns) and plain timestamp[us] (arrives as
+    # TIMESTAMP_NTZ). Keep the legacy flag on so the NANOS encoding still
+    # loads; `ts_to_us` below normalizes either encoding at the boundary.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_to_us(df: DataFrame, col: str = "ts") -> Column:
+    """Exact int64 epoch-microseconds from either fixture encoding of a
+    timestamp column — the engine's boundary normalization (the reference
+    ingests typed ns structs, src/messages/event.h; a Spark engine must
+    adapt to whatever the scan delivers).
+
+    * int64 nanoseconds (TIMESTAMP(NANOS) read under nanosAsLong) →
+      integer `div 1000`. Exact: double division would misround near
+      microsecond boundaries at 1e18 ns magnitudes.
+    * timestamp / timestamp_ntz (timestamp[us] parquet) → `unix_micros`
+      after a cast to session-local timestamp. The session is pinned to
+      UTC (session.py), so this reproduces DuckDB `epoch_us(ts)` exactly.
+
+    Purely a column expression — stays inside whole-stage codegen, no UDF.
+    """
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":
+        return F.expr(f"{col} div 1000")
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    raise TypeError(f"unsupported dtype for {col!r}: {dtype}")
 
 
 _ROWCOUNT_CACHE: dict[str, int] = {}

@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import load_table, table_row_count
+from ..io import load_table, table_row_count, ts_to_us
 from ..operators.coincidence import cluster_coincidences, l1_flatten
 from . import register
 from .lifecycle_oracle import station_lifecycle_oracle_sql as _lifecycle_oracle_sql
@@ -89,7 +89,7 @@ def _station_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     (real 30-day cadence — used by the lifecycle/summary operators whose
     timers live at the 90 s .. 48 h scale)."""
     ev = load_table(spark, sf_dir, "events")
-    start = F.expr("ts div 1000")
+    start = ts_to_us(ev)
     return ev.select(
         F.col("user_id").alias("hash"),
         start.alias("start"),

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..io import load_table
+from ..io import load_table, ts_to_us
 from . import register
 
 # --------------------------------------------------------------------------
@@ -276,17 +276,16 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # events-stream analytics: windows, rates, counters, sessions (SURVEY §2.6-2.7)
-# The `events` fixture plays the role of the reference's event stream; ts is
-# int64 nanoseconds (read via nanosAsLong), matched against DuckDB epoch_us.
+# The `events` fixture plays the role of the reference's event stream; ts may
+# arrive as int64 ns or timestamp[us] depending on fixture vintage — io.ts_to_us
+# normalizes either to exact epoch-µs, matched against DuckDB epoch_us.
 # --------------------------------------------------------------------------
 
 
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts converted to exact int64 microseconds (ts_us)."""
     ev = load_table(spark, sf_dir, "events")
-    # Exact integer division — double division + cast would misround near
-    # microsecond boundaries at 1e18 ns magnitudes.
-    return ev.withColumn("ts_us", F.expr("ts div 1000")).drop("ts")
+    return ev.withColumn("ts_us", ts_to_us(ev)).drop("ts")
 
 
 _EVENTS_US_SQL = "SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events"

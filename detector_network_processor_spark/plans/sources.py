@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..io import load_table
+from ..io import load_table, ts_to_us
 from . import register
 
 # Deterministic malformed-row injection (each exercises one Error path):
@@ -59,9 +59,8 @@ ORDER BY username, start, station_id
 def parse_event_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.lines import parse_events
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us")
-    )
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select("user_id", "event_id", ts_to_us(ev_raw).alias("us"))
     eid = F.col("event_id")
 
     def secs(us_col):  # epoch-seconds string with 9 decimals (>= 17 chars)

@@ -19,11 +19,12 @@ import pyspark.sql.functions as F
 from conftest import SF_DIR_SMALL
 from detector_network_processor_spark.io import (
     load_table,
+    ts_to_us,
     write_bucketed,
     write_partitioned,
 )
 
-_DAY_NS = 86_400_000_000_000
+_DAY_US = 86_400_000_000
 
 
 def _executed_plan(df) -> str:
@@ -33,8 +34,11 @@ def _executed_plan(df) -> str:
 
 def test_partitioned_write_prunes_directories(spark, tmp_path):
     path = str(tmp_path / "events_by_day")
-    ev = load_table(spark, SF_DIR_SMALL, "events").withColumn(
-        "day", F.expr(f"ts div {_DAY_NS}")
+    ev_raw = load_table(spark, SF_DIR_SMALL, "events")
+    ev = (
+        ev_raw.withColumn("ts_us", ts_to_us(ev_raw))
+        .withColumn("day", F.expr(f"ts_us div {_DAY_US}"))
+        .drop("ts_us")
     )
     write_partitioned(ev, path, ["day"])
 
