@@ -39,6 +39,19 @@ HEADLINE = [
 ]
 
 
+def _release_cached(spark) -> None:
+    """Unpersist everything cached by earlier queries. Operators persist
+    intermediates (sessionize output, checkpointed shingle tables) and each
+    plan-build call creates a NEW entry; without this, a min-of-N loop over
+    12 queries accumulates dozens of cached RDDs, and late queries run under
+    executor memory pressure + GC (measured: cosine_topk 0.9 s isolated vs
+    2.9 s late in a 3-run session). Per-query isolation is what the
+    round-over-round tracking table compares, so release between queries."""
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -64,6 +77,7 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = specs[name].fn
+        _release_cached(spark)  # drop the previous query's persisted state
         best, rows = None, 0
         for _ in range(n_runs):
             t0 = time.perf_counter()

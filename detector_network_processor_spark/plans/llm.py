@@ -651,24 +651,14 @@ WHERE list_dot_product(a.v, b.v)
       / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > {_EMB_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """,
-    doc="Embedding-cosine near-dup (SURVEY §2.11): all-pairs above a cosine threshold. Oracle = exact brute force; at 100 TB the LSH-bucketed variant (cosine_topk_lsh machinery) generates the candidate pairs instead of the cross join.",
+    doc="Embedding-cosine near-dup (SURVEY §2.11): all-pairs above a cosine threshold, via EXACT metric pivot pruning (operators/similarity.py::cosine_threshold_join) — pivot-pair grid pruned by the angular triangle inequality, candidates as a shuffled equi-join on pivot id, bit-identical rescore. No full-table broadcast, no nested-loop join (asserted in test_plan_shapes.py); completeness is unconditional, so the exact brute-force oracle still hash-matches.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dot
+    from ..operators.similarity import cosine_threshold_join
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    norm = F.sqrt(dot(F.col("v"), F.col("v")))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), norm.alias("na"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), norm.alias("nb"))
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim_raw", sim)
-        .filter(F.col("sim_raw") > _EMB_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
-        .orderBy("vec_a", "vec_b")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_threshold_join(emb, _EMB_DUP_THRESHOLD, n_pivots=16).orderBy(
+        "vec_a", "vec_b"
     )
 
 

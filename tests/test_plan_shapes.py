@@ -48,3 +48,15 @@ def test_q1_whole_stage_codegen(spark):
     plan = plan_of(spark, "q1_pricing_summary", execute=True)
     # under AQE, whole-stage-codegen spans are the "*(n)" markers
     assert "*(" in plan
+
+
+def test_embedding_near_dup_no_all_pairs_join(spark):
+    """The cosine-threshold self-join must run as pivot-pruned equi-joins
+    (cells keyed by pivot-pair), never as a full-table broadcast
+    nested-loop — the r2-flagged O(n²)-broadcast plan cannot ship at
+    100 TB (operators/similarity.py::cosine_threshold_join)."""
+    plan = plan_of(spark, "embedding_near_dup", execute=True)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the cell scorer is an Arrow-batched grouped-map stage
+    assert "FlatMapGroupsInPandas" in plan
