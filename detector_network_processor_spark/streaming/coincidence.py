@@ -4,8 +4,10 @@ Spark-first shape: ``withWatermark`` + built-in ``session_window`` does the
 candidate generation (the same gap decomposition as the batch operator —
 provably exact because the criterion's hard time cutoff bounds every edge);
 ``collect_list`` gathers each session's hits; the exact per-session replay
-kernel (shared with batch and the golden model) runs as a projection UDF
-over the collected array; groups explode back to L1 rows.
+core (``_session_rows_to_l1``, shared with the batch kernel and the golden
+model) runs as an Arrow-batched ``mapInPandas`` stage over the collected
+arrays — one Python invocation per Arrow batch, no row-at-a-time
+``BatchEvalPython`` in the streaming plan.
 
 Time-unit note: Spark timestamps are microsecond-precision, but the
 criterion works in exact int64 nanoseconds. The stream relabels ns as "us"
@@ -25,60 +27,46 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..constants import MAX_TIME_NS, SIMPLE_WINDOW_NS
-from ..operators.coincidence import CONSTITUENT_SCHEMA, L1_SCHEMA
-from ..operators.golden import Hit, cluster_hits, compare_physics, compare_simple, groups_to_rows
-from pyspark.sql.types import ArrayType, StructType, StructField, LongType, IntegerType, BooleanType
+from ..operators.coincidence import L1_SCHEMA, _session_rows_to_l1
+from ..operators.golden import Hit, compare_physics, compare_simple
 
 import math
 
-GROUP_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("start", LongType()),
-            StructField("end", LongType()),
-            StructField("n", IntegerType()),
-            StructField("conflicting", BooleanType()),
-            StructField("true_e", IntegerType()),
-            StructField("events", ArrayType(CONSTITUENT_SCHEMA)),
-        ]
-    )
-)
+_L1_COLS = [f.name for f in L1_SCHEMA.fields]
 
 
-def _make_resolver(criterion: str):
+def _resolve_collected(criterion: str):
+    """mapInPandas kernel over (hits array<struct>) session rows: the same
+    exact replay core the batch operator and the golden model share
+    (``_session_rows_to_l1``), invoked once per Arrow batch instead of once
+    per row — replaces the former row-at-a-time ``F.udf`` resolver."""
     compare = compare_physics if criterion == "physics" else compare_simple
 
-    def resolve(hits_rows):
-        hits = [
-            Hit(
-                hash=int(r["hash"]),
-                start=int(r["start"]),
-                end=int(r["end"]),
-                time_acc=int(r["time_acc"]),
-                ublox_counter=int(r["ublox_counter"]),
-                fix=int(r["fix"]),
-                lat=float(r["lat"]),
-                lon=float(r["lon"]),
-                h=float(r["h"]),
-            )
-            for r in hits_rows
-        ]
-        return [
-            (
-                g["start"],
-                g["end"],
-                g["n"],
-                g["conflicting"],
-                g["true_e"],
-                [
-                    (e["hash"], e["start"], e["end"], e["time_acc"], e["ublox_counter"], e["fix"])
-                    for e in g["events"]
-                ],
-            )
-            for g in groups_to_rows(cluster_hits(hits, compare))
-        ]
+    def kernel(iterator):
+        import pandas as pd
 
-    return F.udf(resolve, GROUP_SCHEMA)
+        for pdf in iterator:
+            out: list[tuple] = []
+            for hits_rows in pdf["hits"]:
+                hits = [
+                    Hit(
+                        hash=int(r["hash"]),
+                        start=int(r["start"]),
+                        end=int(r["end"]),
+                        time_acc=int(r["time_acc"]),
+                        ublox_counter=int(r["ublox_counter"]),
+                        fix=int(r["fix"]),
+                        lat=float(r["lat"]),
+                        lon=float(r["lon"]),
+                        h=float(r["h"]),
+                    )
+                    for r in hits_rows
+                ]
+                out.extend(_session_rows_to_l1(None, hits, compare))
+            if out:
+                yield pd.DataFrame(out, columns=_L1_COLS)
+
+    return kernel
 
 
 def stream_cluster_coincidences(
@@ -103,7 +91,6 @@ def stream_cluster_coincidences(
     ts = F.timestamp_micros(F.col("start"))  # ns relabeled as us — exact ints
     # 1 real ns == 1 relabeled us: express the ns delay as that many us.
     with_ts = events.withColumn("_ts", ts).withWatermark("_ts", f"{int(watermark_ns)} microseconds")
-    resolver = _make_resolver(criterion)
     # session_window needs a companion grouping key in streaming; the
     # coincidence buffer is one logical stream (cross-station sessions), so
     # the key is a constant and session-state updates serialize onto one
@@ -112,7 +99,7 @@ def stream_cluster_coincidences(
     # path is streaming/incremental.py: the distributed batch operator per
     # micro-batch with a carried open tail — same exact semantics, state
     # and compute sharded by the range shuffle.
-    sessions = (
+    return (
         with_ts.withColumn("_k", F.lit(0))
         .groupBy("_k", F.session_window("_ts", f"{gap_ns + 1} microseconds"))
         .agg(
@@ -120,14 +107,6 @@ def stream_cluster_coincidences(
                 F.struct("hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h")
             ).alias("hits")
         )
-        .select(F.explode(resolver("hits")).alias("g"))
-    )
-    return sessions.select(
-        F.lit(None).cast("long").alias("session_id"),
-        F.col("g.start").alias("start"),
-        F.col("g.end").alias("end"),
-        F.col("g.n").alias("n"),
-        F.col("g.conflicting").alias("conflicting"),
-        F.col("g.true_e").alias("true_e"),
-        F.col("g.events").alias("events"),
+        .select("hits")
+        .mapInPandas(_resolve_collected(criterion), L1_SCHEMA)
     )

@@ -1,35 +1,45 @@
-"""Network transports for the K1/K2 sinks (SURVEY.md §2.9).
+"""Network transports for the MQTT source (S1) and the K1/K2 sinks
+(SURVEY.md §2.1, §2.9).
 
-The reference publishes L1 lines over MQTT (include/source/mqtt.h:386-433,
+The reference subscribes to detector topics and publishes L1 lines over
+MQTT (src/application.cpp:186-210, include/source/mqtt.h:386-433,
 include/sink/mqtt.h:146-184) and writes points to InfluxDB over its HTTP
 line-protocol endpoint (include/sink/database.h:56-190). The engine keeps
-the FORMATTERS in the data plane (streaming/sinks.py — pure column
-expressions, oracle-testable) and pairs them here with minimal stdlib
-transport clients, so a `foreachBatch` drain can actually deliver:
+the FORMATTERS/PARSERS in the data plane (streaming/sinks.py,
+sources/lines.py — pure column expressions, oracle-testable) and pairs
+them here with minimal stdlib transport clients:
 
 - ``MqttPublisher`` — MQTT 3.1.1 over a TCP socket: CONNECT/CONNACK,
   PUBLISH at QoS 0 or 1 (PUBACK-acknowledged), DISCONNECT. No external
   client library (none is available in this environment); the packet layer
   is the public OASIS wire format.
+- ``MqttSubscriber`` — the ingest counterpart: SUBSCRIBE/SUBACK, then a
+  generator over inbound PUBLISH packets (QoS-1 messages PUBACK'd).
+  ``spool_messages`` lands drained (topic, payload) batches as parquet
+  files for Spark's streaming file source — the standard bridge when no
+  native connector exists: the spool directory gives replayable,
+  checkpoint-compatible offsets (file names), which a raw socket cannot.
 - ``InfluxWriter`` — line-protocol batches POSTed to ``/write?db=...``
   via ``http.client``.
 
-Both are driver-side objects used from ``foreachBatch`` callbacks (the
-reference's sink threads are likewise outside its analysis data plane).
-Per-executor fan-out at scale would wrap the same classes in
-``mapPartitions``; the driver-side drain matches the reference's single
-publisher socket.
+All are driver-side objects (subscriber thread / ``foreachBatch``
+callbacks); the reference's source and sink threads are likewise outside
+its analysis data plane. Per-executor fan-out at scale would wrap the
+same classes in ``mapPartitions``; one spool-writer per subscribed topic
+partition mirrors a multi-broker deployment.
 """
 
 from __future__ import annotations
 
 import http.client
+import os
 import socket
 import struct
 import urllib.parse
 
 # MQTT 3.1.1 control packet types (public OASIS spec, section 2.2.1)
 _CONNECT, _CONNACK, _PUBLISH, _PUBACK, _DISCONNECT = 0x10, 0x20, 0x30, 0x40, 0xE0
+_SUBSCRIBE, _SUBACK = 0x80, 0x90
 
 
 def _encode_remaining_length(n: int) -> bytes:
@@ -117,6 +127,120 @@ class MqttPublisher:
         header = self._read_exact(1)[0]
         length = _decode_remaining_length(lambda: self._read_exact(1)[0])
         return header & 0xF0, self._read_exact(length)
+
+
+class MqttSubscriber:
+    """Minimal MQTT 3.1.1 subscribing client (QoS 0/1), blocking socket.
+
+    The reference's event source (include/source/mqtt.h:386-433): subscribe
+    to a topic filter, stream (topic, payload) pairs to the parser layer.
+    """
+
+    def __init__(self, host: str, port: int = 1883, topic_filter: str = "muonpi/data/#",
+                 client_id: str = "dnp-spark-sub", qos: int = 0,
+                 keepalive_s: int = 60, timeout_s: float = 10.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout_s)
+        var_header = _utf8("MQTT") + bytes([4]) + bytes([0x02]) + struct.pack(">H", keepalive_s)
+        self._send(_CONNECT, var_header + _utf8(client_id))
+        ptype, body = self._read_packet()
+        if ptype != _CONNACK or body[1] != 0:
+            raise ConnectionError(f"CONNACK refused: {body!r}")
+        # SUBSCRIBE fixed header must carry flags 0b0010 (spec 3.8.1)
+        self._send(_SUBSCRIBE | 0x02, struct.pack(">H", 1) + _utf8(topic_filter) + bytes([qos]))
+        ptype, body = self._read_packet()
+        if ptype != _SUBACK or body[2] > 2:
+            raise ConnectionError(f"SUBACK refused: {body!r}")
+
+    def messages(self, max_messages: int | None = None):
+        """Yield (topic, payload-bytes) per inbound PUBLISH; QoS-1 messages
+        are PUBACK'd. Stops after ``max_messages``, on DISCONNECT, or on
+        socket close/timeout."""
+        n = 0
+        while max_messages is None or n < max_messages:
+            try:
+                ptype_raw, body = self._read_packet_raw()
+            except (ConnectionError, socket.timeout, TimeoutError):
+                return
+            kind = ptype_raw & 0xF0
+            if kind == _DISCONNECT:
+                return
+            if kind != _PUBLISH:
+                continue  # ignore pings etc. from permissive brokers
+            qos = (ptype_raw >> 1) & 0x3
+            tlen = struct.unpack(">H", body[:2])[0]
+            topic = body[2 : 2 + tlen].decode("utf-8")
+            rest = body[2 + tlen :]
+            if qos:
+                pid, rest = rest[:2], rest[2:]
+                try:
+                    self._send(_PUBACK, pid)
+                except OSError:
+                    # broker went away mid-ack; the message is already in
+                    # hand (at-least-once) — deliver it, then stop.
+                    yield topic, rest
+                    return
+            yield topic, rest
+            n += 1
+
+    def close(self) -> None:
+        try:
+            self._send(_DISCONNECT, b"")
+        finally:
+            self._sock.close()
+
+    _send = MqttPublisher._send
+    _read_exact = MqttPublisher._read_exact
+    _read_packet = MqttPublisher._read_packet
+
+    def _read_packet_raw(self) -> tuple[int, bytes]:
+        """Like _read_packet but keeps the flag bits (PUBLISH carries QoS
+        in the low nibble)."""
+        header = self._read_exact(1)[0]
+        length = _decode_remaining_length(lambda: self._read_exact(1)[0])
+        return header, self._read_exact(length)
+
+
+def spool_messages(subscriber: MqttSubscriber, spool_dir: str,
+                   batch_size: int = 1000, max_messages: int | None = None) -> int:
+    """Drain subscriber messages into sequentially-named parquet files of
+    (topic, payload) — the schema ``sources/lines.py::parse_events``
+    ingests. A Spark streaming file source over ``spool_dir`` turns this
+    into the live S1→S7 path:
+
+        spark.readStream.schema("topic string, payload string")
+             .parquet(spool_dir)
+
+    File-granularity offsets make the bridge replayable and restart-safe
+    (the file source checkpoint remembers consumed files); batches are
+    written atomically (tmp name + rename) so the source never reads a
+    half-written file. Returns the message count drained."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(spool_dir, exist_ok=True)
+    buf: list[tuple[str, str]] = []
+    seq = n = 0
+
+    def flush():
+        nonlocal seq
+        if not buf:
+            return
+        table = pa.table(
+            {"topic": [t for t, _ in buf], "payload": [p for _, p in buf]}
+        )
+        tmp = os.path.join(spool_dir, f"_tmp_batch_{seq:08d}.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(spool_dir, f"batch_{seq:08d}.parquet"))
+        seq += 1
+        buf.clear()
+
+    for topic, payload in subscriber.messages(max_messages):
+        buf.append((topic, payload.decode("utf-8", errors="replace")))
+        n += 1
+        if len(buf) >= batch_size:
+            flush()
+    flush()
+    return n
 
 
 class InfluxWriter:

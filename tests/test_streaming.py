@@ -85,6 +85,12 @@ def test_stream_matches_batch_coincidence(spark):
     assert len(cs) == len(cb), f"group counts differ: batch={len(cb)} stream={len(cs)}"
     assert cs == cb
 
+    # The resolver must run as the Arrow-batched mapInPandas stage shared
+    # with the batch kernel — never a row-at-a-time Python UDF projection.
+    plan = l1._jdf.queryExecution().analyzed().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+
 
 def test_incremental_matches_batch_coincidence(spark):
     """The foreachBatch incremental clusterer (the streaming SCALE path —

@@ -68,6 +68,84 @@ class FakeBroker(threading.Thread):
                     return
 
 
+class FakeReplayBroker(threading.Thread):
+    """Accepts one subscriber: CONNACK, SUBACK, then replays a canned
+    (topic, payload, qos) stream as PUBLISH packets and drains acks."""
+
+    def __init__(self, messages):
+        super().__init__(daemon=True)
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.messages = messages
+        self.subscribed_filter = None
+
+    @staticmethod
+    def _read_pkt(conn):
+        head = conn.recv(1)
+        if not head:
+            return None, b""
+        length, mult = 0, 1
+        while True:
+            b = conn.recv(1)[0]
+            length += (b & 0x7F) * mult
+            if not b & 0x80:
+                break
+            mult *= 128
+        body = b""
+        while len(body) < length:
+            body += conn.recv(length - len(body))
+        return head[0], body
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        with conn:
+            while True:
+                ptype, body = self._read_pkt(conn)
+                if ptype is None:
+                    return
+                kind = ptype & 0xF0
+                if kind == 0x10:  # CONNECT
+                    conn.sendall(bytes([0x20, 2, 0, 0]))
+                elif kind == 0x80:  # SUBSCRIBE
+                    pid = body[:2]
+                    flen = struct.unpack(">H", body[2:4])[0]
+                    self.subscribed_filter = body[4 : 4 + flen].decode()
+                    qos = body[4 + flen]
+                    conn.sendall(bytes([0x90, 3]) + pid + bytes([qos]))
+                    for i, (topic, payload, mqos) in enumerate(self.messages):
+                        t = topic.encode()
+                        vh = struct.pack(">H", len(t)) + t
+                        if mqos:
+                            vh += struct.pack(">H", i + 1)
+                        pkt_body = vh + payload
+                        conn.sendall(
+                            bytes([0x30 | (mqos << 1)])
+                            + _encode_len(len(pkt_body))
+                            + pkt_body
+                        )
+                    # drain PUBACKs / DISCONNECT until the client goes away
+                    conn.settimeout(5)
+                    try:
+                        while True:
+                            p, _ = self._read_pkt(conn)
+                            if p is None or p & 0xF0 == 0xE0:
+                                return
+                    except (socket.timeout, OSError):
+                        return
+
+
+def _encode_len(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        byte = n % 128
+        n //= 128
+        out.append(byte | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
 class FakeInflux(threading.Thread):
     def __init__(self):
         super().__init__(daemon=True)
@@ -148,3 +226,59 @@ def test_foreach_batch_adapters(spark):
     srv.join(timeout=5)
     assert len(broker.published) == 2
     assert len(srv.requests) == 1
+
+
+def test_mqtt_subscribe_ingest_parse_cluster(spark, tmp_path):
+    """S1 live path round trip (reference src/application.cpp:186-210): a
+    replayed topic stream -> MqttSubscriber -> parquet spool -> parser ->
+    coincidence clusterer. 50 two-station pairs 50 us apart must come out
+    as 50 n=2 groups under the simple (100 us) criterion."""
+    from detector_network_processor_spark.operators.coincidence import cluster_coincidences
+    from detector_network_processor_spark.sources.lines import parse_events
+    from detector_network_processor_spark.streaming.transports import (
+        MqttSubscriber,
+        spool_messages,
+    )
+
+    base_ns = 1_700_000_000_000_000_000
+    msgs = []
+    for i in range(50):
+        t0 = base_ns + i * 10_000_000_000  # 10 s apart -> separate sessions
+        for j, (user, st) in enumerate([("u1", "s0"), ("u2", "s0")]):
+            s = t0 + j * 50_000  # 50 us apart -> inside the simple window
+            e = s + 200_000
+            payload = f"{s // 10**9}.{s % 10**9:09d} {e // 10**9}.{e % 10**9:09d} {100 + i} {i % 65536} 1 0 3"
+            msgs.append((f"muonpi/data/{user}/{st}", payload.encode(), i % 2))
+
+    broker = FakeReplayBroker(msgs)
+    broker.start()
+    sub = MqttSubscriber(
+        "127.0.0.1", broker.port, topic_filter="muonpi/data/#", qos=1, timeout_s=5.0
+    )
+    spool = str(tmp_path / "spool")
+    n = spool_messages(sub, spool, batch_size=16, max_messages=len(msgs))
+    sub.close()
+    broker.join(timeout=10)
+    assert n == 100
+    assert broker.subscribed_filter == "muonpi/data/#"
+
+    lines = spark.read.parquet(spool)
+    parsed = parse_events(lines)
+    rows = parsed.orderBy("start").collect()
+    assert len(rows) == 100
+    assert rows[0].start == base_ns and rows[0].username == "u1"
+    assert rows[1].start == base_ns + 50_000 and rows[1].username == "u2"
+
+    dim = spark.createDataFrame(
+        [("u1", "s0", 47.0, 8.0, 450.0), ("u2", "s0", 47.001, 8.0, 450.0)],
+        "username string, station_id string, lat double, lon double, h double",
+    )
+    import pyspark.sql.functions as F
+
+    enriched = parsed.join(
+        F.broadcast(dim), ["username", "station_id"]
+    ).select("hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h")
+    l1 = cluster_coincidences(enriched, stations=None, criterion="simple")
+    groups = l1.filter(F.col("n") >= 2).collect()
+    assert len(groups) == 50
+    assert all(g.n == 2 and not g.conflicting for g in groups)
