@@ -149,6 +149,7 @@ def adaptive_incremental_cluster_query(
             batch_df,
             state_path,
             out_path,
+            batch_id=batch_id,
             criterion=criterion,
             gap_ns=gap_ns,
             watermark_ns=horizon_ns,

@@ -32,11 +32,23 @@ does not get dropped — it opens a fresh group (exactly
 src/analysis/coincidencefilter.cpp:103-109 / SURVEY §2.7 W4), it just can
 no longer join an already-emitted group.
 
-Exactly-once caveat: state/output writes are plain parquet appends; a
-crash between the output append and the state overwrite can re-emit the
-last batch's groups on replay. Production would put both writes in one
-transactional table format; this container has none, so the caveat is
-documented instead of hidden.
+Replay safety (exactly-once output without a transactional table format):
+both writes are keyed by the foreachBatch ``batch_id``, which Spark
+redelivers UNCHANGED when a crashed batch re-runs —
+
+- output goes to ``out_path/batch_id=N/`` with mode=overwrite (the
+  standard idempotent-foreachBatch pattern; readers see one partition
+  directory per batch and ``spark.read.parquet(out_path)`` surfaces
+  ``batch_id`` as a discovered partition column);
+- state is VERSIONED: batch N reads the newest ``state_path/vM`` with
+  M < N and overwrites ``state_path/vN``; versions older than N-1 are
+  pruned only after vN lands. A replay of batch N therefore re-reads
+  exactly the pre-N state and overwrites (not duplicates) both its
+  output directory and its state version.
+
+A production deployment on a transactional format gets the same guarantee
+in one commit; this layout reproduces it with directory-granularity
+atomicity (parquet dir overwrite + post-write prune).
 """
 
 from __future__ import annotations
@@ -59,27 +71,48 @@ def _last_start(col: str = "events") -> F.Column:
     return F.array_max(F.transform(col, lambda e: e["start"]))
 
 
+def _state_versions(state_path: str) -> list[int]:
+    if not os.path.isdir(state_path):
+        return []
+    out = []
+    for name in os.listdir(state_path):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _version_dir(state_path: str, version: int) -> str:
+    return os.path.join(state_path, f"v{version:012d}")
+
+
 def process_increment(
     spark: SparkSession,
     batch: DataFrame,
     state_path: str,
     out_path: str,
+    batch_id: int,
     criterion: str = "physics",
     gap_ns: int | None = None,
     watermark_ns: int = 10_000_000_000,
     final: bool = False,
 ) -> None:
-    """Cluster one increment: (batch rows ∪ carried open rows) → emit
-    closed groups to ``out_path``, overwrite ``state_path`` with the open
-    tail. ``final=True`` flushes everything (end of stream)."""
+    """Cluster one increment: (batch rows ∪ newest state version older
+    than ``batch_id``) → overwrite ``out_path/batch_id=N`` with the closed
+    groups and ``state_path/vN`` with the open tail. Idempotent under
+    foreachBatch replay (same ``batch_id`` → same input state → same two
+    overwrites). ``final=True`` flushes everything (end of stream)."""
     if gap_ns is None:
         gap_ns = int(math.ceil(MAX_TIME_NS)) if criterion == "physics" else SIMPLE_WINDOW_NS
 
+    prior = [v for v in _state_versions(state_path) if v < batch_id]
     hits = batch.select(*HIT_COLS)
-    if os.path.exists(state_path):
-        hits = hits.unionByName(spark.read.parquet(state_path).select(*HIT_COLS))
+    if prior:
+        hits = hits.unionByName(
+            spark.read.parquet(_version_dir(state_path, prior[-1])).select(*HIT_COLS)
+        )
     hits = hits.persist()
     if hits.isEmpty():
+        # nothing changed — no writes, so a replay of this id is a no-op too
         hits.unpersist()
         return
 
@@ -97,36 +130,41 @@ def process_increment(
         closed = l1.filter(F.col("_last") + gap_ns < horizon)
         open_groups = l1.filter(F.col("_last") + gap_ns >= horizon)
         thr_row = open_groups.agg(F.min("start")).collect()[0][0]  # O(1)
-        open_rows = hits.filter(F.col("start") >= thr_row) if thr_row is not None else None
+        open_rows = hits.filter(F.col("start") >= thr_row) if thr_row is not None else hits.limit(0)
 
-    closed.drop("_last").write.mode("append").parquet(out_path)
+    closed.drop("_last").write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch_id={batch_id}")
+    )
     if open_rows is not None:
         # range-shard the carried state by time so the next increment's
         # scan parallelizes even when the open tail is large (one file per
-        # non-empty range; a small tail compacting to one file is correct)
+        # non-empty range; a small tail compacting to one file is correct).
+        # Write the version even when empty: the lineage stays continuous,
+        # so a replay of batch N+1 always finds vN.
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         open_rows.repartitionByRange(n_parts, F.col("start")).write.mode("overwrite").parquet(
-            state_path + "_next"
+            _version_dir(state_path, batch_id)
         )
-        _swap_dir(state_path)
-    elif os.path.exists(state_path):
-        _clear_state(spark, state_path)
+        # keep the version this batch READ (not blindly batch_id-1: empty
+        # batches write no version, so the read one may be older) — a
+        # replay of this batch_id must be able to re-read it.
+        _prune_versions(state_path, keep_from=prior[-1] if prior else batch_id)
+    else:  # final flush — the stream is over, drop all state
+        import shutil
+
+        shutil.rmtree(state_path, ignore_errors=True)
     l1.unpersist()
     hits.unpersist()
 
 
-def _swap_dir(state_path: str) -> None:
+def _prune_versions(state_path: str, keep_from: int) -> None:
+    """Drop state versions older than ``keep_from`` (the previous version
+    must survive so a replay of the CURRENT batch can still read it)."""
     import shutil
 
-    if os.path.exists(state_path):
-        shutil.rmtree(state_path)
-    os.rename(state_path + "_next", state_path)
-
-
-def _clear_state(spark: SparkSession, state_path: str) -> None:
-    import shutil
-
-    shutil.rmtree(state_path, ignore_errors=True)
+    for v in _state_versions(state_path):
+        if v < keep_from:
+            shutil.rmtree(_version_dir(state_path, v), ignore_errors=True)
 
 
 def incremental_cluster_query(
@@ -150,6 +188,7 @@ def incremental_cluster_query(
             batch_df,
             state_path,
             out_path,
+            batch_id=batch_id,
             criterion=criterion,
             gap_ns=gap_ns,
             watermark_ns=watermark_ns,
@@ -166,10 +205,13 @@ def flush_incremental_state(
     gap_ns: int | None = None,
 ) -> None:
     """End-of-stream flush: cluster whatever the state still holds and
-    append those groups to the output."""
-    if not os.path.exists(state_path):
+    write those groups as one final output batch directory."""
+    versions = _state_versions(state_path)
+    if not versions:
         return
-    empty = spark.createDataFrame([], spark.read.parquet(state_path).select(*HIT_COLS).schema)
+    latest = _version_dir(state_path, versions[-1])
+    empty = spark.createDataFrame([], spark.read.parquet(latest).select(*HIT_COLS).schema)
     process_increment(
-        spark, empty, state_path, out_path, criterion=criterion, gap_ns=gap_ns, final=True
+        spark, empty, state_path, out_path, batch_id=versions[-1] + 1,
+        criterion=criterion, gap_ns=gap_ns, final=True,
     )

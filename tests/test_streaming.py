@@ -505,3 +505,53 @@ def test_stream_main_path_end_to_end(spark):
     cb, cs = _canon_l1(batch_l1), _canon_l1(got)
     assert cb == cs
     assert len(cb) > 100
+
+
+def test_incremental_replay_is_idempotent(spark):
+    """Crash-replay contract: re-running a foreachBatch increment with the
+    SAME batch_id must leave output and state byte-equal (versioned state +
+    per-batch overwrite output — streaming/incremental.py docstring)."""
+    import tempfile
+
+    from detector_network_processor_spark.streaming.incremental import (
+        flush_incremental_state,
+        process_increment,
+    )
+
+    events = make_events(n_base=600, seed=31)
+    stations = {s[0]: s for s in STATIONS}
+    enriched = [
+        {**e, "lat": stations[e["hash"]][1], "lon": stations[e["hash"]][2], "h": stations[e["hash"]][3]}
+        for e in events
+    ]
+    ev_df = spark.createDataFrame(enriched)
+    batch_expect = cluster_coincidences(ev_df, stations=None, criterion="physics").collect()
+
+    enriched.sort(key=lambda e: e["start"])
+    n = len(enriched)
+    chunks = [enriched[: n // 2], enriched[n // 2 :]]
+    schema = ev_df.schema
+
+    tmp = tempfile.mkdtemp(prefix="dnp_replay_")
+    try:
+        out_path, state_path = f"{tmp}/out", f"{tmp}/state"
+        for bid, chunk in enumerate(chunks):
+            process_increment(
+                spark, spark.createDataFrame(chunk, schema), state_path, out_path, batch_id=bid
+            )
+        snapshot = sorted(map(tuple, _canon_l1(spark.read.parquet(out_path).collect())))
+        # simulated crash: batch 1 re-delivered with the same id
+        process_increment(
+            spark, spark.createDataFrame(chunks[1], schema), state_path, out_path, batch_id=1
+        )
+        replayed = sorted(map(tuple, _canon_l1(spark.read.parquet(out_path).collect())))
+        assert replayed == snapshot, "replaying batch 1 changed the output"
+
+        flush_incremental_state(spark, state_path, out_path)
+        got = spark.read.parquet(out_path).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    cb, cs = _canon_l1(batch_expect), _canon_l1(got)
+    assert len(cs) == len(cb)
+    assert cs == cb
