@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..constants import MAX_TIME_NS, SIMPLE_WINDOW_NS
+from ..constants import MAX_TIME_NS, MEAN_FALSE_THRESHOLD, SIMPLE_WINDOW_NS
 from .golden import Hit, cluster_hits, compare_physics, compare_simple, groups_to_rows
 from .sessionize import sessionize_global_gap
 
@@ -152,20 +152,55 @@ def _resolve_sessions_stream(compare):
     return kernel
 
 
-def _resolve_pairs_jvm(pairs: DataFrame, criterion: str) -> DataFrame:
-    """Exact 2-hit-session resolution as column expressions (no Python).
+def _resolve_small_jvm(small: DataFrame, criterion: str) -> DataFrame:
+    """Exact resolution of 2- and 3-hit sessions as ONE JVM aggregation —
+    no Python, no per-size extra shuffle (both sizes share the same
+    groupBy(session_id) + sorted collect_list shape, so they ride one
+    exchange and one codegen stage).
 
-    Replay semantics for two hits a <= b in (start, hash) order
-    (golden.py::cluster_hits): same station -> two singletons (F6);
-    otherwise one 1-on-1 criterion verdict — Valid (score > 0) folds them
-    into a group with true_e = 1 and conflicting = False, Invalid leaves
-    two singletons. score > 0 reduces to ``dt <= MAX_TIME && dt < tof``
-    for physics (1 - dt/tof > 0 iff dt < tof in IEEE arithmetic) and
-    ``dt <= window`` for simple."""
-    from ..constants import C_M_PER_NS, MIN_TOF_NS
-    from ..functions.geodesy import straight_distance_col
+    Replay semantics (golden.py::cluster_hits) for hits e1 <= e2 [<= e3]
+    in (start, hash) order, with f_ij = "pairable" (different stations AND
+    criterion score > 0):
 
-    agg = pairs.groupBy("session_id").agg(
+    n=2: f12 folds the two hits into a group (true_e=1, conflicting=false,
+    envelope end = max constituent start); otherwise two singletons (F6
+    same-station exclusion included — f12 requires distinct hashes).
+
+    n=3, enumerated:
+    - f12: e1,e2 fold into G12 (true_e=1). e3 then probes {e1,e2} as one
+      group x group verdict: skipped on any station overlap; INVALID iff
+      mean(s13,s23) < MEAN_FALSE_THRESHOLD; otherwise e3 folds. Crucially
+      this FIRST fold never sets ``conflicting`` (the reference's
+      unreachable ``if (!score)`` branch, coincidencefilter.cpp:117-119)
+      and adds true_e = v (count of positive pairs) for BOTH the Valid and
+      the Conflicting verdict — so the verdict split is immaterial and the
+      fold yields n=3, conflicting=false, true_e=1+v, events [e1,e2,e3].
+    - !f12 and f13: e3 folds into {e1} (G13, true_e=1), then the merge
+      loop probes {e2} with the ORIGINAL incoming e3: if f23, the groups
+      merge — the one path that DOES set conflicting=true (transitive
+      merge, coincidencefilter.cpp:131) — true_e=2, events [e1,e3,e2]
+      (buffer order: G13's constituents, then the merged group's).
+    - !f12 and !f13 and f23: {e1} singleton + G23.
+    - else: three singletons.
+
+    Envelope = (min constituent start, max constituent start) for groups;
+    (start, end) of the hit itself for singletons (event.cpp:35-44).
+
+    The whole resolution is generated SQL TEXT, parsed JVM-side in three
+    selectExpr calls. A Column-by-Column formulation of the same tree costs
+    ~2.7 s of py4j round trips PER PLAN BUILD (thousands of driver calls
+    for the struct/array/case constructors) — pure driver overhead repeated
+    for every fresh query. Arithmetic mirrors functions/geodesy.py exactly
+    (multiplied sin terms, power(...,2) chord squares) so scores are
+    bit-identical to the golden model's numpy/math path on every platform
+    Spark's and CPython's doubles agree on; floats are embedded via repr
+    (shortest round-trip — exact). Verified against the golden model by a
+    randomized differential test (test_coincidence.py) and the driver's
+    recursive-CTE oracle.
+    """
+    from ..constants import C_M_PER_NS, MIN_TOF_NS, WGS84_A, WGS84_E2
+
+    agg = small.groupBy("session_id").agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
@@ -174,52 +209,94 @@ def _resolve_pairs_jvm(pairs: DataFrame, criterion: str) -> DataFrame:
             )
         ).alias("p")
     )
-    e1, e2 = F.col("p")[0], F.col("p")[1]
-    dt = (e2["start"] - e1["start"]).cast("double")  # sorted: e2.start >= e1.start
-    if criterion == "physics":
-        dist = straight_distance_col(
-            e1["lat"], e1["lon"], e1["h"], e2["lat"], e2["lon"], e2["h"]
-        )
-        tof = F.greatest(dist / F.lit(C_M_PER_NS), F.lit(float(MIN_TOF_NS)))
-        score_pos = (dt <= F.lit(float(MAX_TIME_NS))) & (dt < tof)
-    else:
-        score_pos = dt <= F.lit(float(SIMPLE_WINDOW_NS))
-    valid = (e1["hash"] != e2["hash"]) & score_pos
 
-    def cons(e):
-        return F.struct(
-            e["hash"].alias("hash"),
-            e["start"].alias("start"),
-            e["end"].alias("end"),
-            e["time_acc"].alias("time_acc"),
-            e["ublox_counter"].alias("ublox_counter"),
-            e["fix"].alias("fix"),
-        )
+    def ecef(e: str, ax: str) -> str:
+        lat, lon = f"radians({e}.lat)", f"radians({e}.lon)"
+        n = f"({WGS84_A!r} / sqrt(1.0D - {WGS84_E2!r} * sin({lat}) * sin({lat})))"
+        if ax == "x":
+            return f"(({n} + {e}.h) * cos({lat}) * cos({lon}))"
+        if ax == "y":
+            return f"(({n} + {e}.h) * cos({lat}) * sin({lon}))"
+        return f"(({n} * {1.0 - WGS84_E2!r} + {e}.h) * sin({lat}))"
 
-    def row(start, end, n, true_e, events):
-        return F.struct(
-            F.col("session_id").alias("session_id"),
-            start.alias("start"),
-            end.alias("end"),
-            F.lit(n).cast("int").alias("n"),
-            F.lit(False).alias("conflicting"),
-            F.lit(true_e).cast("int").alias("true_e"),
-            events.alias("events"),
-        )
+    # get(p, 2) is NULL for 2-hit sessions (ANSI-safe, unlike p[2]): its
+    # ecef/scores go NULL and the CASE below never reads them on the pair
+    # branch.
+    stage_hits = ["session_id", "p[0] AS e1", "p[1] AS e2", "get(p, 2) AS e3"]
+    stage_ecef = ["session_id", "e1", "e2", "e3"] + [
+        f"{ecef(f'e{i + 1}', ax)} AS {ax}{i + 1}" for i in range(3) for ax in "xyz"
+    ]
 
-    # single pass: a conditional row array + one explode — branching into
-    # filter(valid) ∪ filter(~valid) would evaluate the aggregation twice
-    out_rows = F.when(
-        valid,
-        # envelope end of a promoted group = max constituent start
-        F.array(row(e1["start"], e2["start"], 2, 1, F.array(cons(e1), cons(e2)))),
-    ).otherwise(
-        F.array(
-            row(e1["start"], e1["end"], 1, 0, F.array(cons(e1))),
-            row(e2["start"], e2["end"], 1, 0, F.array(cons(e2))),
-        )
+    def score(i: int, j: int) -> str:
+        dt = f"CAST(e{j}.start - e{i}.start AS DOUBLE)"
+        if criterion == "physics":
+            dist = (
+                f"sqrt(power(x{i} - x{j}, 2) + power(y{i} - y{j}, 2) + power(z{i} - z{j}, 2))"
+            )
+            tof = f"greatest({dist} / {C_M_PER_NS!r}, {float(MIN_TOF_NS)!r})"
+            return (
+                f"(CASE WHEN {dt} > {float(MAX_TIME_NS)!r} THEN -1.0D"
+                f" ELSE greatest(1.0D - {dt} / {tof}, -1.0D) END)"
+            )
+        return f"(CASE WHEN {dt} <= {float(SIMPLE_WINDOW_NS)!r} THEN 1.0D ELSE -1.0D END)"
+
+    stage_scores = [
+        "session_id", "e1", "e2", "e3",
+        f"{score(1, 2)} AS s12", f"{score(1, 3)} AS s13", f"{score(2, 3)} AS s23",
+    ]
+    staged = (
+        agg.selectExpr(*stage_hits).selectExpr(*stage_ecef).selectExpr(*stage_scores)
     )
-    return agg.select(F.explode(out_rows).alias("g")).select("g.*")
+
+    def cons(e: str) -> str:
+        return (
+            f"named_struct('hash', {e}.hash, 'start', {e}.start, 'end', {e}.end,"
+            f" 'time_acc', {e}.time_acc, 'ublox_counter', {e}.ublox_counter, 'fix', {e}.fix)"
+        )
+
+    def row(start: str, end: str, n: str, confl: str, te: str, events: str) -> str:
+        return (
+            f"named_struct('session_id', session_id, 'start', {start}, 'end', {end},"
+            f" 'n', CAST({n} AS INT), 'conflicting', {confl},"
+            f" 'true_e', CAST({te} AS INT), 'events', {events})"
+        )
+
+    def single(e: str) -> str:
+        return row(f"{e}.start", f"{e}.end", "1", "false", "0", f"array({cons(e)})")
+
+    o12, o13, o23 = "(e1.hash = e2.hash)", "(e1.hash = e3.hash)", "(e2.hash = e3.hash)"
+    f12 = f"(NOT {o12} AND s12 > 0.0D)"
+    f13 = f"(NOT {o13} AND s13 > 0.0D)"
+    f23 = f"(NOT {o23} AND s23 > 0.0D)"
+    v = "(CAST(s13 > 0.0D AS INT) + CAST(s23 > 0.0D AS INT))"
+    invalid3 = f"({o13} OR {o23} OR ((s13 + s23) / 2.0D < {MEAN_FALSE_THRESHOLD!r}))"
+
+    g12 = row("e1.start", "e2.start", "2", "false", "1", f"array({cons('e1')}, {cons('e2')})")
+    g13 = row("e1.start", "e3.start", "2", "false", "1", f"array({cons('e1')}, {cons('e3')})")
+    g23 = row("e2.start", "e3.start", "2", "false", "1", f"array({cons('e2')}, {cons('e3')})")
+    g123_fold = row(
+        "e1.start", "e3.start", "3", "false", f"1 + {v}",
+        f"array({cons('e1')}, {cons('e2')}, {cons('e3')})",
+    )
+    g123_merge = row(
+        "e1.start", "e3.start", "3", "true", "2",
+        f"array({cons('e1')}, {cons('e3')}, {cons('e2')})",
+    )
+
+    triple_out = (
+        f"CASE WHEN {f12} THEN (CASE WHEN {invalid3}"
+        f" THEN array({g12}, {single('e3')}) ELSE array({g123_fold}) END)"
+        f" WHEN {f13} THEN (CASE WHEN {f23}"
+        f" THEN array({g123_merge}) ELSE array({g13}, {single('e2')}) END)"
+        f" WHEN {f23} THEN array({single('e1')}, {g23})"
+        f" ELSE array({single('e1')}, {single('e2')}, {single('e3')}) END"
+    )
+    pair_out = (
+        f"CASE WHEN {f12} THEN array({g12})"
+        f" ELSE array({single('e1')}, {single('e2')}) END"
+    )
+    out = f"CASE WHEN e3 IS NOT NULL THEN {triple_out} ELSE {pair_out} END"
+    return staged.selectExpr(f"inline({out})")
 
 
 def cluster_coincidences(
@@ -279,12 +356,13 @@ def cluster_coincidences(
         ).alias("events"),
     )
 
-    # 2-hit sessions (the bulk of the multi mass at physical rates) resolve
-    # in closed form — one pairwise verdict decides group-vs-two-singletons
-    # (a 1-on-1 criterion can only be Valid or Invalid, criterion.cpp:7-14)
-    # — so they run as pure column expressions inside whole-stage codegen.
-    # Only sessions of n >= 3 pay the Arrow/Python replay.
-    pair_path = _resolve_pairs_jvm(sess.filter(F.col("_n") == 2), criterion)
+    # 2-hit AND 3-hit sessions (the overwhelming majority of the multi
+    # mass at physical rates) resolve in closed form inside whole-stage
+    # codegen, sharing ONE groupBy exchange (_resolve_small_jvm). Only
+    # sessions of n >= 4 pay the Arrow/Python replay.
+    small_path = _resolve_small_jvm(
+        sess.filter((F.col("_n") == 2) | (F.col("_n") == 3)), criterion
+    )
 
     # Pin the partition count: with a bare repartition(col), AQE coalesces
     # this exchange by BYTES, but the replay kernel is CPU-bound Python —
@@ -293,14 +371,14 @@ def cluster_coincidences(
     # heuristic is wrong whenever downstream cost is per-row Python work.
     n_part = events.sparkSession.sparkContext.defaultParallelism
     multis = (
-        sess.filter(F.col("_n") > 2)
+        sess.filter(F.col("_n") > 3)
         .drop("_n")
         .repartition(n_part, F.col("session_id"))
         .sortWithinPartitions("session_id", "start", "hash")
         .mapInPandas(_resolve_sessions_stream(compare), L1_SCHEMA)
     )
 
-    return singles.drop("_n").unionByName(pair_path).unionByName(multis)
+    return singles.drop("_n").unionByName(small_path).unionByName(multis)
 
 
 def l1_flatten(l1: DataFrame, min_n: int = 2) -> DataFrame:

@@ -157,3 +157,75 @@ def test_spark_matches_golden_on_random_fixture(spark, criterion):
 
     # sanity: the fixture actually produced coincidences
     assert sum(1 for r in golden if r["n"] >= 2) > 50
+
+
+@pytest.mark.parametrize("criterion", ["physics", "simple"])
+def test_small_session_jvm_matches_golden(spark, criterion):
+    """Randomized differential test of the closed-form 2/3-hit resolver
+    (_resolve_small_jvm) against the golden replay — every branch of the
+    enumeration (fold, group-verdict fold, transitive merge with its
+    [e1,e3,e2] constituent order, same-station skips, singletons) gets
+    traffic across 1200 random sessions."""
+    import random
+
+    from detector_network_processor_spark.operators.coincidence import _resolve_small_jvm
+    from detector_network_processor_spark.operators.golden import compare_simple
+
+    rng = random.Random(1234)
+    rows = []
+    base = 1_700_000_000_000_000_000
+    for sid in range(1200):
+        n_hits = rng.choice([2, 2, 3, 3, 3])
+        stations = rng.sample(range(12), rng.randint(1, n_hits))
+        t0 = base + sid * 10_000_000_000
+        for _ in range(n_hits):
+            st = rng.choice(stations)
+            dt = rng.choice(
+                [rng.randint(0, 500), rng.randint(0, 5000),
+                 rng.randint(0, 250_000), rng.randint(0, 600_000)]
+            )
+            start = t0 + dt
+            rows.append(
+                dict(
+                    session_id=sid, hash=st, start=start,
+                    end=start + rng.randint(100, 400_000),
+                    time_acc=rng.randint(0, 3000),
+                    ublox_counter=rng.randint(0, 65535), fix=1,
+                    lat=47.0 + (st % 4) * 0.12, lon=8.0 + (st // 4) * 0.15, h=450.0,
+                )
+            )
+
+    compare = compare_physics if criterion == "physics" else compare_simple
+    got = _resolve_small_jvm(spark.createDataFrame(rows), criterion).collect()
+    got_by_sid: dict = {}
+    for r in got:
+        got_by_sid.setdefault(r.session_id, []).append(r)
+    by_sid: dict = {}
+    for r in rows:
+        by_sid.setdefault(r["session_id"], []).append(r)
+
+    def canon_g(g):
+        return (g["start"], g["end"], g["n"], g["conflicting"], g["true_e"],
+                tuple((e["hash"], e["start"], e["end"], e["time_acc"],
+                       e["ublox_counter"], e["fix"]) for e in g["events"]))
+
+    def canon_r(r):
+        return (r.start, r.end, r.n, r.conflicting, r.true_e,
+                tuple((e.hash, e.start, e.end, e.time_acc, e.ublox_counter, e.fix)
+                      for e in r.events))
+
+    merges = folds = 0
+    for sid, rs in by_sid.items():
+        hits = [
+            Hit(hash=r["hash"], start=r["start"], end=r["end"], time_acc=r["time_acc"],
+                ublox_counter=r["ublox_counter"], fix=r["fix"],
+                lat=r["lat"], lon=r["lon"], h=r["h"])
+            for r in rs
+        ]
+        exp = groups_to_rows(cluster_hits(hits, compare))
+        assert sorted(map(canon_g, exp)) == sorted(map(canon_r, got_by_sid.get(sid, []))), sid
+        merges += sum(1 for g in exp if g["conflicting"])
+        folds += sum(1 for g in exp if g["n"] == 3 and not g["conflicting"])
+
+    # the adversarial branches actually fired
+    assert merges > 5 and folds >= 10
