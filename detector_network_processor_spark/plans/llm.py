@@ -997,6 +997,98 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIPE_MIN_TOKENS = 20
+_PIPE_MIN_TTR = 0.3
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, text, string_split(text, ' ') AS t
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, source, text, t, len(t) AS n_tokens
+  FROM toks
+  WHERE len(t) >= {_PIPE_MIN_TOKENS}
+    AND len(list_distinct(t)) * 1.0 / len(t) >= {_PIPE_MIN_TTR}
+),
+canon AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+dedup AS (SELECT q.* FROM quality q JOIN canon c ON q.doc_id = c.doc_id),
+posting AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {_DECON_W - 1}),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+  FROM toks WHERE len(t) >= {_DECON_W}
+),
+bench_g AS (SELECT DISTINCT g FROM posting WHERE doc_id % {_DECON_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT p.doc_id FROM posting p JOIN bench_g b ON p.g = b.g
+),
+clean AS (
+  SELECT d.* FROM dedup d
+  WHERE d.doc_id % {_DECON_MOD} != 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, lang, source, n_tokens,
+       round({_SAMPLE_MOD}.0 / (CASE lang {" ".join(f"WHEN '{l}' THEN {r}" for l, r in sorted(_SAMPLE_RATES_BP.items()))} ELSE {_SAMPLE_MOD} END), 6) AS weight
+FROM clean
+WHERE ((doc_id + 1) * 48271) % 2147483647 % {_SAMPLE_MOD}
+      < CASE lang {" ".join(f"WHEN '{l}' THEN {r}" for l, r in sorted(_SAMPLE_RATES_BP.items()))} ELSE {_SAMPLE_MOD} END
+ORDER BY doc_id
+""",
+    doc=f"END-TO-END curation pipeline — the composition a training-data build actually runs, as ONE driver-checked query: quality gate (>= {_PIPE_MIN_TOKENS} tokens, type-token ratio >= {_PIPE_MIN_TTR}) -> exact dedup (canonical = min doc_id per text) -> benchmark decontamination (drop any doc sharing a {_DECON_W}-gram with the doc_id % {_DECON_MOD} == 0 held-out set, bench side broadcast) -> deterministic per-language stratified downsample with loss reweighting. Every stage is one of the already-adjudicated primitives; composing them exercises the planner across stage boundaries (scan reused, filters pushed, one agg shuffle + one broadcast join, no corpus re-shuffle between stages).",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = F.split(F.col("text"), " ")
+    n_tokens = F.size(t)
+    ttr = F.size(F.array_distinct(t)) * 1.0 / n_tokens
+    quality = docs.filter(
+        (n_tokens >= _PIPE_MIN_TOKENS) & (ttr >= _PIPE_MIN_TTR)
+    ).select("doc_id", "lang", "source", "text", n_tokens.alias("n_tokens"))
+
+    canon = quality.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    dedup = quality.join(canon, ["text", "doc_id"]).drop("text")
+
+    # contamination postings over the ORIGINAL corpus (bench membership is
+    # defined pre-filtering, like decontamination_overlap)
+    th = F.transform(t, lambda w: F.xxhash64(w))
+    staged = docs.filter(F.size(t) >= _DECON_W).select("doc_id", th.alias("th"))
+    shingle = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("th")) - (_DECON_W - 1)),
+            lambda i: F.xxhash64(*[F.element_at(F.col("th"), i + j) for j in range(_DECON_W)]),
+        )
+    )
+    posting = staged.select("doc_id", F.explode(shingle).alias("g"))
+    bench_g = posting.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    contaminated = (
+        posting.join(F.broadcast(bench_g), "g").select("doc_id").distinct()
+    )
+
+    clean = dedup.filter(F.col("doc_id") % _DECON_MOD != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    key = ((F.col("doc_id") + 1) * 48271) % 2147483647 % _SAMPLE_MOD
+    rate = None
+    for l, r in sorted(_SAMPLE_RATES_BP.items()):
+        rate = (F.when(F.col("lang") == l, r) if rate is None else rate.when(F.col("lang") == l, r))
+    rate = rate.otherwise(_SAMPLE_MOD)
+    return (
+        clean.filter(key < rate)
+        .select(
+            "doc_id", "lang", "source", "n_tokens",
+            F.round(F.lit(float(_SAMPLE_MOD)) / rate, 6).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search: brute-force cosine top-k (baseline; LSH variant in
 # operators/similarity.py)
