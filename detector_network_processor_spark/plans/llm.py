@@ -997,6 +997,82 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_SCALE = 1_000_000_000  # integer-scaled log-probs: order-free summation
+
+
+@register(
+    "lm_quality_scores",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, len(text) - 1),
+                               i -> text[i:i+1])) AS bg
+  FROM documents WHERE len(text) >= 2
+),
+counts AS (SELECT lang, bg, count(*) AS c FROM grams GROUP BY lang, bg),
+lang_tot AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS total, count(*) AS vocab
+  FROM counts GROUP BY lang
+),
+model AS (
+  SELECT c.lang, c.bg,
+         CAST(floor(ln((c.c + 1.0) / (t.total + t.vocab)) * {_LM_SCALE}) AS BIGINT)
+           AS logp_scaled
+  FROM counts c JOIN lang_tot t ON c.lang = t.lang
+),
+scored AS (
+  SELECT g.doc_id, g.lang, count(*) AS n_bigrams,
+         CAST(sum(m.logp_scaled) AS BIGINT) AS sum_scaled
+  FROM grams g JOIN model m ON g.lang = m.lang AND g.bg = m.bg
+  GROUP BY g.doc_id, g.lang
+)
+SELECT doc_id, lang, n_bigrams,
+       round(-(sum_scaled * 1.0) / {_LM_SCALE} / n_bigrams, 6) AS cross_entropy
+FROM scored
+ORDER BY doc_id
+""",
+    doc=f"CCNet-style LM quality scoring, fully distributed: 'train' an add-1-smoothed char-bigram language model per language over the corpus (one map-side-combined count shuffle), then score every document's mean cross-entropy under its language's model (broadcast model join, one agg keyed by doc). High-entropy docs are gibberish/boilerplate candidates. Log-probs are integer-scaled (x{_LM_SCALE}, floored) before summation so the aggregate is ORDER-FREE — distributed float summation would be nondeterministic across partitionings and could not hash-match an oracle.",
+)
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    grams = docs.filter(F.length("text") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        ).alias("bg"),
+    )
+    counts = grams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c"))
+    lang_tot = counts.groupBy("lang").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    model = counts.join(F.broadcast(lang_tot), "lang").select(
+        "lang",
+        "bg",
+        F.floor(
+            F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))) * _LM_SCALE
+        ).cast("long").alias("logp_scaled"),
+    )
+    scored = (
+        grams.join(F.broadcast(model), ["lang", "bg"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_scaled").alias("sum_scaled"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        F.round(-(F.col("sum_scaled") * 1.0) / _LM_SCALE / F.col("n_bigrams"), 6).alias(
+            "cross_entropy"
+        ),
+    ).orderBy("doc_id")
+
+
 _PIPE_MIN_TOKENS = 20
 _PIPE_MIN_TTR = 0.3
 
