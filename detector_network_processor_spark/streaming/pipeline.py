@@ -17,11 +17,31 @@ table.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from ..constants import MAX_TIMING_ERROR_NS
 from ..sources.lines import parse_events
 from .coincidence import stream_cluster_coincidences
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark: SparkSession, changelog_checkpointing: bool = True) -> None:
+    """Switch stateful streaming to the RocksDB state store — the
+    production backend at scale: state lives off-heap/on-disk per
+    executor instead of in the JVM heap (the default HDFS-backed provider
+    keeps every version of every key in memory, which caps state size at
+    executor heap). Changelog checkpointing uploads per-batch deltas
+    rather than full snapshots, shrinking commit latency for large state.
+    Applies to queries STARTED after this call (provider is fixed at
+    query start and persisted in the checkpoint)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog_checkpointing else "false",
+    )
 
 
 def stream_main_path(

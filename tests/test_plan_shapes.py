@@ -60,3 +60,21 @@ def test_embedding_near_dup_no_all_pairs_join(spark):
     assert "CartesianProduct" not in plan
     # the cell scorer is an Arrow-batched grouped-map stage
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_curation_pipeline_composes_without_cartesian(spark):
+    """The composed pipeline must keep the benchmark side broadcast and
+    never degrade a stage boundary into a cartesian/NLJ."""
+    plan = plan_of(spark, "curation_pipeline")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_quality_broadcasts_model(spark):
+    """LM scoring joins the corpus against the per-lang bigram model —
+    the model is the small side and must broadcast (a shuffle join here
+    would re-shuffle the full exploded corpus at 100 TB)."""
+    plan = plan_of(spark, "lm_quality_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

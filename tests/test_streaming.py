@@ -555,3 +555,58 @@ def test_incremental_replay_is_idempotent(spark):
     cb, cs = _canon_l1(batch_expect), _canon_l1(got)
     assert len(cs) == len(cb)
     assert cs == cb
+
+
+def test_stream_coincidence_rocksdb_state_store(spark):
+    """The session-window clustering path must produce identical results
+    under the RocksDB state store (the production backend for large
+    state — streaming/pipeline.py::use_rocksdb_state)."""
+    import tempfile
+
+    from detector_network_processor_spark.streaming.pipeline import use_rocksdb_state
+
+    events = make_events(n_base=300, seed=41)
+    stations = {s[0]: s for s in STATIONS}
+    enriched = [
+        {**e, "lat": stations[e["hash"]][1], "lon": stations[e["hash"]][2], "h": stations[e["hash"]][3]}
+        for e in events
+    ]
+    ev_df = spark.createDataFrame(enriched)
+    batch = cluster_coincidences(ev_df, stations=None, criterion="physics").collect()
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    tmp = tempfile.mkdtemp(prefix="dnp_rocks_")
+    try:
+        use_rocksdb_state(spark)
+        enriched.sort(key=lambda e: e["start"])
+        n = len(enriched)
+        schema = ev_df.schema
+        for i in range(3):
+            spark.createDataFrame(
+                enriched[i * n // 3 : (i + 1) * n // 3], schema
+            ).coalesce(1).write.parquet(f"{tmp}/in/f{i}")
+        sentinel_start = max(e["start"] for e in enriched) + 10**12
+        sentinel = [dict(hash=1001, start=sentinel_start, end=sentinel_start + 100,
+                         time_acc=1, ublox_counter=0, fix=1, lat=47.0, lon=8.0, h=450.0)]
+        spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(f"{tmp}/in/f9_sentinel")
+
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/f*")
+        l1 = stream_cluster_coincidences(stream, criterion="physics")
+        q = (
+            l1.writeStream.format("memory").queryName("l1_rocks_test")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        got = [r for r in spark.sql("select * from l1_rocks_test").collect()
+               if r.start < sentinel_start]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    cb, cs = _canon_l1(batch), _canon_l1(got)
+    assert len(cs) == len(cb), f"group counts differ: batch={len(cb)} rocksdb-stream={len(cs)}"
+    assert cs == cb
