@@ -68,9 +68,47 @@ L1_SCHEMA = StructType(
 _EVENT_COLS = ("hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h")
 
 
+_MATRIX_MIN_N = 6  # below this, matrix setup costs more than it saves
+
+
+def _matrix_compare(hits: list, compare):
+    """Precompute the session's full pair-score matrix with numpy and
+    return a lookup closure for ``cluster_hits``. The replay logic stays
+    the ONE golden implementation — only scoring is batched, so parity is
+    structural, not re-proven: matrix entries are bit-identical to
+    ``compare`` (same memoized ECEF, same elementwise IEEE ops in the
+    same association order; the int64 Δt is exact in double at session
+    scales). This is the dense-session insurance: a pathological burst
+    (hundreds of hits in one gap chain) costs O(n²) scored pairs — one C
+    matmul-shaped pass instead of O(n²) Python ``compare`` calls."""
+    import numpy as np
+
+    from ..constants import C_M_PER_NS, MIN_TOF_NS
+
+    starts = np.array([h.start for h in hits], dtype=np.int64)
+    ds = np.abs(starts[:, None] - starts[None, :]).astype(np.float64)
+    if compare is compare_simple:
+        M = np.where(ds <= float(SIMPLE_WINDOW_NS), 1.0, -1.0)
+    else:
+        xs = np.array([h.x for h in hits])
+        ys = np.array([h.y for h in hits])
+        zs = np.array([h.z for h in hits])
+        dx = xs[:, None] - xs[None, :]
+        dy = ys[:, None] - ys[None, :]
+        dz = zs[:, None] - zs[None, :]
+        dist = np.sqrt(dx * dx + dy * dy + dz * dz)
+        tof = np.maximum(dist / C_M_PER_NS, float(MIN_TOF_NS))
+        M = np.maximum(1.0 - ds / tof, -1.0)
+        M[ds > MAX_TIME_NS] = -1.0
+    idx = {id(h): k for k, h in enumerate(hits)}
+    return lambda a, b: M[idx[id(a)], idx[id(b)]]
+
+
 def _session_rows_to_l1(sid: int, hits: list, compare) -> list[tuple]:
     """Rows as tuples in L1_SCHEMA field order — pandas builds a frame from
     tuples measurably faster than from dicts, and this runs per session."""
+    if len(hits) >= _MATRIX_MIN_N and compare in (compare_physics, compare_simple):
+        compare = _matrix_compare(hits, compare)
     rows = groups_to_rows(cluster_hits(hits, compare))
     return [
         (

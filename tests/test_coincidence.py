@@ -229,3 +229,42 @@ def test_small_session_jvm_matches_golden(spark, criterion):
 
     # the adversarial branches actually fired
     assert merges > 5 and folds >= 10
+
+
+@pytest.mark.parametrize("criterion", ["physics", "simple"])
+def test_matrix_scoring_matches_scalar_replay(criterion):
+    """The dense-session matrix fast path (_matrix_compare) must reproduce
+    the scalar golden replay bit-for-bit, including sessions far above
+    the fixture's size range (a noise burst of n=60)."""
+    import random
+
+    from detector_network_processor_spark.operators.coincidence import (
+        _matrix_compare,
+        _session_rows_to_l1,
+    )
+    from detector_network_processor_spark.operators.golden import compare_simple
+
+    compare = compare_physics if criterion == "physics" else compare_simple
+    rng = random.Random(77)
+    base = 1_700_000_000_000_000_000
+    for n in (6, 9, 17, 60):
+        for trial in range(8):
+            stations = rng.sample(range(12), rng.randint(2, 6))
+            hits = []
+            t = base
+            for _ in range(n):
+                t += rng.choice([rng.randint(0, 2_000), rng.randint(0, 150_000)])
+                st = rng.choice(stations)
+                hits.append(
+                    Hit(hash=st, start=t, end=t + 500, time_acc=10, ublox_counter=0,
+                        fix=1, lat=47.0 + (st % 4) * 0.12, lon=8.0 + (st // 4) * 0.15,
+                        h=450.0)
+                )
+            # scalar replay (golden), matrix replay (fast path) — identical
+            want = groups_to_rows(cluster_hits(hits, compare))
+            got = groups_to_rows(cluster_hits(hits, _matrix_compare(hits, compare)))
+            assert want == got, (criterion, n, trial)
+            # and the kernel entry point routes through the matrix path
+            assert _session_rows_to_l1(1, hits, compare) == _session_rows_to_l1(
+                1, hits, _matrix_compare(hits, compare)
+            )
