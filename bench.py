@@ -50,6 +50,10 @@ def _release_cached(spark) -> None:
     spark.catalog.clearCache()
     for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         rdd.unpersist()
+    # ContextCleaner reclaims dead broadcast/shuffle blocks only when a JVM
+    # GC notices they are unreachable; a busy short-lived session may never
+    # GC, so blocks pile up and late queries run under memory pressure.
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:
