@@ -91,5 +91,17 @@ def parse_event_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ", f0, f1, time_acc, (eid % 65536).cast("string"), F.lit("1"),
         (eid % 2).cast("string"), (eid % 10).cast("string"),
     )
-    lines = ev.select(topic.alias("topic"), payload.alias("payload"))
+    # Materialize the synthesized lines once. Without the persist barrier,
+    # CollapseProject/PushDownPredicate inline the payload-synthesis tree
+    # (lpad/concat string builds) into EVERY downstream split()/filter
+    # reference — the synthesis re-runs ~15x per row and dominates the query
+    # (measured 5.7 s -> 1.2 s at sf0.1). The repartition also spreads the
+    # decimal(30,9) parse across all cores instead of the fixture's single
+    # input split; in production the lines arrive pre-partitioned from the
+    # broker and this whole block is replaced by the source itself.
+    lines = (
+        ev.select(topic.alias("topic"), payload.alias("payload"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     return parse_events(lines).drop("hash").orderBy("username", "start", "station_id")
