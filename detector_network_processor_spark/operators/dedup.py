@@ -244,6 +244,10 @@ def simhash_near_dups(
         sh = simhash_portable_fingerprints(docs, id_col, text_col)
     else:
         sh = docs.select(F.col(id_col), simhash_col(text_col).alias("simhash"))
+    # Both sides of the banding self-join consume `sh`; without a persist
+    # barrier the token-explode + 62-vote aggregation is inlined into each
+    # side and computes twice. The fingerprint frame is (id, int64) — tiny.
+    sh = sh.persist()
     chunks = F.array(
         *[
             F.struct(
