@@ -1,0 +1,111 @@
+"""Distributed connected components over a pair/edge table (SURVEY.md §2.11:
+"connected components to pick canonical docs" — the step after near-dup pair
+generation that turns pairwise matches into dedup clusters with one canonical
+document each).
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014 — public paper).
+Each round is two hash aggregations + joins on the node id; the edge set
+monotonically contracts toward per-component stars rooted at the minimum
+node id, converging in O(log^2 n) rounds (2-4 in practice for the short
+chains near-dup graphs produce).
+
+Why this shape at 100 TB:
+- No driver-side graph: edges stay a DataFrame throughout; the per-round
+  driver work is ONE 1-row aggregate (the convergence signature), same
+  O(1)-rows-collected posture as the k-means refinement loop.
+- Each round's shuffle is keyed on node id — pure hash partitioning, no
+  broadcast of anything unbounded, no collect_list of neighbor sets (the
+  min-neighbor is computed as an aggregate, never materializing adjacency
+  lists, so a celebrity node with 10^9 neighbors still aggregates in
+  map-side partials).
+- Lineage is cut every round with an eager localCheckpoint — without it the
+  plan tree doubles per iteration and Catalyst analysis time explodes
+  (the GraphX/GraphFrames iterative-algorithm pattern).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _orient(edges: DataFrame) -> DataFrame:
+    """Canonical oriented edge set: (a, b) with a > b, deduped, no loops."""
+    return (
+        edges.select(
+            F.greatest("a", "b").alias("a"),
+            F.least("a", "b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's min neighborhood
+    element: for each node u with symmetric neighborhood N(u), emit
+    (v, min(N(u) ∪ {u})) for all v ∈ N(u), v > u."""
+    sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """On the (a > b)-oriented set: for each a, link a and all its smaller
+    neighbors to the minimum one: with m = min neighbor of a, emit (v, m)
+    for v ∈ N(a) \\ {m} plus (a, m)."""
+    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+    j = edges.join(mins, "a")
+    leaf_edges = (
+        j.filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    root_edges = mins.select(F.col("a"), F.col("m").alias("b"))
+    return leaf_edges.union(root_edges).filter(F.col("a") != F.col("b")).distinct()
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    """Order-independent multiset signature of the edge set — one 1-row job."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # xor-fold: order-independent and ANSI-overflow-free (the edge set is
+        # distinct, so the xor is a true set signature paired with the count)
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 30
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; ``component``
+    is the minimum node id of its connected component (the canonical-doc
+    convention). Isolated nodes never appear in an edge table — callers map
+    them to themselves with a left join + coalesce."""
+    e = _orient(
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    ).localCheckpoint(eager=True)
+    sig = _signature(e)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    # Converged state is per-component stars (leaf -> min-root); the roots
+    # themselves belong to their own component.
+    leaves = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+    roots = e.select(F.col("b").alias("node"), F.col("b").alias("component")).distinct()
+    return leaves.union(roots).distinct()

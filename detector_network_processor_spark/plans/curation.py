@@ -475,3 +475,67 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking (training-example assembly, SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (16-token overlap carries context across boundaries)
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, CAST((greatest(n - {_CHUNK_W}, 0) + {_CHUNK_S} - 1) // {_CHUNK_S} AS BIGINT))) AS chunk_id,
+         toks
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       chunk_id * {_CHUNK_S} + 1 AS token_start,
+       len(list_slice(toks, chunk_id * {_CHUNK_S} + 1, chunk_id * {_CHUNK_S} + {_CHUNK_W})) AS n_tokens,
+       list_reduce(list_slice(toks, chunk_id * {_CHUNK_S} + 1, chunk_id * {_CHUNK_S} + {_CHUNK_W}),
+                   (a, b) -> a || ' ' || b) AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+""",
+    doc=(
+        "Sliding-window context chunking: W=64-token windows at stride 48 "
+        "(16-token overlap), tail window kept short. Pure explode over a "
+        "sequence expression — fully JVM-side, no UDF, no shuffle beyond the "
+        "final presentation sort; at 100 TB this is a map-only pass whose "
+        "output feeds sequence_packing. Chunk count derives from exact "
+        "integer ceil arithmetic so both engines agree on boundaries."
+    ),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    last_chunk = F.expr(f"(greatest(size(split(text, ' ')) - {_CHUNK_W}, 0) + {_CHUNK_S - 1}) div {_CHUNK_S}")
+    staged = docs.select("doc_id", toks.alias("toks"), n.alias("n"), last_chunk.alias("last_chunk"))
+    c = staged.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("last_chunk").cast("long"))).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_S + 1
+    window = F.slice(F.col("toks"), start.cast("int"), _CHUNK_W)
+    return (
+        c.select(
+            "doc_id",
+            "chunk_id",
+            start.alias("token_start"),
+            F.size(window).cast("long").alias("n_tokens"),
+            F.array_join(window, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -371,7 +371,10 @@ def _kr_sql(base: int, p: int, var: str = "w") -> str:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE chain computing the portable MinHash-LSH candidate pairs in SQL,
+    ending in ``scored(doc_a, doc_b, est_jaccard)`` — shared by the
+    minhash_near_dup oracle and the dedup_components oracle."""
     from ..operators.dedup import (
         LSH_BANDS,
         LSH_ROWS,
@@ -402,8 +405,7 @@ def _minhash_oracle() -> str:
         f"SELECT doc_id, sig, {j} AS band, {bhash(j)} AS bhash FROM sigs"
         for j in range(LSH_BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 th AS (
@@ -424,13 +426,20 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b, est_jaccard FROM (
+),
+scored AS (
   SELECT doc_a, doc_b,
          round(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) / {MINHASH_K}.0, 6)
            AS est_jaccard
   FROM cand
-) WHERE est_jaccard >= 0.34
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT doc_a, doc_b, est_jaccard FROM scored
+WHERE est_jaccard >= 0.34
 ORDER BY doc_a, doc_b
 """
 
@@ -452,6 +461,61 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.34)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _components_oracle() -> str:
+    # Transitive closure by recursive CTE (UNION dedup bounds it); canonical
+    # id = min of the reachable set. Fine at oracle scale — components are
+    # tiny; the Spark side uses the O(log^2 n) star-contraction instead.
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.34),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM lab
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=_components_oracle(),
+    doc="Near-dup clustering: MinHash-LSH pairs -> distributed connected components (alternating large-star/small-star contraction, operators/components.py) -> canonical doc = component-min id, cluster sizes. The SURVEY §2.11 'connected components to pick canonical docs' step; oracle recomputes components via recursive-CTE transitive closure over the identical portable-hash pair set.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs.repartition(spark.sparkContext.defaultParallelism), portable=True
+    )
+    pairs = minhash_lsh_pairs(sigs, portable=True).filter(F.col("est_jaccard") >= 0.34)
+    cc = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
+    lab = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("canonical_id"))
+    )
+    w = Window.partitionBy("canonical_id")
+    return lab.select(
+        "doc_id", "canonical_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    ).orderBy("doc_id")
 
 
 def _simhash_oracle() -> str:
@@ -1234,5 +1298,133 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword retrieval (inverted-index text search, SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_SCALE = 1_000_000
+_BM25_TOPK = 10
+_BM25_QUERIES = (
+    (0, ("hash", "join")),
+    (1, ("window", "agg", "stream")),
+    (2, ("customer", "order", "line")),
+)
+
+
+def _bm25_oracle() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{w}')" for qid, terms in _BM25_QUERIES for w in terms
+    )
+    return f"""
+WITH q(query_id, w) AS (VALUES {qvals}),
+ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf_all AS (SELECT doc_id, w, count(*) AS tf FROM ex GROUP BY doc_id, w),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf_all GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, w, tf FROM tf_all WHERE w IN (SELECT w FROM q)),
+dfq AS (SELECT w, count(*) AS dfq FROM tf GROUP BY w),
+idf AS (
+  SELECT w, CAST(floor(ln((s.n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0) * {_BM25_SCALE}) AS BIGINT) AS idf6
+  FROM dfq, stats s
+),
+terms AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(floor(i.idf6 * ((t.tf * ({_BM25_K1} + 1.0))
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (d.dl / s.avgdl))))) AS BIGINT) AS term6
+  FROM q JOIN tf t ON q.w = t.w JOIN idf i ON i.w = t.w JOIN dl d ON d.doc_id = t.doc_id, stats s
+),
+scored AS (
+  SELECT query_id, doc_id, count(*) AS n_terms, CAST(sum(term6) AS BIGINT) AS score6
+  FROM terms GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, n_terms, score6,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score6 DESC, doc_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, n_terms, round(score6 / {_BM25_SCALE}.0, 6) AS score
+FROM ranked WHERE rank <= {_BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "bm25_search",
+    oracle=_bm25_oracle(),
+    doc=(
+        "BM25 keyword retrieval (k1=1.2, b=0.75) over a distributed inverted "
+        "index: one explode->per-doc term-frequency agg (map-side combined, "
+        "persisted — doc lengths and the posting list both derive from it), "
+        "query-term filter pushed before everything downstream so the heavy "
+        "join carries only matching postings, 1-row corpus stats broadcast by "
+        "crossJoin, grouped top-k via row_number. IDF is integer-scaled "
+        "(floor(ln(x)*1e6)) before the per-term summation so the aggregate is "
+        "order-free and cross-engine hash-stable; the tf/length factors are "
+        "pure IEEE +-*/ which both engines evaluate identically."
+    ),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, terms in _BM25_QUERIES for w in terms], "query_id int, w string"
+    )
+    ex = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf_all = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = tf_all.join(F.broadcast(qterms.select("w").distinct()), "w")
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfq"))
+    idf = dfq.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.floor(
+            F.log((F.col("n_docs") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5) + 1.0)
+            * _BM25_SCALE
+        ).cast("long").alias("idf6"),
+    )
+    terms = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.col("idf6")
+                * (
+                    (F.col("tf") * (_BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + _BM25_K1
+                        * (1.0 - _BM25_B + _BM25_B * (F.col("dl") / F.col("avgdl")))
+                    )
+                )
+            ).cast("long").alias("term6"),
+        )
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("term6").alias("score6")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("score6").desc(), F.col("doc_id"))
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(w_rank).alias("rank"),
+            "doc_id",
+            "n_terms",
+            F.round(F.col("score6") / float(_BM25_SCALE), 6).alias("score"),
+        )
+        .filter(F.col("rank") <= _BM25_TOPK)
         .orderBy("query_id", "rank")
     )

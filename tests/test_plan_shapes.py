@@ -78,3 +78,25 @@ def test_lm_quality_broadcasts_model(spark):
     plan = plan_of(spark, "lm_quality_scores")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_top_k_is_window_group_limit(spark):
+    """The rank<=k filter must rewrite to WindowGroupLimit (per-partition
+    top-k pushdown) so only k rows per query survive each shuffle side —
+    full ranking of every matching doc would be the scale bug."""
+    plan = plan_of(spark, "bm25_search")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_posting_join_broadcasts_query_terms(spark):
+    plan = plan_of(spark, "bm25_search")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_documents_is_map_only_before_sort(spark):
+    """Chunking must be explode-over-sequence in one stage: no join, no
+    aggregation — a single Exchange only for the presentation sort."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
