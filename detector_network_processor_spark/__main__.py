@@ -1,0 +1,154 @@
+"""Command-line entry point — the engine's analog of the reference daemon's
+single binary (reference src/main.cpp starts `application::priv_run`; here
+each run mode is a Spark job):
+
+    python -m detector_network_processor_spark list
+    python -m detector_network_processor_spark run l1_coincidence \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+    python -m detector_network_processor_spark run q1_pricing_summary --explain
+    python -m detector_network_processor_spark oracle q1_pricing_summary
+    python -m detector_network_processor_spark stream --lines-dir SPOOL \
+        --stations-parquet STATIONS --out /tmp/l1 --checkpoint /tmp/ckpt \
+        --available-now
+
+`stream` runs the §3.1 main path (parse -> quality gate -> broadcast station
+enrichment -> coincidence clustering -> n>=2 flatten) over a spool directory
+of (topic, payload) parquet batches — the layout `streaming.transports.
+spool_messages` writes from a live MQTT subscription — and lands L1 groups
+as parquet. `--available-now` drains what's there and exits (batch replay);
+without it the query keeps running on a processing-time trigger like the
+reference daemon.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="detector_network_processor_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    runp = sub.add_parser("run", help="run a registered query")
+    runp.add_argument("name")
+    runp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    runp.add_argument("--limit", type=int, default=20)
+    runp.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
+    runp.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
+
+    op = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
+    op.add_argument("name")
+
+    sp = sub.add_parser("stream", help="run the streaming main path over a line spool")
+    sp.add_argument("--lines-dir", required=True, help="spool dir of (topic, payload) parquet batches")
+    sp.add_argument(
+        "--stations-parquet",
+        required=True,
+        help="parquet station dimension: hash (xxhash64 of username/station_id), lat, lon, h",
+    )
+    sp.add_argument("--out", required=True, help="output parquet dir for flattened L1 groups")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--criterion", choices=("physics", "simple"), default="physics")
+    sp.add_argument("--watermark-ns", type=int, default=10_000_000_000)
+    sp.add_argument("--trigger-seconds", type=int, default=None)
+    sp.add_argument("--available-now", action="store_true", help="drain the spool and exit")
+    sp.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
+    return p
+
+
+def _cmd_list() -> int:
+    from .plans import all_queries
+
+    qs = all_queries()
+    width = max(len(n) for n in qs)
+    for name in sorted(qs):
+        spec = qs[name]
+        tag = "oracle" if spec.oracle else "rows-only"
+        doc = (spec.doc or "").split(". ")[0][:100]
+        print(f"{name:<{width}}  [{tag}]  {doc}")
+    print(f"\n{len(qs)} queries registered")
+    return 0
+
+
+def _cmd_run(args) -> int:
+    from .plans import all_queries
+    from .session import get_spark
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; `list` shows all", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name=f"dnp-run-{args.name}", cpus=args.cpus)
+    df = qs[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def _cmd_oracle(args) -> int:
+    from .plans import all_queries
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}", file=sys.stderr)
+        return 2
+    if qs[args.name].oracle is None:
+        print(f"-- {args.name} is non-SQL-expressible (rows-only check)", file=sys.stderr)
+        return 1
+    print(qs[args.name].oracle)
+    return 0
+
+
+def _cmd_stream(args) -> int:
+    from .operators.coincidence import l1_flatten
+    from .session import get_spark
+    from .streaming.pipeline import stream_main_path, use_rocksdb_state
+
+    spark = get_spark(app_name="dnp-stream-main", cpus=args.cpus)
+    use_rocksdb_state(spark)
+    lines = (
+        spark.readStream.schema("topic string, payload string").parquet(args.lines_dir)
+    )
+    stations = spark.read.parquet(args.stations_parquet)
+    l1 = stream_main_path(
+        lines, stations, criterion=args.criterion, watermark_ns=args.watermark_ns
+    )
+    writer = (
+        l1_flatten(l1, min_n=2)
+        .writeStream.format("parquet")
+        .option("path", args.out)
+        .option("checkpointLocation", args.checkpoint)
+        .outputMode("append")
+    )
+    if args.available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        if args.trigger_seconds:
+            writer = writer.trigger(processingTime=f"{args.trigger_seconds} seconds")
+        q = writer.start()
+        q.awaitTermination()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "list":
+        return _cmd_list()
+    if args.cmd == "run":
+        return _cmd_run(args)
+    if args.cmd == "oracle":
+        return _cmd_oracle(args)
+    if args.cmd == "stream":
+        return _cmd_stream(args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

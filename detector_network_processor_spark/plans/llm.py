@@ -1323,11 +1323,10 @@ def _bm25_oracle() -> str:
     )
     return f"""
 WITH q(query_id, w) AS (VALUES {qvals}),
-ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-tf_all AS (SELECT doc_id, w, count(*) AS tf FROM ex GROUP BY doc_id, w),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf_all GROUP BY doc_id),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
 stats AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
-tf AS (SELECT doc_id, w, tf FROM tf_all WHERE w IN (SELECT w FROM q)),
+ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM ex WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w),
 dfq AS (SELECT w, count(*) AS dfq FROM tf GROUP BY w),
 idf AS (
   SELECT w, CAST(floor(ln((s.n_docs - dfq + 0.5) / (dfq + 0.5) + 1.0) * {_BM25_SCALE}) AS BIGINT) AS idf6
@@ -1359,10 +1358,10 @@ ORDER BY query_id, rank
     oracle=_bm25_oracle(),
     doc=(
         "BM25 keyword retrieval (k1=1.2, b=0.75) over a distributed inverted "
-        "index: one explode->per-doc term-frequency agg (map-side combined, "
-        "persisted — doc lengths and the posting list both derive from it), "
-        "query-term filter pushed before everything downstream so the heavy "
-        "join carries only matching postings, 1-row corpus stats broadcast by "
+        "index: doc lengths come straight from size(split(text)) (no explode), "
+        "and the posting explode is filtered to query terms BEFORE any shuffle "
+        "so only matching postings aggregate — retrieval cost scales with "
+        "postings, not corpus tokens. 1-row corpus stats broadcast by "
         "crossJoin, grouped top-k via row_number. IDF is integer-scaled "
         "(floor(ln(x)*1e6)) before the per-term summation so the aggregate is "
         "order-free and cross-engine hash-stable; the tf/length factors are "
@@ -1376,19 +1375,34 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = spark.createDataFrame(
         [(qid, w) for qid, terms in _BM25_QUERIES for w in terms], "query_id int, w string"
     )
-    ex = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
-    tf_all = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
-    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
+    # Doc length is size(split(text)) — no explode, no aggregation; the
+    # explode below is filtered to query terms BEFORE any shuffle, so only
+    # matching postings are ever aggregated (the inverted-index property
+    # that makes retrieval sublinear in corpus tokens).
+    dl = docs.select("doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("dl"))
+    # Corpus stats are ONE row — collect them into literals rather than
+    # crossJoin-broadcasting the aggregate subtree (which would be rebuilt
+    # per broadcast exchange consuming it: once for idf, once for scoring).
+    srow = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
+    ex = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    # tf feeds both the document-frequency agg (under the idf broadcast
+    # exchange — a separate job) and the scoring join: persist the ~|postings|
+    # frame so the filtered explode runs once.
+    tf = (
+        ex.join(F.broadcast(qterms.select("w").distinct()), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    tf = tf_all.join(F.broadcast(qterms.select("w").distinct()), "w")
     dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfq"))
-    idf = dfq.crossJoin(F.broadcast(stats)).select(
+    idf = dfq.select(
         "w",
         F.floor(
-            F.log((F.col("n_docs") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5) + 1.0)
+            F.log((F.lit(n_docs) - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5) + 1.0)
             * _BM25_SCALE
         ).cast("long").alias("idf6"),
     )
@@ -1396,7 +1410,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(qterms), "w")
         .join(F.broadcast(idf), "w")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.lit(avgdl))
         .select(
             "query_id",
             "doc_id",

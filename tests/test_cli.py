@@ -1,0 +1,107 @@
+"""CLI entry point (python -m detector_network_processor_spark): list/run/
+oracle in-process, and the stream daemon mode end-to-end over a spool dir."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import sys
+import tempfile
+
+from detector_network_processor_spark.__main__ import main
+
+
+def test_list_names_every_registered_query(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    from detector_network_processor_spark.plans import all_queries
+
+    for name in all_queries():
+        assert name in out
+
+
+def test_oracle_prints_sql(capsys):
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert "SELECT" in capsys.readouterr().out.upper()
+
+
+def test_oracle_unknown_query(capsys):
+    assert main(["oracle", "no_such_query"]) == 2
+
+
+def test_run_unknown_query():
+    assert main(["run", "no_such_query"]) == 2
+
+
+def test_run_shows_rows(spark, capsys):
+    # get_spark inside the CLI returns the active test session (getOrCreate)
+    assert main(["run", "top_orders", "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"]) == 0
+    assert "o_orderkey" in capsys.readouterr().out
+
+
+def test_run_explain(spark, capsys):
+    assert main(["run", "q1_pricing_summary", "--sf-dir", "/root/testdata/sf0.001", "--explain"]) == 0
+    assert "AdaptiveSparkPlan" in capsys.readouterr().out
+
+
+def test_stream_daemon_drains_spool(spark):
+    """stream --available-now over a tiny spool produces flattened L1 rows."""
+    import pyspark.sql.functions as F
+
+    from muon_fixtures import STATIONS, make_events
+
+    events = make_events(n_base=200, seed=7)
+    EPOCH_NS = 1_700_000_000 * 10**9
+
+    def line(e):
+        s, en = (e["start"] + EPOCH_NS) / 1e9, (e["end"] + EPOCH_NS) / 1e9
+        return (
+            f"muonpi/data/user{e['hash']}/det",
+            f"{s:.9f} {en:.9f} {e['time_acc']} {e['ublox_counter']} {e['fix']} 0 1",
+        )
+
+    lines = [line(e) for e in events]
+    # close-out sentinel so the watermark passes every real session
+    sent_s = (max(e["start"] for e in events) + EPOCH_NS + 10**12) / 1e9
+    sentinel = ("muonpi/data/user1001/det", f"{sent_s:.9f} {sent_s + 1e-6:.9f} 1 0 1 0 1")
+
+    st_rows = [
+        dict(username=f"user{h}", station_id="det", lat=lat, lon=lon, h=hh)
+        for (h, lat, lon, hh) in STATIONS
+    ] + [dict(username="user1001", station_id="det", lat=47.0, lon=8.0, h=450.0)]
+    stations = spark.createDataFrame(st_rows).select(
+        F.xxhash64(F.concat_ws("/", "username", "station_id")).alias("hash"), "lat", "lon", "h"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dnp_cli_stream_")
+    try:
+        schema = "topic string, payload string"
+        spark.createDataFrame(lines, schema).coalesce(1).write.parquet(f"{tmp}/spool/b0")
+        spark.createDataFrame([sentinel], schema).coalesce(1).write.parquet(f"{tmp}/spool/b1")
+        stations.write.parquet(f"{tmp}/stations")
+        rc = main(
+            [
+                "stream",
+                "--lines-dir", f"{tmp}/spool/b*",
+                "--stations-parquet", f"{tmp}/stations",
+                "--out", f"{tmp}/l1",
+                "--checkpoint", f"{tmp}/ckpt",
+                "--available-now",
+            ]
+        )
+        assert rc == 0
+        out = spark.read.parquet(f"{tmp}/l1")
+        assert out.count() > 0
+        assert {"hash", "start", "n"} <= set(out.columns)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_module_invocation_smoke():
+    """python -m ... list works as a real subprocess (no Spark needed)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "detector_network_processor_spark", "list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0
+    assert "l1_coincidence" in r.stdout
