@@ -1442,3 +1442,99 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_TOPK)
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic quality gating + skew-safe aggregation (SURVEY §2.11 / §7.2-8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "quality_quantile_filter",
+    oracle="""
+WITH tq AS (
+  SELECT doc_id, lang,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, ttr,
+         row_number() OVER (PARTITION BY lang ORDER BY ttr, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM tq
+),
+med AS (SELECT lang, ttr AS med_ttr FROM ranked WHERE rn = (cnt + 1) // 2)
+SELECT t.doc_id, t.lang, round(t.ttr, 6) AS ttr, round(m.med_ttr, 6) AS med_ttr
+FROM tq t JOIN med m ON t.lang = m.lang
+WHERE t.ttr >= m.med_ttr
+ORDER BY t.doc_id
+""",
+    doc=(
+        "Dynamic per-language quality gate: keep documents at or above their "
+        "language's MEDIAN type-token ratio. The threshold is data-derived "
+        "per group (the Gopher/CCNet adaptive-cutoff pattern), computed as "
+        "the element-based lower median (row_number = ceil(n/2)) rather than "
+        "an interpolated percentile — an actual data value, so the >= "
+        "comparison and the display are bit-exact across engines. Plan: one "
+        "window shuffle on lang for the medians (tiny), broadcast join back, "
+        "scan-pushable filter."
+    ),
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tq = docs.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)).alias("ttr"),
+    )
+    w = Window.partitionBy("lang").orderBy("ttr", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = tq.select(
+        "lang",
+        "ttr",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "lang", F.col("ttr").alias("med_ttr")
+    )
+    return (
+        tq.join(F.broadcast(med), "lang")
+        .filter(F.col("ttr") >= F.col("med_ttr"))
+        .select("doc_id", "lang", F.round("ttr", 6).alias("ttr"), F.round("med_ttr", 6).alias("med_ttr"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "salted_agg_events",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_val6,
+       count(*) AS n_rows
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc=(
+        "Two-phase salted aggregation (operators/skew.py::salted_sum_count) "
+        "driver-adjudicated against the plain GROUP BY it must equal: the "
+        "hot-key shuffle is split across 16 salt slots, then partials "
+        "combine — correct for any algebraic aggregate, and the oracle "
+        "proves salting is semantically transparent. Values are integer-"
+        "scaled so the two-phase sum is order-free."
+    ),
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1_000_000).cast("long").alias("val6")
+    )
+    return (
+        salted_sum_count(ev, ["event_type"], "val6", n_salts=16)
+        .select("event_type", F.col("sum_val6"), "n_rows")
+        .orderBy("event_type")
+    )

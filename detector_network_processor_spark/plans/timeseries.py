@@ -218,3 +218,194 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rnk")
     )
+
+
+_GF_HOUR_US = 3_600_000_000
+
+
+@register(
+    "gap_fill_locf",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL}),
+obs AS (
+  SELECT user_id, ts_us // {_GF_HOUR_US} AS hb,
+         CAST(round(avg(value) * 1000000) AS BIGINT) AS v6, count(*) AS n
+  FROM ev GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx FROM obs GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx)) AS hb FROM bounds
+),
+filled AS (
+  SELECT s.user_id, s.hb, o.v6, o.n,
+         last_value(o.v6 IGNORE NULLS) OVER w_past AS locf6,
+         last_value(CASE WHEN o.v6 IS NOT NULL THEN s.hb END IGNORE NULLS) OVER w_past AS prev_b,
+         first_value(o.v6 IGNORE NULLS) OVER w_next AS next_v6,
+         first_value(CASE WHEN o.v6 IS NOT NULL THEN s.hb END IGNORE NULLS) OVER w_next AS next_b
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.hb = o.hb
+  WINDOW w_past AS (PARTITION BY s.user_id ORDER BY s.hb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY s.user_id ORDER BY s.hb
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hb * {_GF_HOUR_US} AS bucket_us,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+       CAST(v6 IS NULL AS INTEGER) AS is_gap,
+       locf6 / 1000000.0 AS value_locf,
+       CASE WHEN v6 IS NOT NULL THEN v6
+            ELSE locf6 + CAST(floor((next_v6 - locf6) * (hb - prev_b) * 1.0
+                                    / (next_b - prev_b)) AS BIGINT)
+       END / 1000000.0 AS value_interp
+FROM filled
+ORDER BY user_id, bucket_us
+""",
+    doc=(
+        "Hypertable gap-fill: per-key hourly spine between each key's first "
+        "and last observation (explode over a sequence — no cross join with "
+        "a global calendar), left join of observed buckets, then "
+        "last-observation-carried-forward and linear interpolation via "
+        "IGNORE NULLS window frames. Everything is JVM window/join work; "
+        "spine size is bounded per key, so the plan is a hash shuffle on the "
+        "key plus one sort within partitions — TimescaleDB's time_bucket_gapfill"
+        "/locf/interpolate re-expressed in Spark built-ins."
+    ),
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Observed values are integer-scaled to micro-units and the linear
+    # interpolation runs as exact-integer arithmetic with one floored
+    # double division — cross-engine round() of halfway doubles disagrees
+    # (Spark decimal-string HALF_UP vs DuckDB scaled-double), while
+    # floor((int*int)/int) is IEEE-deterministic on both.
+    ev = _events_us(spark, sf_dir)
+    obs = ev.groupBy(
+        "user_id", F.expr(f"ts_us div {_GF_HOUR_US}").alias("hb")
+    ).agg(
+        F.round(F.avg("value") * 1_000_000).cast("long").alias("v6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("hb").alias("mn"), F.max("hb").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("hb"))
+    )
+    filled = spine.join(obs, ["user_id", "hb"], "left")
+    w_past = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("v6").isNotNull(), F.col("hb"))
+    staged = filled.select(
+        "user_id",
+        "hb",
+        "v6",
+        "n",
+        F.last("v6", ignorenulls=True).over(w_past).alias("locf6"),
+        F.last(obs_b, ignorenulls=True).over(w_past).alias("prev_b"),
+        F.first("v6", ignorenulls=True).over(w_next).alias("next_v6"),
+        F.first(obs_b, ignorenulls=True).over(w_next).alias("next_b"),
+    )
+    interp6 = F.when(F.col("v6").isNotNull(), F.col("v6")).otherwise(
+        F.col("locf6")
+        + F.floor(
+            (F.col("next_v6") - F.col("locf6"))
+            * (F.col("hb") - F.col("prev_b"))
+            * 1.0
+            / (F.col("next_b") - F.col("prev_b"))
+        ).cast("long")
+    )
+    return staged.select(
+        "user_id",
+        (F.col("hb") * _GF_HOUR_US).alias("bucket_us"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.col("v6").isNull().cast("int").alias("is_gap"),
+        (F.col("locf6") / 1_000_000.0).alias("value_locf"),
+        (interp6 / 1_000_000.0).alias("value_interp"),
+    ).orderBy("user_id", "bucket_us")
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders
+),
+ch AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 7 THEN 'D'
+              WHEN o_orderkey % 10 = 3 THEN 'U' END AS op,
+         (pc * 11) // 10 AS new_pc
+  FROM base WHERE o_orderkey % 10 IN (3, 7)
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'I', pc // 2
+  FROM base WHERE o_orderkey % 10 = 1
+),
+merged AS (
+  SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         CASE WHEN c.op IS NULL THEN 'keep'
+              WHEN c.op = 'U' THEN 'update'
+              WHEN c.op = 'I' THEN 'insert'
+              ELSE 'delete' END AS action,
+         CASE WHEN c.op IN ('U', 'I') THEN c.new_pc ELSE b.pc END AS pc
+  FROM base b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey
+)
+SELECT action, count(*) AS n_rows,
+       round(CAST(sum(pc) AS BIGINT) / 100.0, 2) AS total_price
+FROM merged
+GROUP BY action
+ORDER BY action
+""",
+    doc=(
+        "CDC snapshot merge (MERGE INTO semantics without a table format): "
+        "one FULL OUTER hash join of base vs changes on the key applies "
+        "updates, inserts and deletes in a single shuffle — the scalable "
+        "shape for periodic upsert compaction of a 100 TB table (per-row "
+        "point updates are not a thing in immutable parquet; batched "
+        "join-merge is). Changes are synthesized deterministically from the "
+        "orders fixture (U: key%10=3 re-priced, D: key%10=7, I: key%10=1 "
+        "cloned to a new key range); output is the per-action row/price "
+        "audit the merge job would emit."
+    ),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All price arithmetic runs in integer cents: cross-engine round() of
+    # halfway doubles (x.xx5 from *1.1 or /2) disagrees between Spark
+    # (decimal-string HALF_UP) and DuckDB (scaled-double), and distributed
+    # float summation is order-dependent — integers are exact on both counts.
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("pc")
+    )
+    upd = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey", F.lit("U").alias("op"), F.expr("(pc * 11) div 10").alias("new_pc")
+    )
+    dele = base.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_pc")
+    )
+    ins = base.filter(F.col("o_orderkey") % 10 == 1).select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.expr("pc div 2").alias("new_pc"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = base.join(changes, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.when(F.col("op").isNull(), "keep")
+        .when(F.col("op") == "U", "update")
+        .when(F.col("op") == "I", "insert")
+        .otherwise("delete")
+        .alias("action"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_pc")).otherwise(F.col("pc")).alias("pc"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("pc") / 100.0, 2).alias("total_price"),
+        )
+        .orderBy("action")
+    )

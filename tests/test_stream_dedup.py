@@ -1,0 +1,103 @@
+"""Streaming dedup operators: batch-stream equivalence and bounded-state
+watermark semantics."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+
+from detector_network_processor_spark.streaming.dedup import (
+    stream_dedup_exact,
+    stream_dedup_within_watermark,
+    with_content_key,
+)
+
+
+def _run_stream(spark, tmp, build, name):
+    q = (
+        build.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_stream_dedup_exact_matches_batch(spark):
+    rows = [(i % 40, f"doc text {i % 40}", i) for i in range(400)]
+    tmp = tempfile.mkdtemp(prefix="dnp_sdedup_")
+    try:
+        schema = "doc_id long, text string, seq long"
+        df = spark.createDataFrame(rows, schema)
+        for part in range(4):
+            df.filter(F.col("seq") % 4 == part).coalesce(1).write.parquet(f"{tmp}/in/p{part}")
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/p*")
+        got = _run_stream(
+            spark, tmp, stream_dedup_exact(with_content_key(stream), ["content_key"]), "sdedup_exact"
+        )
+        # 40 distinct texts regardless of arrival order/batching
+        assert got.count() == 40
+        assert got.select("content_key").distinct().count() == 40
+        batch_keys = {
+            r["content_key"]
+            for r in with_content_key(df).select("content_key").distinct().collect()
+        }
+        assert {r["content_key"] for r in got.collect()} == batch_keys
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_within_watermark_suppresses_near_dups_only(spark):
+    """Duplicates inside the horizon are dropped; a re-arrival far past the
+    watermark is admitted again (bounded state, documented semantics)."""
+    base_s = 1_700_000_000
+    rows = (
+        # burst of duplicate content at t0..t0+60s -> one survivor
+        [(1, "same text", base_s + i) for i in range(0, 61, 20)]
+        # unrelated doc inside the burst
+        + [(2, "other text", base_s + 30)]
+        # filler 1h later advances the watermark past the burst's horizon
+        # BEFORE the re-arrival (the watermark trails by one batch, so the
+        # eviction must happen in an earlier batch than the re-arrival's)
+        + [(5, "gap filler", base_s + 3600)]
+        # second spacer: state eviction runs at END of a batch (after that
+        # batch's dedup), so the re-arrival must come >= 2 batches after
+        # the watermark-advancing event
+        + [(6, "spacer", base_s + 3660)]
+        # same content AGAIN, 2h later (far beyond the 10-minute horizon)
+        # -> admitted again
+        + [(3, "same text", base_s + 7200)]
+        + [(4, "closer", base_s + 7260)]
+    )
+    tmp = tempfile.mkdtemp(prefix="dnp_sdedupw_")
+    try:
+        schema = "doc_id long, text string, ts_s long"
+        # one file per row, in time order, so watermark advances between rows
+        for i, r in enumerate(rows):
+            spark.createDataFrame([r], schema).coalesce(1).write.parquet(f"{tmp}/in/f{i:02d}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/f*")
+            .withColumn("ts", F.timestamp_seconds("ts_s"))
+        )
+        got = _run_stream(
+            spark,
+            tmp,
+            stream_dedup_within_watermark(
+                with_content_key(stream), ["content_key"], "ts", "10 minutes"
+            ),
+            "sdedup_wm",
+        )
+        out = sorted(r["doc_id"] for r in got.collect())
+        # burst collapses to doc 1; doc 3 re-admitted after horizon
+        assert 1 in out and 2 in out and 4 in out and 5 in out and 6 in out
+        assert 3 in out, "re-arrival beyond the watermark horizon must be admitted"
+        assert len(out) == 6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
