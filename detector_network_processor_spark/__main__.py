@@ -57,6 +57,16 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--trigger-seconds", type=int, default=None)
     sp.add_argument("--available-now", action="store_true", help="drain the spool and exit")
     sp.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
+
+    mat = sub.add_parser(
+        "materialize",
+        help="rewrite fixture tables into the scale storage layout "
+        "(events day-partitioned for pruning; others plain parquet)",
+    )
+    mat.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    mat.add_argument("--out", required=True)
+    mat.add_argument("--tables", default="events", help="comma-separated table names")
+    mat.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
     return p
 
 
@@ -137,6 +147,33 @@ def _cmd_stream(args) -> int:
     return 0
 
 
+def _cmd_materialize(args) -> int:
+    import pyspark.sql.functions as F
+
+    from .io import TABLES, load_table, ts_to_us, write_partitioned
+    from .session import get_spark
+
+    spark = get_spark(app_name="dnp-materialize", cpus=args.cpus)
+    day_us = 86_400_000_000
+    for name in [t.strip() for t in args.tables.split(",") if t.strip()]:
+        if name not in TABLES:
+            print(f"unknown table {name!r} (expected one of {', '.join(TABLES)})", file=sys.stderr)
+            return 2
+        df = load_table(spark, args.sf_dir, name)
+        dest = os.path.join(args.out, name)
+        if name == "events":
+            # Day-partitioned event stream: equality/range predicates on
+            # `day` prune whole directories before a file is opened — the
+            # canonical 100 TB time-series layout (io.write_partitioned;
+            # pruning is plan-asserted in tests/test_scale_io.py).
+            df = df.withColumn("day", F.floor(ts_to_us(df) / day_us).cast("long"))
+            write_partitioned(df, dest, ["day"])
+        else:
+            df.write.mode("overwrite").parquet(dest)
+        print(f"materialized {name} -> {dest}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.cmd == "list":
@@ -147,6 +184,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_oracle(args)
     if args.cmd == "stream":
         return _cmd_stream(args)
+    if args.cmd == "materialize":
+        return _cmd_materialize(args)
     return 2
 
 

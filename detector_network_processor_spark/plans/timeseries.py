@@ -409,3 +409,292 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+_FUNNEL_WINDOW_US = 86_400_000_000  # 24 h
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL}),
+v AS (SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts_us) AS t2, min(v.t1) AS t1
+  FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > v.t1
+  GROUP BY e.user_id
+),
+cq AS (SELECT * FROM c WHERE t2 - t1 <= {_FUNNEL_WINDOW_US}),
+p AS (
+  SELECT e.user_id, min(e.ts_us) AS t3, min(cq.t1) AS t1
+  FROM ev e JOIN cq ON e.user_id = cq.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > cq.t2
+  GROUP BY e.user_id
+),
+pq AS (SELECT * FROM p WHERE t3 - t1 <= {_FUNNEL_WINDOW_US}),
+counts AS (
+  SELECT 1 AS step, 'view' AS funnel_step, count(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'view>click', count(*) FROM cq
+  UNION ALL
+  SELECT 3, 'view>click>purchase', count(*) FROM pq
+)
+SELECT step, funnel_step, n_users,
+       round(n_users * 1.0 / (SELECT n_users FROM counts WHERE step = 1), 6) AS conversion
+FROM counts ORDER BY step
+""",
+    doc=(
+        "Ordered-funnel conversion (ClickHouse windowFunnel analog, "
+        "earliest-event semantics): per user, the first 'view', the first "
+        "'click' strictly after it, the first 'purchase' strictly after "
+        "that, with the whole chain inside a 24 h window of step 1. Pure "
+        "relational cascade — three hash-shuffled min-aggregations on "
+        "user_id, no per-user sequence UDF, so at 100 TB it is three "
+        "map-side-combined aggs instead of a collect_list-per-user sort. "
+        "The step-N frame joins only step-(N-1) survivors, so each stage "
+        "shrinks."
+    ),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    cq = c.filter(F.col("t2") - F.col("t1") <= _FUNNEL_WINDOW_US)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cq, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"), F.min("t1").alias("t1"))
+    )
+    pq = p.filter(F.col("t3") - F.col("t1") <= _FUNNEL_WINDOW_US)
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("step"), F.lit("view").alias("funnel_step"), "n_users"
+        )
+        .unionByName(
+            cq.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("step"), F.lit("view>click").alias("funnel_step"), "n_users"
+            )
+        )
+        .unionByName(
+            pq.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("step"),
+                F.lit("view>click>purchase").alias("funnel_step"),
+                "n_users",
+            )
+        )
+    )
+    base = counts.filter(F.col("step") == 1).select(F.col("n_users").alias("n1"))
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "funnel_step",
+            "n_users",
+            F.round(F.col("n_users") * 1.0 / F.col("n1"), 6).alias("conversion"),
+        )
+        .orderBy("step")
+    )
+
+
+def _zorder_oracle() -> str:
+    from ..functions.zorder import zorder_key_sql
+
+    zk = zorder_key_sql("(user_id & 65535)", "((epoch_us(ts) // 3600000000) & 65535)")
+    return f"""
+WITH z AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hb, {zk} AS zkey
+  FROM events
+)
+SELECT zkey // 4096 AS z_bucket, count(*) AS n_events,
+       min(user_id) AS min_user, max(user_id) AS max_user,
+       min(hb) AS min_hb, max(hb) AS max_hb
+FROM z GROUP BY 1 ORDER BY z_bucket
+"""
+
+
+@register(
+    "zorder_layout",
+    oracle=_zorder_oracle(),
+    doc=(
+        "Z-order (Morton) layout keys over (user_id, hour-bucket): the "
+        "storage-clustering key that gives BOTH dimensions file-skipping "
+        "locality when used with io.write_partitioned / sortWithinPartitions "
+        "(the Delta OPTIMIZE ZORDER pattern). The encoder is 32 unrolled JVM "
+        "bit terms (functions/zorder.py) inside whole-stage codegen; the "
+        "query reports per-z-bucket row counts and min/max of each dimension "
+        "— the bounded ranges ARE the data-skipping guarantee the layout "
+        "buys. Oracle recomputes the identical interleave in ANSI SQL."
+    ),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.zorder import zorder_key
+
+    ev = _events_us(spark, sf_dir)
+    hb = F.expr("ts_us div 3600000000")
+    z = ev.select(
+        "user_id",
+        hb.alias("hb"),
+        zorder_key(
+            F.col("user_id").bitwiseAND(F.lit(65535)), hb.bitwiseAND(F.lit(65535))
+        ).alias("zkey"),
+    )
+    return (
+        z.groupBy(F.expr("zkey div 4096").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("hb").alias("min_hb"),
+            F.max("hb").alias("max_hb"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "retention_cohorts",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL}),
+su AS (
+  SELECT user_id, min(ts_us // {_DAY_US}) AS cohort_day
+  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, ts_us // {_DAY_US} AS day FROM ev),
+j AS (
+  SELECT DISTINCT s.cohort_day, a.day - s.cohort_day AS day_offset, a.user_id
+  FROM act a JOIN su s ON a.user_id = s.user_id
+  WHERE a.day >= s.cohort_day
+),
+ret AS (SELECT cohort_day, day_offset, count(*) AS n_active FROM j GROUP BY 1, 2),
+sz AS (SELECT cohort_day, count(*) AS cohort_size FROM su GROUP BY 1)
+SELECT r.cohort_day, r.day_offset, r.n_active, s.cohort_size,
+       round(r.n_active * 1.0 / s.cohort_size, 6) AS retention
+FROM ret r JOIN sz s ON r.cohort_day = s.cohort_day
+ORDER BY r.cohort_day, r.day_offset
+""",
+    doc=(
+        "Cohort retention matrix: users are cohorted by first-'signup' day; "
+        "each (cohort_day, day_offset) cell counts cohort members active "
+        "that day. Classic product-analytics rollup; at 100 TB the heavy "
+        "side collapses to DISTINCT (user, day) BEFORE the cohort join, so "
+        "the join carries <= users x days rows, never raw events, and both "
+        "aggregations are map-side combined."
+    ),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    day = F.expr(f"ts_us div {_DAY_US}")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("cohort_day"))
+    )
+    act = ev.select("user_id", day.alias("day")).distinct()
+    j = (
+        act.join(su, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .select("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"), "user_id")
+        .distinct()
+    )
+    ret = j.groupBy("cohort_day", "day_offset").agg(F.count(F.lit(1)).alias("n_active"))
+    sz = su.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        ret.join(F.broadcast(sz), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "rate_anomalies",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL}),
+hc AS (
+  SELECT user_id, ts_us // {_GF_HOUR_US} AS hb, count(*) AS c
+  FROM ev GROUP BY 1, 2
+),
+w AS (
+  SELECT user_id, hb, c,
+         count(*)       OVER tw AS n,
+         CAST(sum(c)    OVER tw AS BIGINT) AS s,
+         CAST(sum(c*c)  OVER tw AS BIGINT) AS ss
+  FROM hc
+  WINDOW tw AS (PARTITION BY user_id ORDER BY hb
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, hb, c, n,
+         s * 1.0 / n AS mean,
+         (ss * 1.0 / n) - (s * 1.0 / n) * (s * 1.0 / n) AS var
+  FROM w WHERE n >= 6
+)
+SELECT user_id, hb * {_GF_HOUR_US} AS bucket_us, c AS n_events,
+       round(mean, 6) AS trailing_mean,
+       round((c - mean) / sqrt(var), 6) AS zscore
+FROM z
+WHERE var > 0 AND abs((c - mean) / sqrt(var)) > 3.0
+ORDER BY user_id, bucket_us
+""",
+    doc=(
+        "Trailing-window rate anomaly detection (the monitoring-side analog "
+        "of the reference's rate rings, include/analysis/ratesupervisor.h): "
+        "per-key hourly counts, z-score of each hour against its trailing "
+        "24 observed hours (frame excludes the current row), flag |z| > 3. "
+        "All moments are exact-integer window sums (count/sum/sum-of-"
+        "squares), so mean/var/z are single deterministic IEEE expressions — "
+        "cross-engine exact with no distributed float summation. One hash "
+        "shuffle on the key + one frame sort; scales as O(events) map work."
+    ),
+)
+def rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    hc = ev.groupBy(
+        "user_id", F.expr(f"ts_us div {_GF_HOUR_US}").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tw = (
+        Window.partitionBy("user_id").orderBy("hb").rowsBetween(-24, -1)
+    )
+    w = hc.select(
+        "user_id",
+        "hb",
+        "c",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("c").over(tw).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("ss"),
+    ).filter(F.col("n") >= 6)
+    mean = F.col("s") * 1.0 / F.col("n")
+    var = (F.col("ss") * 1.0 / F.col("n")) - mean * mean
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return (
+        w.filter((var > 0) & (F.abs(z) > 3.0))
+        .select(
+            "user_id",
+            (F.col("hb") * _GF_HOUR_US).alias("bucket_us"),
+            F.col("c").alias("n_events"),
+            F.round(mean, 6).alias("trailing_mean"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("user_id", "bucket_us")
+    )

@@ -105,3 +105,30 @@ def test_module_invocation_smoke():
     )
     assert r.returncode == 0
     assert "l1_coincidence" in r.stdout
+
+
+def test_materialize_day_partitions_events(spark, tmp_path):
+    rc = main(
+        [
+            "materialize",
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "lake"),
+            "--tables", "events",
+        ]
+    )
+    assert rc == 0
+    import pyspark.sql.functions as F
+
+    out = spark.read.parquet(str(tmp_path / "lake" / "events"))
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert out.count() == src.count()
+    # hive-style day directories exist and a day filter prunes to one of them
+    days = [r["day"] for r in out.select("day").distinct().collect()]
+    assert len(days) > 1
+    one = out.filter(F.col("day") == days[0])
+    files = {r[0] for r in one.select(F.input_file_name()).distinct().collect()}
+    assert all(f"day={days[0]}" in f for f in files)
+
+
+def test_materialize_unknown_table(tmp_path):
+    assert main(["materialize", "--out", str(tmp_path), "--tables", "nope"]) == 2

@@ -101,3 +101,47 @@ def test_stream_dedup_within_watermark_suppresses_near_dups_only(spark):
         assert len(out) == 6
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_curation_pipeline_matches_batch(spark):
+    """The ingest-time curation composition (gate -> digest dedup ->
+    stratified sample) over a chunked stream equals the same stages in
+    batch, when files arrive in doc_id order (first arrival == min id)."""
+    from detector_network_processor_spark.io import load_table
+    from detector_network_processor_spark.streaming.curation import (
+        quality_gate,
+        stratified_sample_filter,
+        stream_curation_pipeline,
+        with_content_key,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+
+    # batch expectation with the identical stages (dedup = min doc_id per key)
+    gb = with_content_key(quality_gate(docs))
+    canon = gb.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+    batch = stratified_sample_filter(gb.join(canon, ["content_key", "doc_id"]))
+    expected = {
+        (r["doc_id"], round(r["weight"], 6)) for r in batch.select("doc_id", "weight").collect()
+    }
+
+    tmp = tempfile.mkdtemp(prefix="dnp_scur_")
+    try:
+        n = docs.count()
+        # three chunks in ascending doc_id order
+        for i in range(3):
+            docs.filter(
+                (F.col("doc_id") >= i * n / 3) & (F.col("doc_id") < (i + 1) * n / 3)
+            ).coalesce(1).write.parquet(f"{tmp}/in/c{i}")
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/c*")
+        )
+        got_df = _run_stream(spark, tmp, stream_curation_pipeline(stream), "scur")
+        got = {(r["doc_id"], round(r["weight"], 6)) for r in got_df.collect()}
+        assert got == expected
+        assert len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
