@@ -67,6 +67,13 @@ def _build_parser() -> argparse.ArgumentParser:
     mat.add_argument("--out", required=True)
     mat.add_argument("--tables", default="events", help="comma-separated table names")
     mat.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
+
+    ver = sub.add_parser(
+        "verify", help="hash-compare registered queries against their DuckDB oracles"
+    )
+    ver.add_argument("names", nargs="*", help="query names (default: all with oracles)")
+    ver.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ver.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
     return p
 
 
@@ -174,6 +181,32 @@ def _cmd_materialize(args) -> int:
     return 0
 
 
+def _cmd_verify(args) -> int:
+    from .plans import all_queries
+    from .session import get_spark
+    from .testing import compare_spark_vs_oracle, duckdb_connect
+
+    qs = all_queries()
+    names = args.names or sorted(n for n, s in qs.items() if s.oracle)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {', '.join(unknown)}", file=sys.stderr)
+        return 2
+    spark = get_spark(app_name="dnp-verify", cpus=args.cpus)
+    con = duckdb_connect(args.sf_dir)
+    failures = 0
+    for name in names:
+        spec = qs[name]
+        if spec.oracle is None:
+            print(f"{name}: SKIP (no oracle)")
+            continue
+        ok, msg = compare_spark_vs_oracle(spec.fn(spark, args.sf_dir), con, spec.oracle)
+        print(f"{name}: {'OK' if ok else 'FAIL — ' + msg}")
+        failures += 0 if ok else 1
+    print(f"\n{len(names) - failures}/{len(names)} OK at {args.sf_dir}")
+    return 1 if failures else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.cmd == "list":
@@ -186,6 +219,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_stream(args)
     if args.cmd == "materialize":
         return _cmd_materialize(args)
+    if args.cmd == "verify":
+        return _cmd_verify(args)
     return 2
 
 

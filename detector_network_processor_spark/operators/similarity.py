@@ -345,3 +345,174 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-side half of IVF-PQ ANN
+# --------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codes per subspace
+
+
+def pq_encode(corpus: DataFrame, codebook, dim: int,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>[M]): each vector compressed to M sub-space
+    codebook indices (argmin L2 per subspace, ties to the lower code).
+
+    ``codebook`` is an (M, K, dim/M) numpy array — tiny (M*K*dim floats),
+    shipped in the UDF closure like a broadcast variable. The encode pass
+    is a map-only Arrow stage: at 100 TB this is the compression sweep
+    that turns dim*4 bytes/vector into M bytes, after which the whole ANN
+    index fits in a fraction of the footprint (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Distance accumulation runs dimension-by-dimension in a fixed
+    left-to-right loop — bit-identical to the SQL oracle's list_reduce
+    fold (numpy's pairwise .sum() would diverge in ulps and flip argmin
+    ties cross-engine).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // PQ_M
+    cb = np.asarray(codebook, dtype=np.float64)  # (M, K, sub)
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
+        out = np.empty((M.shape[0], PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            s = M[:, m * sub:(m + 1) * sub]  # (n, sub)
+            d2 = np.zeros((M.shape[0], PQ_K))
+            for d in range(sub):  # fixed-order fold, matches the oracle
+                diff = s[:, d:d + 1] - cb[m, :, d][None, :]
+                d2 += diff * diff
+            out[:, m] = np.argmin(d2, axis=1)  # ties -> lowest code
+        return pd.Series(list(out))
+
+    return corpus.select(F.col(id_col), encode(_as_double(F.col(vec_col))).alias("codes"))
+
+
+def pq_topk(queries: DataFrame, codes: DataFrame, codebook, dim: int, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    its M x K lookup table of sub-space distances ONCE (Arrow stage over
+    the tiny query frame), the LUT rides a broadcast join onto the code
+    table, and the approximate distance is M element_at's + M-1 additions
+    per candidate — pure whole-stage-codegen arithmetic, no per-candidate
+    float vectors. Shuffle shape: broadcast(queries) x codes scan, then
+    WindowGroupLimit top-k — the corpus is never re-shuffled.
+
+    Returns (query_id, neighbor_id, rank, adc_d2)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // PQ_M
+    cb = np.asarray(codebook, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def lut(vecs: pd.Series) -> pd.Series:
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in vecs])  # (q, dim)
+        out = np.empty((Q.shape[0], PQ_M * PQ_K))
+        for m in range(PQ_M):
+            s = Q[:, m * sub:(m + 1) * sub]
+            d2 = np.zeros((Q.shape[0], PQ_K))
+            for d in range(sub):  # same fixed-order fold as pq_encode
+                diff = s[:, d:d + 1] - cb[m, :, d][None, :]
+                d2 += diff * diff
+            out[:, m * PQ_K:(m + 1) * PQ_K] = d2
+        return pd.Series(list(out))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), lut(_as_double(F.col(vec_col))).alias("lut")
+    )
+    c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    # ((t0 + t1) + t2) + t3 — explicit association so both engines add in
+    # the same order
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("lut"), m * PQ_K + F.element_at(F.col("codes"), m + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q))
+        .withColumn("adc_d2", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adc_d2", 6).alias("adc_d2"))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the full compressed-ANN composition — coarse inverted lists
+    prune WHICH candidates are scored (ivf), PQ/ADC codes decide HOW
+    cheaply (pq). At 100 TB this is the only layout in this family where
+    both the scan (centroid-pruned partitions) and the per-candidate cost
+    (M byte codes + LUT lookups) shrink together; the raw vectors never
+    move after the encode pass.
+
+    Shuffle shape: codes⋈lists is an equi-join on the corpus id (both
+    derive from the same scan), candidates hash-join probes on
+    centroid_id, the per-query LUT table broadcasts, and top-k is
+    WindowGroupLimit."""
+    lists = _nearest_centroids(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    codes = pq_encode(corpus, codebook, dim, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    cand = lists.join(codes, "neighbor_id")
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // PQ_M
+    cb = np.asarray(codebook, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def lut(vecs: pd.Series) -> pd.Series:
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.empty((Q.shape[0], PQ_M * PQ_K))
+        for m in range(PQ_M):
+            s = Q[:, m * sub:(m + 1) * sub]
+            d2 = np.zeros((Q.shape[0], PQ_K))
+            for d in range(sub):
+                diff = s[:, d:d + 1] - cb[m, :, d][None, :]
+                d2 += diff * diff
+            out[:, m * PQ_K:(m + 1) * PQ_K] = d2
+        return pd.Series(list(out))
+
+    probes = _nearest_centroids(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    qlut = queries.select(
+        F.col(id_col).alias("query_id"), lut(_as_double(F.col(vec_col))).alias("lut")
+    )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col("lut"), m * PQ_K + F.element_at(F.col("codes"), m + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("neighbor_id"))
+    return (
+        probes.join(cand, "centroid_id")
+        .join(F.broadcast(qlut), "query_id")
+        .withColumn("adc_d2", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("adc_d2", 6).alias("adc_d2"))
+    )

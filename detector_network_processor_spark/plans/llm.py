@@ -1538,3 +1538,239 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("sum_val6"), "n_rows")
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (PQ/ADC — Jégou et al. 2011)
+# --------------------------------------------------------------------------
+
+
+def _pq_oracle() -> str:
+    from ..operators.similarity import PQ_K, PQ_M
+
+    sub = 64 // PQ_M
+    Q = _N_QUERY_VECS
+
+    def d2(vec: str, m_ref: str, sub_ref: str) -> str:
+        # left-fold accumulation — same order as the numpy per-dim loop
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {sub}), "
+            f"d -> ({vec}[{m_ref}*{sub} + d] - {sub_ref}[d]) * ({vec}[{m_ref}*{sub} + d] - {sub_ref}[d]))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    cjoins, ljoins, adds = [], [], []
+    for m in range(PQ_M):
+        cjoins.append(
+            f"JOIN (SELECT vec_id, c FROM codes WHERE m = {m}) c{m} "
+            + ("ON c0.vec_id = c0.vec_id" if m == 0 else f"ON c{m}.vec_id = c0.vec_id")
+        )
+        ljoins.append(
+            f"JOIN (SELECT query_id, c, d2 FROM lutd WHERE m = {m}) l{m} "
+            + (f"ON l0.c = c0.c" if m == 0 else f"ON l{m}.c = c{m}.c AND l{m}.query_id = l0.query_id")
+        )
+        adds.append(f"l{m}.d2")
+    adc_expr = adds[0]
+    for t in adds[1:]:
+        adc_expr = f"({adc_expr} + {t})"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {Q}),
+corp AS (SELECT vec_id, v FROM e WHERE vec_id >= {Q}),
+mm AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+cb AS (
+  SELECT mm.m, corp.vec_id - {Q} AS c,
+         list_slice(corp.v, mm.m*{sub}+1, mm.m*{sub}+{sub}) AS sub
+  FROM corp, mm WHERE corp.vec_id < {Q + PQ_K}
+),
+cdist AS (
+  SELECT corp.vec_id, cb.m, cb.c, {d2("corp.v", "cb.m", "cb.sub")} AS d2
+  FROM corp, cb
+),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+    FROM cdist) t WHERE rn = 1
+),
+lutd AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.c, {d2("q.v", "cb.m", "cb.sub")} AS d2
+  FROM q, cb
+),
+adc AS (
+  SELECT l0.query_id, c0.vec_id AS neighbor_id, {adc_expr} AS adc_d2
+  FROM (SELECT vec_id, c FROM codes WHERE m = 0) c0
+  {" ".join(cjoins[1:])}
+  {" ".join(ljoins)}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, rank, round(adc_d2, 6) AS adc_d2
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "pq_topk",
+    oracle=_pq_oracle(),
+    doc=(
+        "Product-quantization ANN (Jégou et al., TPAMI 2011): corpus "
+        "vectors compress to M=4 sub-space codebook indices (map-only "
+        "Arrow encode pass, 256x memory reduction at dim=64/fp32), queries "
+        "build their MxK asymmetric-distance LUT once, and candidate "
+        "scoring is 4 element_at lookups + 3 additions inside whole-stage "
+        "codegen — the memory-side half of IVF-PQ, composable with "
+        "ivf_topk's list pruning. Distance folds are fixed-order so Spark "
+        "and the SQL oracle agree bit-for-bit on every argmin and ranking."
+    ),
+)
+def pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.similarity import PQ_K, PQ_M, pq_encode, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    corp = emb.filter(F.col("vec_id") >= _N_QUERY_VECS)
+    # Codebook: the first K corpus vectors' subvectors — deterministic and
+    # reproducible in SQL (training a real codebook is kmeans_refine's job;
+    # here the fixed codebook keeps the oracle exact). O(M*K*dim) driver
+    # bytes — the same tiny-collect class as the IVF centroid table.
+    first = (
+        corp.filter(F.col("vec_id") < _N_QUERY_VECS + PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    flat = np.array([r["embedding"] for r in first], dtype=np.float64)  # (K, dim)
+    sub = flat.shape[1] // PQ_M
+    cb = np.stack([flat[:, m * sub:(m + 1) * sub] for m in range(PQ_M)])  # (M, K, sub)
+    codes = pq_encode(corp, cb, flat.shape[1])
+    return pq_topk(q, codes, cb, flat.shape[1], k=5).orderBy("query_id", "rank")
+
+
+def _ivfpq_oracle() -> str:
+    from ..operators.similarity import PQ_K, PQ_M
+
+    sub = 64 // PQ_M
+    Q = _N_QUERY_VECS
+
+    def d2(vec: str, m_ref: str, sub_ref: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {sub}), "
+            f"d -> ({vec}[{m_ref}*{sub} + d] - {sub_ref}[d]) * ({vec}[{m_ref}*{sub} + d] - {sub_ref}[d]))), "
+            f"(acc, x) -> acc + x)"
+        )
+
+    cjoins, ljoins, adds = [], [], []
+    for m in range(1, PQ_M):
+        cjoins.append(
+            f"JOIN (SELECT vec_id, c FROM codes WHERE m = {m}) c{m} ON c{m}.vec_id = c0.vec_id"
+        )
+    for m in range(PQ_M):
+        ljoins.append(
+            f"JOIN (SELECT query_id, c, d2 FROM lutd WHERE m = {m}) l{m} "
+            + ("ON l0.c = c0.c" if m == 0 else f"ON l{m}.c = c{m}.c AND l{m}.query_id = l0.query_id")
+        )
+        adds.append(f"l{m}.d2")
+    adc_expr = adds[0]
+    for t in adds[1:]:
+        adc_expr = f"({adc_expr} + {t})"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {_IVF_N_CENT}),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < {Q}),
+corp AS (SELECT vec_id, v FROM e WHERE vec_id >= {Q}),
+cd AS (
+  SELECT corp.vec_id, cent.centroid_id,
+         row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+           list_sum(list_transform(list_zip(corp.v, cent.cv), x -> (x[1]-x[2])*(x[1]-x[2]))),
+           cent.centroid_id) AS rn
+  FROM corp CROSS JOIN cent
+),
+lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM cd WHERE rn = 1),
+qd AS (
+  SELECT q.vec_id, cent.centroid_id,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           list_sum(list_transform(list_zip(q.v, cent.cv), x -> (x[1]-x[2])*(x[1]-x[2]))),
+           cent.centroid_id) AS rn
+  FROM q CROSS JOIN cent
+),
+probes AS (SELECT vec_id AS query_id, centroid_id FROM qd WHERE rn <= {_IVF_NPROBE}),
+mm AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+cb AS (
+  SELECT mm.m, corp.vec_id - {Q} AS c,
+         list_slice(corp.v, mm.m*{sub}+1, mm.m*{sub}+{sub}) AS sub
+  FROM corp, mm WHERE corp.vec_id < {Q + PQ_K}
+),
+cdist AS (
+  SELECT corp.vec_id, cb.m, cb.c, {d2("corp.v", "cb.m", "cb.sub")} AS d2
+  FROM corp, cb
+),
+codes AS (
+  SELECT vec_id, m, c FROM (
+    SELECT vec_id, m, c, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+    FROM cdist) t WHERE rn = 1
+),
+lutd AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.c, {d2("q.v", "cb.m", "cb.sub")} AS d2
+  FROM q, cb
+),
+adc AS (
+  SELECT l0.query_id, c0.vec_id AS neighbor_id, {adc_expr} AS adc_d2
+  FROM (SELECT vec_id, c FROM codes WHERE m = 0) c0
+  {" ".join(cjoins)}
+  {" ".join(ljoins)}
+  JOIN lists ON lists.neighbor_id = c0.vec_id
+  JOIN probes ON probes.centroid_id = lists.centroid_id AND probes.query_id = l0.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS INTEGER) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, rank, round(adc_d2, 6) AS adc_d2
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    doc=(
+        "IVF-PQ: the composed compressed-ANN pipeline — coarse centroid "
+        "lists prune WHICH candidates each query scores (nprobe of "
+        f"{_IVF_N_CENT} lists), PQ/ADC codes make each score 4 LUT lookups "
+        "instead of a 64-dim dot product. At 100 TB both the scan "
+        "(centroid-partitioned) and the per-candidate arithmetic shrink; "
+        "raw vectors never move after encode. Oracle recomputes the entire "
+        "assignment+codes+LUT+pruned-ADC pipeline in SQL."
+    ),
+)
+def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.similarity import PQ_K, PQ_M, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _IVF_N_CENT).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERY_VECS)
+    first = (
+        corpus.filter(F.col("vec_id") < _N_QUERY_VECS + PQ_K)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    flat = np.array([r["embedding"] for r in first], dtype=np.float64)
+    sub = flat.shape[1] // PQ_M
+    cb = np.stack([flat[:, m * sub:(m + 1) * sub] for m in range(PQ_M)])
+    return ivfpq_topk(
+        corpus, queries, centroids, cb, flat.shape[1], k=5, nprobe=_IVF_NPROBE
+    ).orderBy("query_id", "rank")

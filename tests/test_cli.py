@@ -132,3 +132,14 @@ def test_materialize_day_partitions_events(spark, tmp_path):
 
 def test_materialize_unknown_table(tmp_path):
     assert main(["materialize", "--out", str(tmp_path), "--tables", "nope"]) == 2
+
+
+def test_verify_subcommand(spark, capsys):
+    rc = main(["verify", "top_orders", "q1_pricing_summary", "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "top_orders: OK" in out and "2/2 OK" in out
+
+
+def test_verify_unknown_query():
+    assert main(["verify", "nope"]) == 2

@@ -67,3 +67,67 @@ def test_ivf_topk_recall(spark):
     for r in ivf:
         if (r.query_id, r.neighbor_id) in brute_sims:
             assert abs(brute_sims[(r.query_id, r.neighbor_id)] - r.sim) < 1e-9
+
+
+def test_pq_encode_matches_numpy_and_preserves_ranking(spark):
+    """PQ differential + fidelity: Spark's Arrow encode stage reproduces an
+    independent numpy PQ model code-for-code, and the ADC ordering rank-
+    correlates with exact L2 (Spearman > 0.25 per query on this fixture —
+    the embeddings are near-isotropic random, which is PQ's worst case at
+    32 bits/vector; clustered real-world embeddings sit far higher, per
+    Jégou et al. 2011. Exact end-to-end adjudication is the pq_topk
+    oracle's job; this pins the kernel and the fidelity floor)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from detector_network_processor_spark.io import load_table
+    from detector_network_processor_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = 8
+    qv, cv, cids = V[:Q], V[Q:], ids[Q:]
+    dim = V.shape[1]
+    sub = dim // PQ_M
+    cb = np.stack([cv[:PQ_K][:, m * sub:(m + 1) * sub] for m in range(PQ_M)])
+
+    # numpy reference codes
+    ref = np.stack(
+        [
+            np.argmin(
+                ((cv[:, m * sub:(m + 1) * sub][:, None, :] - cb[m][None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )
+    corp = emb.filter(F.col("vec_id") >= Q)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(corp, cb, dim).collect()
+    }
+    for i, vid in enumerate(cids):
+        assert got[vid] == list(ref[i]), f"codes diverge for vec {vid}"
+
+    # ADC fidelity: rank correlation vs exact L2
+    lut = np.stack(
+        [((qv[:, m * sub:(m + 1) * sub][:, None, :] - cb[m][None, :, :]) ** 2).sum(-1) for m in range(PQ_M)],
+        axis=1,
+    )
+    adc = np.zeros((Q, len(cv)))
+    for m in range(PQ_M):
+        adc += lut[:, m, ref[:, m]]
+    exact = ((qv[:, None, :] - cv[None, :, :]) ** 2).sum(-1)
+    for i in range(Q):
+        ra = np.argsort(np.argsort(adc[i]))
+        rb = np.argsort(np.argsort(exact[i]))
+        rho = float(np.corrcoef(ra, rb)[0, 1])
+        assert rho > 0.25, f"query {i}: spearman {rho:.3f}"
