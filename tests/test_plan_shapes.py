@@ -100,3 +100,41 @@ def test_chunk_documents_is_map_only_before_sort(spark):
     plan = plan_of(spark, "chunk_documents")
     assert "Join" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_funnel_has_no_cartesian_on_event_side(spark):
+    """The funnel cascade must stay hash-join + hash-agg; the only
+    broadcast-nested-loop allowed is the final 1-row denominator join."""
+    plan = plan_of(spark, "funnel_conversion")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_spine_is_per_key_sequence(spark):
+    """Gap-fill must generate the spine by exploding one sequence per key —
+    never a cross join against a global calendar table."""
+    plan = plan_of(spark, "gap_fill_locf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_merge_upsert_single_full_outer_join(spark):
+    plan = plan_of(spark, "merge_upsert")
+    assert plan.count("FullOuter") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_scoring_broadcasts_query_luts(spark):
+    """PQ candidate scoring must broadcast the tiny per-query LUT table;
+    the corpus code table is never re-shuffled before the top-k window."""
+    plan = plan_of(spark, "pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_retention_distincts_before_cohort_join(spark):
+    plan = plan_of(spark, "retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
