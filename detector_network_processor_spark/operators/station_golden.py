@@ -138,13 +138,25 @@ class StationState:
     time_acc: DataSeries = field(default_factory=lambda: DataSeries(100))
     reliability_time_acc: DataSeries = field(default_factory=lambda: DataSeries(5))
     factor: float = 1.0
+    status_ts: int = 0  # event time of the last status CHANGE
     transitions: list = field(default_factory=list)
 
     def set_status(self, ts: int, status: int, reason: str = R_MISC):
+        # Timer transitions are stamped with their exact threshold time —
+        # but a RE-transition after a later wake-up (e.g. an extreme-
+        # accuracy event flipping an offline station to unreliable, then
+        # the still-expired missed-log timer flipping it back) must not be
+        # stamped before the transition that preceded it. Clamping to the
+        # last change time makes the emitted stream monotone by
+        # construction (the reference's wall-clock tick stamps such
+        # re-transitions at "now" for the same reason); found by
+        # tests/test_golden_properties-style hypothesis sweep.
+        ts = max(ts, self.status_ts)
         if self.status != status:
             self.transitions.append(
                 {"hash": self.hash, "ts": ts, "status": STATUS_NAMES[status], "reason": reason}
             )
+            self.status_ts = ts
         self.status = status
 
     # -- check_reliability (detectorstation.cpp:89-107)
@@ -310,6 +322,7 @@ def state_to_row(state: StationState | None) -> tuple | None:
         list(state.time_acc.buf),
         list(state.reliability_time_acc.buf),
         float(state.factor),
+        int(state.status_ts),
     )
 
 
@@ -332,4 +345,5 @@ def state_from_row(row) -> StationState:
     s.time_acc.buf = deque(row[17], maxlen=100)
     s.reliability_time_acc.buf = deque(row[18], maxlen=5)
     s.factor = float(row[19])
+    s.status_ts = int(row[20]) if len(row) > 20 and row[20] is not None else 0
     return s

@@ -32,7 +32,7 @@ I30 = 30 * NS
 
 TR_T = "STRUCT(ts BIGINT, status VARCHAR, reason VARCHAR)"
 STATE_T = (
-    "STRUCT(status BIGINT, last_log BIGINT, dop DOUBLE, h_acc DOUBLE, v_acc DOUBLE, "
+    "STRUCT(status BIGINT, status_ts BIGINT, last_log BIGINT, dop DOUBLE, h_acc DOUBLE, v_acc DOUBLE, "
     "cr_counter BIGINT, cr_start BIGINT, "
     f"mr_slots DOUBLE[], mr_counter BIGINT, mr_start BIGINT, ring5 DOUBLE[], tr {TR_T}[])"
 )
@@ -48,7 +48,7 @@ _MISC = "'miscellaneous'"
 _EXTREME = "'time_accuracy_extreme'"
 
 _FIELDS = [
-    "status", "last_log", "dop", "h_acc", "v_acc",
+    "status", "status_ts", "last_log", "dop", "h_acc", "v_acc",
     "cr_counter", "cr_start", "mr_slots", "mr_counter", "mr_start", "ring5", "tr",
 ]
 
@@ -98,6 +98,7 @@ def check_reliability(s_expr: str, now: str) -> str:
     applied = mk(
         "cs",
         status="CASE WHEN cv.st2 != 0 THEN cv.st2 ELSE cs.status END",
+        status_ts=f"CASE WHEN cv.st2 != 0 AND cv.st2 != cs.status THEN {now} ELSE cs.status_ts END",
         tr=newtr,
     )
     return bind(
@@ -147,24 +148,35 @@ def step(s_expr: str, now: str) -> str:
     """step(now): timers then reliability/rate (detectorstation.cpp:109-135
     with event-time thresholds). Binds sp (state), sdf (gap)."""
     log_ns, off_ns, quit_ns = LOG_INTERVAL_S * NS, OFFLINE_INTERVAL_S * NS, QUIT_INTERVAL_S * NS
+    # Re-transitions after a later wake-up must not be stamped before the
+    # transition that preceded them: clamp every timer stamp to the time of
+    # the last status change (mirrors golden set_status).
+    u_ts = f"greatest(sp.last_log + {log_ns}, sp.status_ts)"
+    o_ts = f"greatest(sp.last_log + {off_ns}, sp.status_ts)"
+    d_ts = f"greatest(sp.last_log + {quit_ns}, sp.status_ts)"
     early_tr = (
         "sp.tr || (CASE WHEN sp.status NOT IN (3, 1) THEN "
-        f"(CASE WHEN sp.status != 4 THEN [{tr('sp.last_log + %d' % log_ns, _UNREL, _MISSED)}] "
-        f"ELSE {EMPTY_TR} END) || [{tr('sp.last_log + %d' % off_ns, _OFFL, _MISSED)}] "
+        f"(CASE WHEN sp.status != 4 THEN [{tr(u_ts, _UNREL, _MISSED)}] "
+        f"ELSE {EMPTY_TR} END) || [{tr(o_ts, _OFFL, _MISSED)}] "
         f"ELSE {EMPTY_TR} END) "
-        f"|| (CASE WHEN sdf > {quit_ns} THEN [{tr('sp.last_log + %d' % quit_ns, _DELE, _MISSED)}] "
+        f"|| (CASE WHEN sdf > {quit_ns} THEN [{tr(d_ts, _DELE, _MISSED)}] "
         f"ELSE {EMPTY_TR} END)"
     )
     early = mk(
         "sp",
         status=f"CASE WHEN sdf > {quit_ns} THEN 1 WHEN sp.status != 3 THEN 3 ELSE sp.status END",
+        status_ts=(
+            f"CASE WHEN sdf > {quit_ns} THEN {d_ts} "
+            f"WHEN sp.status NOT IN (3, 1) THEN {o_ts} ELSE sp.status_ts END"
+        ),
         tr=early_tr,
     )
     mid = mk(
         "sp",
         status="CAST(4 AS BIGINT)",
+        status_ts=f"CASE WHEN sp.status != 4 THEN {u_ts} ELSE sp.status_ts END",
         tr=(
-            f"CASE WHEN sp.status != 4 THEN sp.tr || [{tr('sp.last_log + %d' % log_ns, _UNREL, _MISSED)}] "
+            f"CASE WHEN sp.status != 4 THEN sp.tr || [{tr(u_ts, _UNREL, _MISSED)}] "
             "ELSE sp.tr END"
         ),
     )
@@ -185,6 +197,10 @@ def process_log(s_expr: str) -> str:
 def process_event(s_expr: str) -> str:
     upd = mk(
         "pe",
+        status_ts=(
+            "CASE WHEN rec.time_acc > 100000.0 AND pe.status != 4 "
+            "THEN rec.ts ELSE pe.status_ts END"
+        ),
         cr_counter="pe.cr_counter + 1",
         mr_counter="pe.mr_counter + 1",
         ring5=bind("pe.ring5 || [CAST(rec.time_acc AS DOUBLE)]", "nl", "nl[greatest(len(nl) - 4, 1):]"),
@@ -202,6 +218,7 @@ def fold() -> str:
     created = mk(
         "st",
         status="CAST(2 AS BIGINT)",
+        status_ts="rec.ts",
         last_log="rec.ts",
         dop="rec.dop",
         h_acc="rec.h_acc",

@@ -1001,3 +1001,31 @@ def eav_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+SELECT p_partkey, metric, value FROM (
+  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+  UNION ALL
+  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+)
+ORDER BY p_partkey, metric
+""",
+    doc=(
+        "Wide-to-long unpivot (melt) via Spark's native unpivot operator — "
+        "the §2.10 relational-surface complement of pivot (case_pivot). "
+        "Plans as a single Expand node: one scan, rows multiplied in the "
+        "map stage, no shuffle before the presentation sort."
+    ),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return part.unpivot(
+        ["p_partkey"], ["retailprice", "size"], "metric", "value"
+    ).orderBy("p_partkey", "metric")

@@ -56,6 +56,7 @@ STATE_SCHEMA = StructType(
         StructField("time_acc_buf", ArrayType(DoubleType())),
         StructField("rel_time_acc_buf", ArrayType(DoubleType())),
         StructField("factor", DoubleType()),
+        StructField("status_ts", LongType()),
     ]
 )
 
