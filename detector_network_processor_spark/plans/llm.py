@@ -1774,3 +1774,96 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         corpus, queries, centroids, cb, flat.shape[1], k=5, nprobe=_IVF_NPROBE
     ).orderBy("query_id", "rank")
+
+
+_CONTAIN_NUM = 8  # containment threshold num/den: |A∩B|/|A| >= 0.8
+_CONTAIN_DEN = 10
+
+
+@register(
+    "near_dup_containment",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {_SHINGLE_W - 1}),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks WHERE len(t) >= {_SHINGLE_W}
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingles),
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shingles),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+ordered AS (
+  SELECT doc_a AS doc_contained, doc_b AS doc_container, n_common, sa.n_sh AS n_contained
+  FROM common JOIN sizes sa ON sa.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b, doc_a, n_common, sb.n_sh
+  FROM common JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_contained, doc_container, n_common, n_contained,
+       round(n_common * 1.0 / n_contained, 6) AS containment
+FROM ordered
+WHERE n_common * {_CONTAIN_DEN} >= n_contained * {_CONTAIN_NUM}
+ORDER BY doc_contained, doc_container
+""",
+    doc=(
+        "Asymmetric near-dup (containment): |A∩B|/|A| >= 0.8 flags documents "
+        "largely CONTAINED in another — the quote/excerpt/boilerplate-"
+        "inclusion case symmetric Jaccard misses (a 50-token quote inside a "
+        "5000-token page has jaccard ~0.01 but containment ~1.0). Same "
+        "shingle inverted index and integer-exact threshold as "
+        "near_dup_jaccard; the unordered pair counts fan out to both "
+        "directions before the size join, so the plan cost is identical "
+        "plus one map-side union."
+    ),
+)
+def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hashed_shingles
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = hashed_shingles(docs).localCheckpoint(eager=True)
+    sizes = sh.select("doc_id", F.size("_sh").alias("n_sh"))
+    posting = sh.select("doc_id", F.explode("_sh").alias("shingle"))
+    a = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    withsizes = common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    fwd = withsizes.select(
+        F.col("doc_a").alias("doc_contained"),
+        F.col("doc_b").alias("doc_container"),
+        "n_common",
+        F.col("n_a").alias("n_contained"),
+    )
+    rev = withsizes.select(
+        F.col("doc_b").alias("doc_contained"),
+        F.col("doc_a").alias("doc_container"),
+        "n_common",
+        F.col("n_b").alias("n_contained"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("n_common") * _CONTAIN_DEN >= F.col("n_contained") * _CONTAIN_NUM)
+        .select(
+            "doc_contained",
+            "doc_container",
+            "n_common",
+            "n_contained",
+            F.round(F.col("n_common") * 1.0 / F.col("n_contained"), 6).alias("containment"),
+        )
+        .orderBy("doc_contained", "doc_container")
+    )
