@@ -1867,3 +1867,59 @@ def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_contained", "doc_container")
     )
+
+
+_HH_TOPK = 50
+
+
+@register(
+    "token_heavy_hitters",
+    oracle=f"""
+WITH tf AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n FROM tf GROUP BY token
+),
+docs_per AS (
+  SELECT token, count(*) AS n_docs FROM (
+    SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+    FROM documents
+  ) GROUP BY token
+),
+ranked AS (
+  SELECT c.token, c.n, d.n_docs,
+         CAST(row_number() OVER (ORDER BY c.n DESC, c.token) AS INTEGER) AS rank
+  FROM counts c JOIN docs_per d ON c.token = d.token
+)
+SELECT rank, token, n, n_docs FROM ranked WHERE rank <= {_HH_TOPK}
+ORDER BY rank
+""",
+    doc=(
+        "Global heavy hitters: corpus-wide top-50 tokens by occurrence with "
+        "document frequency — the vocabulary-coverage signal tokenizer and "
+        "quality work starts from. Occurrence counts map-side combine on "
+        "the token shuffle; document frequency dedups (doc, token) BEFORE "
+        "its count; the global rank is a WindowGroupLimit over the (tiny) "
+        "distinct-token aggregate, so nothing unaggregated crosses the "
+        "final exchange."
+    ),
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tf = docs.select(F.explode(toks).alias("token"))
+    counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    docs_per = (
+        docs.select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.join(docs_per, "token")
+        .select(F.row_number().over(w).alias("rank"), "token", "n", "n_docs")
+        .filter(F.col("rank") <= _HH_TOPK)
+        .orderBy("rank")
+    )
