@@ -68,6 +68,16 @@ def _build_parser() -> argparse.ArgumentParser:
     mat.add_argument("--tables", default="events", help="comma-separated table names")
     mat.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
 
+    cp = sub.add_parser(
+        "compact",
+        help="batch curation compaction over a document lake: exact dedup "
+        "-> MinHash-LSH near-dup -> connected components -> canonical-only output",
+    )
+    cp.add_argument("--in", dest="in_dir", required=True, help="parquet docs (doc_id, text, ...)")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--jaccard", type=float, default=0.5, help="near-dup signature-agreement threshold")
+    cp.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
+
     ver = sub.add_parser(
         "verify", help="hash-compare registered queries against their DuckDB oracles"
     )
@@ -181,6 +191,47 @@ def _cmd_materialize(args) -> int:
     return 0
 
 
+def _cmd_compact(args) -> int:
+    """The batch half of the stream-filter/batch-compact curation split
+    (streaming/curation.py docstring): streaming ingest already gated
+    quality and exact-deduped by digest FIRST-arrival; compaction
+    re-canonicalizes exactly (min doc_id per digest), then collapses
+    NEAR-duplicate clusters (MinHash-LSH pairs -> connected components)
+    to their canonical member. One pass over the lake, output is the
+    training-ready canonical corpus."""
+    import pyspark.sql.functions as F
+
+    from .operators.components import connected_components
+    from .operators.dedup import minhash_lsh_pairs, minhash_signatures
+    from .session import get_spark
+    from .streaming.dedup import with_content_key
+
+    spark = get_spark(app_name="dnp-compact", cpus=args.cpus)
+    docs = spark.read.parquet(args.in_dir)
+    n_in = docs.count()
+    # exact: canonical = min doc_id per content digest
+    keyed = with_content_key(docs)
+    canon = keyed.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+    exact = keyed.join(canon, ["content_key", "doc_id"])
+    n_exact = exact.count()
+    # near-dup: LSH pairs over the exact-deduped survivors only
+    sigs = minhash_signatures(exact.repartition(spark.sparkContext.defaultParallelism))
+    pairs = minhash_lsh_pairs(sigs).filter(F.col("est_jaccard") >= args.jaccard)
+    cc = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
+    survivors = (
+        exact.join(cc, "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .drop("component", "content_key")
+    )
+    survivors.write.mode("overwrite").parquet(args.out)
+    n_out = spark.read.parquet(args.out).count()
+    print(
+        f"compacted {n_in} -> {n_exact} exact-unique -> {n_out} canonical "
+        f"({n_in - n_out} removed) -> {args.out}"
+    )
+    return 0
+
+
 def _cmd_verify(args) -> int:
     from .plans import all_queries
     from .session import get_spark
@@ -221,6 +272,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_materialize(args)
     if args.cmd == "verify":
         return _cmd_verify(args)
+    if args.cmd == "compact":
+        return _cmd_compact(args)
     return 2
 
 

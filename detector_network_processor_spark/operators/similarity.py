@@ -516,3 +516,95 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("adc_d2", 6).alias("adc_d2"))
     )
+
+
+def pq_train(corpus: DataFrame, dim: int, iters: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed_codebook=None):
+    """Distributed per-subspace Lloyd training of the PQ codebook.
+
+    Returns (codebook (M, K, dim/M) numpy array, per-iteration mean
+    quantization error history). Each iteration is ONE map pass: an Arrow
+    batch kernel assigns every subvector to its nearest code and emits
+    per-(m, c) partial sums + counts (M*K rows per batch — the shuffle
+    carries partials, never vectors), a tiny groupBy reduces them, and the
+    M*K*sub new centroid values (a few KB) come back to the driver for the
+    next broadcast. Empty cells keep their previous centroid. This is the
+    codebook-training half Jégou et al. assume; the fixed-seed codebook in
+    the pq_topk driver query exists so the ORACLE stays exact — production
+    encoding should train first.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    sub = dim // PQ_M
+    if seed_codebook is None:
+        first = corpus.orderBy(id_col).limit(PQ_K).select(vec_col).collect()
+        flat = np.array([r[vec_col] for r in first], dtype=np.float64)
+        cb = np.stack([flat[:, m * sub:(m + 1) * sub] for m in range(PQ_M)])
+    else:
+        cb = np.asarray(seed_codebook, dtype=np.float64).copy()
+
+    out_schema = StructType(
+        [
+            StructField("m", IntegerType()),
+            StructField("c", IntegerType()),
+            StructField("cnt", LongType()),
+            StructField("err", DoubleType()),
+            StructField("sums", ArrayType(DoubleType())),
+        ]
+    )
+    history = []
+    vecs_only = corpus.select(vec_col)
+    for _ in range(iters):
+        cb_bc = cb  # captured by closure, shipped once per stage
+
+        def partials(batches):
+            for pdf in batches:
+                M = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                if M.size == 0:
+                    continue
+                rows = {"m": [], "c": [], "cnt": [], "err": [], "sums": []}
+                for m in range(PQ_M):
+                    s = M[:, m * sub:(m + 1) * sub]
+                    d2 = ((s[:, None, :] - cb_bc[m][None, :, :]) ** 2).sum(-1)
+                    a = np.argmin(d2, axis=1)
+                    best = d2[np.arange(len(a)), a]
+                    for c in range(PQ_K):
+                        mask = a == c
+                        if not mask.any():
+                            continue
+                        rows["m"].append(m)
+                        rows["c"].append(c)
+                        rows["cnt"].append(int(mask.sum()))
+                        rows["err"].append(float(best[mask].sum()))
+                        rows["sums"].append(s[mask].sum(axis=0).tolist())
+                yield pd.DataFrame(rows)
+
+        agg = (
+            vecs_only.mapInPandas(partials, out_schema)
+            .select("m", "c", "cnt", "err", F.posexplode("sums").alias("d", "x"))
+            .groupBy("m", "c", "d")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("err").alias("err"), F.sum("x").alias("sx"))
+            .collect()
+        )
+        counts = np.zeros((PQ_M, PQ_K))
+        sums = np.zeros((PQ_M, PQ_K, sub))
+        err_tot, n_tot = 0.0, 0
+        for r in agg:
+            counts[r["m"], r["c"]] = r["cnt"]
+            sums[r["m"], r["c"], r["d"]] = r["sx"]
+            if r["d"] == 0:
+                err_tot += r["err"]
+                n_tot += r["cnt"]
+        history.append(err_tot / max(n_tot, 1))
+        nz = counts > 0
+        cb = np.where(nz[:, :, None], sums / np.maximum(counts, 1)[:, :, None], cb)
+    return cb, history

@@ -143,3 +143,24 @@ def test_verify_subcommand(spark, capsys):
 
 def test_verify_unknown_query():
     assert main(["verify", "nope"]) == 2
+
+
+def test_compact_removes_exact_and_near_duplicates(spark, tmp_path):
+    """compact: exact copies collapse to min doc_id; near-identical texts
+    (one token changed) collapse to their cluster's canonical; distinct
+    docs survive."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),                      # exact dup of 1
+        (3, base.replace("pi", "PI"), "en", "web"),  # near-dup of 1
+        (4, "completely different text about other things entirely with many unique words", "en", "web"),
+    ]
+    src = str(tmp_path / "lake")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string, source string").write.parquet(src)
+    rc = main(["compact", "--in", src, "--out", out, "--jaccard", "0.5"])
+    assert rc == 0
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 4]

@@ -131,3 +131,19 @@ def test_pq_encode_matches_numpy_and_preserves_ranking(spark):
         rb = np.argsort(np.argsort(exact[i]))
         rho = float(np.corrcoef(ra, rb)[0, 1])
         assert rho > 0.25, f"query {i}: spearman {rho:.3f}"
+
+
+def test_pq_train_monotonically_reduces_quantization_error(spark):
+    """Distributed per-subspace Lloyd: the mean quantization error is
+    non-increasing per iteration (the Lloyd guarantee) and strictly better
+    than the untrained seed codebook after a few rounds."""
+    from detector_network_processor_spark.io import load_table
+    from detector_network_processor_spark.operators.similarity import pq_train
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cb, history = pq_train(emb, dim=64, iters=6)
+    assert len(history) == 6
+    for a, b in zip(history, history[1:]):
+        assert b <= a * (1 + 1e-9), f"error increased: {a} -> {b}"
+    assert history[-1] < history[0] * 0.95, f"no real improvement: {history}"
+    assert cb.shape == (4, 16, 16)
