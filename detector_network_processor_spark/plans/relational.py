@@ -1029,3 +1029,79 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.unpivot(
         ["p_partkey"], ["retailprice", "size"], "metric", "value"
     ).orderBy("p_partkey", "metric")
+
+
+@register(
+    "corr_lineitem",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+         CAST(round(l_discount * 10000) AS BIGINT) AS d,
+         CAST(round(l_tax * 10000) AS BIGINT) AS t
+  FROM lineitem
+),
+m AS (
+  SELECT flag, count(*) AS n,
+         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(d) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(d*d) AS BIGINT) AS sdd, CAST(sum(t*t) AS BIGINT) AS stt,
+         CAST(sum(q*d) AS BIGINT) AS sqd, CAST(sum(d*t) AS BIGINT) AS sdt
+  FROM s GROUP BY flag
+)
+SELECT flag, n,
+       round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+         AS corr_qty_discount,
+       round((CAST(n AS DOUBLE) * CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 6)
+         AS corr_discount_tax
+FROM m
+ORDER BY flag
+""",
+    doc=(
+        "Per-group Pearson correlation with EXACT integer moments: the five "
+        "sums (x, y, x^2, y^2, xy) accumulate as int64 over fixed-point "
+        "scaled values (quantity x100, discount/tax x10000 — per-row "
+        "products stay <= 1e8, so the running sums fit int64 to sf~1000), "
+        "making the distributed aggregation order-free; the final "
+        "correlation is one deterministic IEEE double expression over the "
+        "exact moments — the cross-engine-safe alternative to corr()'s "
+        "float accumulators, at the cost of one map-side-combined shuffle."
+    ),
+)
+def corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 10000).cast("long").alias("t"),
+    )
+    m = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("d").alias("sd"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("d") * F.col("t")).alias("sdt"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        nd = F.col("n").cast("double")
+        num = nd * F.col(sxy).cast("double") - F.col(sx).cast("double") * F.col(sy).cast("double")
+        den = F.sqrt(
+            (nd * F.col(sxx).cast("double") - F.col(sx).cast("double") * F.col(sx).cast("double"))
+            * (nd * F.col(syy).cast("double") - F.col(sy).cast("double") * F.col(sy).cast("double"))
+        )
+        return F.round(num / den, 6)
+
+    return m.select(
+        "flag",
+        "n",
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
+        corr("sdt", "sd", "st", "sdd", "stt").alias("corr_discount_tax"),
+    ).orderBy("flag")
