@@ -698,3 +698,57 @@ def rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket_us")
     )
+
+
+@register(
+    "longest_outages",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL}),
+gaps AS (
+  SELECT user_id, ts_us,
+         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+  FROM ev
+),
+ranked AS (
+  SELECT user_id, prev_ts AS gap_start_us, ts_us AS gap_end_us,
+         ts_us - prev_ts AS gap_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us - prev_ts DESC, prev_ts) AS rn
+  FROM gaps WHERE prev_ts IS NOT NULL
+)
+SELECT user_id, gap_start_us, gap_end_us, gap_us
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+""",
+    doc=(
+        "Longest silence per station (the relational telemetry view of the "
+        "reference's offline detection, detectorstation.cpp:109-125): one "
+        "lag window for inter-event gaps, then WindowGroupLimit keeps each "
+        "key's maximum — both windows share the same hash shuffle on the "
+        "key, so the whole query is one exchange + one sort regardless of "
+        "stream size."
+    ),
+)
+def longest_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    w_lag = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts_us",
+        F.lag("ts_us").over(w_lag).alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull())
+    w_max = Window.partitionBy("user_id").orderBy(
+        F.desc(F.col("ts_us") - F.col("prev_ts")), F.asc("prev_ts")
+    )
+    return (
+        gaps.select(
+            "user_id",
+            F.col("prev_ts").alias("gap_start_us"),
+            F.col("ts_us").alias("gap_end_us"),
+            (F.col("ts_us") - F.col("prev_ts")).alias("gap_us"),
+            F.row_number().over(w_max).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
