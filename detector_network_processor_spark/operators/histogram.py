@@ -21,7 +21,7 @@ shuffle on (pair, bin) with map-side combine. The O(stations^2) histogram
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..constants import C_M_PER_NS
 from ..functions.geodesy import straight_distance_col
@@ -119,4 +119,94 @@ def merge_histograms(*hists: DataFrame) -> DataFrame:
         merged.groupBy("hash_lo", "hash_hi", "bin")
         .agg(F.sum("n").alias("n"), F.min("distance").alias("distance"), F.min("bin_width").alias("bin_width"))
         .select("hash_lo", "hash_hi", "distance", "bin_width", "bin", "n")
+    )
+
+
+NS_PER_MIN = 60 * 10**9
+
+
+def pair_uptime(transitions: DataFrame, end_of_data_ts: int) -> DataFrame:
+    """A7 meta: per-pair uptime in minutes — accumulated time during which
+    BOTH stations of a pair were `reliable` (reference
+    src/analysis/stationcoincidence.cpp:82-109: the online counter reaches 2
+    only while both are reliable; minutes are truncated PER SEGMENT, matching
+    the reference's duration_cast<minutes> at each segment close).
+
+    transitions: (hash, ts, status, reason) — the station_lifecycle output
+    (ts in ns). Stations are a dimension (thousands at most), so the
+    interval-overlap self-join is dimension-sized, never data-sized: at
+    100 TB the transition stream is still O(stations x status flips).
+
+    Returns (hash_lo, hash_hi, uptime) with uptime in whole minutes.
+    """
+    w = Window.partitionBy("hash").orderBy("ts")
+    iv = (
+        transitions.select("hash", "ts", "status", F.lead("ts").over(w).alias("ts_end"))
+        .filter(F.col("status") == "reliable")
+        .select(
+            "hash",
+            F.col("ts").alias("t0"),
+            F.coalesce("ts_end", F.lit(end_of_data_ts)).alias("t1"),
+        )
+    )
+    a = iv.select(F.col("hash").alias("hash_lo"), F.col("t0").alias("a0"), F.col("t1").alias("a1"))
+    b = iv.select(F.col("hash").alias("hash_hi"), F.col("t0").alias("b0"), F.col("t1").alias("b1"))
+    seg = (
+        a.join(
+            F.broadcast(b),
+            (F.col("hash_lo") < F.col("hash_hi"))
+            & (F.col("a0") < F.col("b1"))
+            & (F.col("b0") < F.col("a1")),
+        )
+        # disjoint-per-station intervals make each intersection exactly one
+        # online==2 stretch
+        .select(
+            "hash_lo",
+            "hash_hi",
+            (F.least("a1", "b1") - F.greatest("a0", "b0")).alias("overlap_ns"),
+        )
+    )
+    return (
+        seg.groupBy("hash_lo", "hash_hi")
+        .agg(F.sum(F.expr(f"overlap_ns div {NS_PER_MIN}")).alias("uptime"))
+        .select("hash_lo", "hash_hi", F.col("uptime").cast("long").alias("uptime"))
+    )
+
+
+def with_pair_meta(hist: DataFrame, uptime: DataFrame, sample_time_min: int) -> DataFrame:
+    """Attach the reference's .meta bookkeeping to a histogram table:
+    per-pair `uptime` (broadcast join on the pair key, 0 when the pair never
+    had both stations reliable) and the save-window `sample_time` in minutes
+    (stationcoincidence.cpp:190-193 writes both at every save)."""
+    return (
+        hist.join(F.broadcast(uptime), ["hash_lo", "hash_hi"], "left")
+        .withColumn("uptime", F.coalesce(F.col("uptime"), F.lit(0)).cast("long"))
+        .withColumn("sample_time", F.lit(sample_time_min).cast("long"))
+    )
+
+
+def merge_histograms_meta(*hists: DataFrame) -> DataFrame:
+    """A9 offline merge INCLUDING meta accumulation (reference
+    src/aggregation.cpp:154-176: `uptime` and `sample_time` are SUMMED
+    across saved files, per pair). Bin counts merge per (pair, bin) as in
+    merge_histograms; meta merges per pair (one value per input file, summed
+    across files) and is re-joined — summing row-wise would overweight pairs
+    whose bins appear in only some inputs."""
+    metas = [
+        h.groupBy("hash_lo", "hash_hi").agg(
+            F.max("uptime").alias("uptime"), F.max("sample_time").alias("sample_time")
+        )
+        for h in hists
+    ]
+    it = iter(metas)
+    meta_all = next(it)
+    for m in it:
+        meta_all = meta_all.unionByName(m)
+    meta = meta_all.groupBy("hash_lo", "hash_hi").agg(
+        F.sum("uptime").cast("long").alias("uptime"),
+        F.sum("sample_time").cast("long").alias("sample_time"),
+    )
+    bins = merge_histograms(*[h.drop("uptime", "sample_time") for h in hists])
+    return bins.join(F.broadcast(meta), ["hash_lo", "hash_hi"]).select(
+        "hash_lo", "hash_hi", "distance", "bin_width", "uptime", "sample_time", "bin", "n"
     )

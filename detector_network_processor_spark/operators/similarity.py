@@ -380,6 +380,8 @@ def pq_encode(corpus: DataFrame, codebook, dim: int,
 
     @pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch -> 1-D empty np.array, 2-D slice would raise
+            return pd.Series([], dtype=object)
         M = np.array([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, dim)
         out = np.empty((M.shape[0], PQ_M), dtype=np.int32)
         for m in range(PQ_M):
@@ -413,6 +415,8 @@ def pq_topk(queries: DataFrame, codes: DataFrame, codebook, dim: int, k: int = 5
 
     @pandas_udf("array<double>")
     def lut(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch guard (same as pq_encode)
+            return pd.Series([], dtype=object)
         Q = np.array([np.asarray(v, dtype=np.float64) for v in vecs])  # (q, dim)
         out = np.empty((Q.shape[0], PQ_M * PQ_K))
         for m in range(PQ_M):

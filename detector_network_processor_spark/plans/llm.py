@@ -1390,13 +1390,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs, avgdl = int(srow["n_docs"]), float(srow["avgdl"])
     ex = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     # tf feeds both the document-frequency agg (under the idf broadcast
-    # exchange — a separate job) and the scoring join: persist the ~|postings|
-    # frame so the filtered explode runs once.
+    # exchange — a separate job) and the scoring join: localCheckpoint the
+    # ~|postings| frame so the filtered explode runs once. Unlike persist(),
+    # the checkpointed blocks are dropped when the frame is GC'd, so repeated
+    # invocations (verify loops, benches) don't accumulate cached RDDs.
     tf = (
         ex.join(F.broadcast(qterms.select("w").distinct()), "w")
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfq"))
     idf = dfq.select(

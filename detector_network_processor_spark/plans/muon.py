@@ -101,10 +101,11 @@ def _station_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "detector_summary",
-    oracle="""
-WITH ev AS (
+# detector_summary oracle CTE chain, shared with the sink-formatter oracles
+# (sink_summary_text / sink_summary_influx build their lines on top of the
+# exact same `summary` relation).
+_SUMMARY_ORACLE_CTES = """
+ev AS (
   SELECT user_id AS hash, epoch_us(ts) AS start,
          epoch_us(ts) + event_id % 400000 AS e_end,
          event_id % 2000 AS time_acc, event_id % 65536 AS ublox
@@ -130,13 +131,23 @@ WITH ev AS (
          round(avg(CASE WHEN pulse > 0 AND pulse < 1000000 THEN pulse END), 6) AS mean_pulselength,
          round(avg(time_acc), 6) AS mean_time_acc
   FROM e GROUP BY hash, win
-)
-SELECT base.hash, base.win, incoming, ublox_counter_progress,
-       CASE WHEN ublox_counter_progress = 0 THEN 1.0
-            ELSE round(1.0 - incoming / ublox_counter_progress, 6) END AS deadtime,
+), summary AS (
+  SELECT base.hash, base.win, incoming, ublox_counter_progress,
+         CASE WHEN ublox_counter_progress = 0 THEN 1.0
+              ELSE round(1.0 - incoming / ublox_counter_progress, 6) END AS deadtime,
+         mean_pulselength, mean_time_acc, rate_mean, rate_std
+  FROM base JOIN rate ON base.hash = rate.hash AND base.win = rate.win
+)"""
+
+
+@register(
+    "detector_summary",
+    oracle=f"""
+WITH {_SUMMARY_ORACLE_CTES}
+SELECT hash, win, incoming, ublox_counter_progress, deadtime,
        mean_pulselength, mean_time_acc, rate_mean, rate_std
-FROM base JOIN rate ON base.hash = rate.hash AND base.win = rate.win
-ORDER BY base.hash, base.win
+FROM summary
+ORDER BY hash, win
 """,
     doc="A5 detector summary snapshot (reference src/supervision/station.cpp:89-102): per-station tumbling-interval incoming/wrap-corrected counter progress/deadtime/pulse-length/time-accuracy/rate stats.",
 )
@@ -950,3 +961,372 @@ def histogram_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = _pair_hist_df(spark, sf_dir, F.col("start") % 2 == 0)
     odd = _pair_hist_df(spark, sf_dir, F.col("start") % 2 == 1)
     return merge_histograms(even, odd).orderBy("hash_lo", "hash_hi", "bin")
+
+
+# --------------------------------------------------------------------------
+# K1/K2 sink formatters for the non-L1 message types (reference
+# include/sink/mqtt.h:98-221 and include/sink/database.h:56-133,167-190).
+# Each query runs the real engine operator, then the pure-column formatter
+# from streaming/sinks.py, and is adjudicated byte-exactly against a DuckDB
+# oracle that builds the same strings.
+# --------------------------------------------------------------------------
+
+_SINK_TS_SQL = "strftime(make_timestamp({us}), '%Y-%m-%d_%H-%M-%S')"
+# metric list mirrors streaming/sinks.SUMMARY_METRICS (publish order,
+# 'ublox_counter_progess' typo preserved from mqtt.h:143)
+_SUMMARY_METRIC_VALUES = (
+    "(VALUES (0, 'eventrate'), (1, 'eventrate_stddev'), (2, 'time_acc'), "
+    "(3, 'pulselength'), (4, 'incoming'), (5, 'ublox_counter_progess'), "
+    "(6, 'deadtime_factor')) AS m(idx, metric)"
+)
+_SUMMARY_VALUE_CASE = """CASE m.idx
+  WHEN 0 THEN printf('%.6f', coalesce(rate_mean, 0.0))
+  WHEN 1 THEN printf('%.6f', coalesce(rate_std, 0.0))
+  WHEN 2 THEN printf('%.6f', coalesce(mean_time_acc, 0.0))
+  WHEN 3 THEN printf('%.6f', coalesce(mean_pulselength, 0.0))
+  WHEN 4 THEN printf('%d', incoming)
+  WHEN 5 THEN printf('%d', ublox_counter_progress)
+  ELSE printf('%.6f', coalesce(deadtime, 0.0))
+END"""
+
+
+def _summary_with_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detector_summary frame + synthesized userinfo (the fixtures carry no
+    usernames; 'u<hash>'/'s<hash%9>' matches the parse_event_lines scheme)
+    + the window-start event time the formatter stamps lines with."""
+    from ..operators.station import detector_summaries
+
+    ev = _station_events_us(spark, sf_dir).drop("event_id", "fix")
+    out = detector_summaries(ev, interval=120_000_000, sub_interval=30_000_000)
+    return out.select(
+        "*",
+        F.concat(F.lit("u"), F.col("hash")).alias("user"),
+        F.concat(F.lit("s"), F.col("hash") % 9).alias("station_id"),
+        (F.col("win") * 120_000_000).alias("ts_us"),
+    )
+
+
+@register(
+    "sink_summary_text",
+    oracle=f"""
+WITH {_SUMMARY_ORACLE_CTES}
+SELECT hash, win, m.idx AS idx,
+       {_SINK_TS_SQL.format(us='win * 120000000')}
+         || ' u' || hash || ' s' || (hash % 9) || ' ' || m.metric || ' '
+         || {_SUMMARY_VALUE_CASE} AS line
+FROM summary CROSS JOIN {_SUMMARY_METRIC_VALUES}
+ORDER BY hash, win, idx
+""",
+    doc="K1 detector_summary MQTT text lines (reference include/sink/mqtt.h:128-146): '<gmtime %F_%H-%M-%S> <user> <station> <metric> <value>' per metric in publish order (including the reference's 'ublox_counter_progess' spelling). streaming/sinks.py::summary_text_lines — map-only explode, byte-exact oracle.",
+)
+def sink_summary_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sinks import summary_text_lines
+
+    return summary_text_lines(_summary_with_identity(spark, sf_dir)).orderBy(
+        "hash", "win", "idx"
+    )
+
+
+@register(
+    "sink_summary_influx",
+    oracle=f"""
+WITH {_SUMMARY_ORACLE_CTES}
+SELECT hash, win,
+       'detector_summary,user=u' || hash || ',detector=s' || (hash % 9)
+         || ',site_id=u' || hash || 's' || (hash % 9)
+         || ' eventrate=' || printf('%.6f', coalesce(rate_mean, 0.0))
+         || ',eventrate_stddev=' || printf('%.6f', coalesce(rate_std, 0.0))
+         || ',time_acc=' || printf('%.6f', coalesce(mean_time_acc, 0.0))
+         || ',pulselength=' || printf('%.6f', coalesce(mean_pulselength, 0.0))
+         || ',incoming=' || printf('%d', incoming) || 'i'
+         || ',ublox_counter_progress=' || printf('%d', ublox_counter_progress) || 'i'
+         || ',deadtime_factor=' || printf('%.6f', coalesce(deadtime, 0.0))
+         || ' ' || printf('%d', win * 120000000 * 1000) AS point
+FROM summary
+ORDER BY hash, win
+""",
+    doc="K2 detector_summary InfluxDB line-protocol points (reference include/sink/database.h:95-113): measurement detector_summary, tags user/detector/site_id, seven fields in reference order ('i'-suffixed integers), ns timestamp. streaming/sinks.py::summary_influx_points.",
+)
+def sink_summary_influx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sinks import summary_influx_points
+
+    return summary_influx_points(_summary_with_identity(spark, sf_dir)).orderBy(
+        "hash", "win"
+    )
+
+
+@register(
+    "sink_trigger_lines",
+    oracle=f"""
+SELECT hash, ts,
+       'u' || hash || '/s' || (hash % 9) AS topic,
+       {_SINK_TS_SQL.format(us='ts // 1000')} || ' GMT ' || status || ' ' || reason AS line
+FROM ({_lifecycle_oracle_sql()}) t
+ORDER BY hash, ts, line
+""",
+    doc="K1 trigger::detector MQTT lines (reference include/sink/mqtt.h:188-199): topic 'user/station', payload '<gmtime %F_%H-%M-%S %Z> <status> <reason>' on the station_lifecycle transition stream. streaming/sinks.py::trigger_text_lines over the recursive-CTE lifecycle oracle.",
+)
+def sink_trigger_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.station import station_lifecycle
+    from ..streaming.sinks import trigger_text_lines
+
+    ev_us = _station_events_us(spark, sf_dir)
+    events = ev_us.select(
+        "hash",
+        (F.col("start") * 1000).alias("start"),
+        (F.col("end") * 1000).alias("end"),
+        "time_acc",
+        "ublox_counter",
+        "fix",
+    )
+    logs = ev_us.filter(F.col("event_id") % 5 == 0).select(
+        "hash",
+        (F.col("start") * 1000).alias("ts"),
+        (1.0 + (F.col("event_id") % 40) / 10.0).alias("dop"),
+        (30.0 + (F.col("event_id") % 200)).alias("h_acc"),
+        F.lit(40.0).alias("v_acc"),
+    )
+    tr = station_lifecycle(logs, events).select(
+        "*",
+        F.concat(F.lit("u"), F.col("hash")).alias("user"),
+        F.concat(F.lit("s"), F.col("hash") % 9).alias("station_id"),
+    )
+    return trigger_text_lines(tr).orderBy("hash", "ts", "line")
+
+
+_DAY_US_SINK = 86_400_000_000
+
+
+@register(
+    "sink_detector_log_lines",
+    oracle=f"""
+WITH eav AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US_SINK} AS bucket, event_type AS name,
+         CASE event_id % 3
+           WHEN 0 THEN json_extract_string(props, '$.k')
+           WHEN 1 THEN json_extract_string(props, '$.k') || '.25'
+           ELSE 'txt_' || json_extract_string(props, '$.k')
+         END AS value
+  FROM events
+)
+SELECT 'u' || user_id || '/s' || (user_id % 9) AS topic,
+       {_SINK_TS_SQL.format(us=f'bucket * {_DAY_US_SINK}')} || ' ' || name || ' ' || value AS line
+FROM eav
+ORDER BY topic, line
+""",
+    doc="K1 detector_log_t MQTT lines (reference include/sink/mqtt.h:201-221): topic 'user/station', payload '<gmtime> <name> <value>' per EAV item (values exercise the Int/Double/String item types). streaming/sinks.py::detector_log_text_lines.",
+)
+def sink_detector_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sinks import detector_log_text_lines
+
+    eav = _eav_typed(spark, sf_dir)
+    return detector_log_text_lines(eav).orderBy("topic", "line")
+
+
+def _eav_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV stream off the events fixture with value strings cycling through
+    the reference's three detector_log item types (Int / Double / String)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    value = (
+        F.when(F.col("event_id") % 3 == 0, k)
+        .when(F.col("event_id") % 3 == 1, F.concat(k, F.lit(".25")))
+        .otherwise(F.concat(F.lit("txt_"), k))
+    )
+    us = ts_to_us(ev)
+    return ev.select(
+        F.col("user_id"),
+        (us - us % _DAY_US_SINK).alias("ts_us"),
+        ((us - us % _DAY_US_SINK) / _DAY_US_SINK).cast("long").alias("bucket"),
+        F.col("event_type").alias("name"),
+        value.alias("value"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("user"),
+        F.concat(F.lit("s"), F.col("user_id") % 9).alias("station_id"),
+    )
+
+
+@register(
+    "sink_detector_log_influx",
+    oracle=f"""
+WITH eav AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US_SINK} AS bucket, event_type AS name,
+         CASE event_id % 3
+           WHEN 0 THEN json_extract_string(props, '$.k')
+           WHEN 1 THEN json_extract_string(props, '$.k') || '.25'
+           ELSE 'txt_' || json_extract_string(props, '$.k')
+         END AS value
+  FROM events
+), typed AS (
+  SELECT user_id, bucket,
+         name || '=' ||
+         CASE
+           WHEN regexp_full_match(value, '-?\\d+') THEN value || 'i'
+           WHEN regexp_full_match(value, '-?\\d+\\.\\d+([eE][+-]?\\d+)?') THEN value
+           ELSE '"' || replace(value, '"', '\\"') || '"'
+         END AS item
+  FROM eav
+)
+SELECT user_id, bucket,
+       'detector_log,user=u' || user_id || ',detector=s' || (user_id % 9)
+         || ',site_id=u' || user_id || 's' || (user_id % 9) || ' '
+         || string_agg(item, ',' ORDER BY item) || ' '
+         || printf('%d', bucket * {_DAY_US_SINK} * 1000) AS point
+FROM typed
+GROUP BY user_id, bucket
+ORDER BY user_id, bucket
+""",
+    doc="K2 detector_log points (reference include/sink/database.h:167-190): ONE point per log assembly, every EAV item a typed field (Int -> 'i' suffix, Double plain, String quoted), tags user/detector/site_id, ns timestamp. streaming/sinks.py::detector_log_influx_points — plain hash groupBy, map-side partials.",
+)
+def sink_detector_log_influx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sinks import detector_log_influx_points
+
+    eav = _eav_typed(spark, sf_dir)
+    out = detector_log_influx_points(eav, ["user_id", "bucket"])
+    return out.orderBy("user_id", "bucket")
+
+
+@register(
+    "sink_cluster_log_lines",
+    oracle=None,
+    doc="K1 cluster_log_t MQTT lines (reference include/sink/mqtt.h:98-126): '<gmtime> <metric> <value>' per metric + 'outgoing_<level>' per level != 1, host-side statics injected first. Rows-only: upstream L1 clustering (same reason as cluster_log). streaming/sinks.py::cluster_log_text_lines.",
+)
+def sink_cluster_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sinks import cluster_log_text_lines
+
+    clog = cluster_log(spark, sf_dir).withColumn(
+        "ts_us", F.expr("window * 10000000")
+    )
+    out = cluster_log_text_lines(
+        clog, statics={"timeout": 100, "version": "spark-dnp 1.0.0"}
+    )
+    return out.orderBy("window", "metric", "line")
+
+
+@register(
+    "sink_cluster_log_influx",
+    oracle=None,
+    doc="K2 cluster_summary points (reference include/sink/database.h:56-92): measurement cluster_summary, tag cluster_id, dynamic fields + outgoing<level> fields and their level!=1 total. Rows-only: upstream L1 clustering. streaming/sinks.py::cluster_log_influx_points.",
+)
+def sink_cluster_log_influx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sinks import cluster_log_influx_points
+
+    clog = cluster_log(spark, sf_dir).withColumn(
+        "ts_us", F.expr("window * 10000000")
+    )
+    out = cluster_log_influx_points(clog, statics={"timeout": 100, "version": "spark-dnp 1.0.0"})
+    return out.orderBy("window")
+
+
+# --------------------------------------------------------------------------
+# A7/A8/A9 per-pair uptime bookkeeping (reference
+# src/analysis/stationcoincidence.cpp:82-109 accumulates online==2 minutes
+# per pair from reliability triggers; src/aggregation.cpp:154-176 sums
+# uptime/sample_time in the offline merge).
+# --------------------------------------------------------------------------
+
+_UPTIME_ORACLE_BODY = """
+  SELECT a.hash AS hash_lo, b.hash AS hash_hi,
+         CAST(sum((least(a.t1, b.t1) - greatest(a.t0, b.t0)) // 60000000000) AS BIGINT) AS uptime
+  FROM iv a JOIN iv b ON a.hash < b.hash AND a.t0 < b.t1 AND b.t0 < a.t1
+  GROUP BY a.hash, b.hash
+"""
+
+
+def _uptime_oracle_ctes() -> str:
+    return f"""
+tr AS ({_lifecycle_oracle_sql()}),
+iv AS (
+  SELECT hash, t0, coalesce(t1, (SELECT max(ts) FROM tr)) AS t1 FROM (
+    SELECT hash, status, ts AS t0,
+           lead(ts) OVER (PARTITION BY hash ORDER BY ts, status) AS t1
+    FROM tr
+  ) WHERE status = 'reliable'
+)"""
+
+
+def _lifecycle_inputs(spark: SparkSession, sf_dir: str):
+    """The station_lifecycle fixture framing (same as the registered
+    station_lifecycle query) — shared by the uptime queries."""
+    ev_us = _station_events_us(spark, sf_dir)
+    events = ev_us.select(
+        "hash",
+        (F.col("start") * 1000).alias("start"),
+        (F.col("end") * 1000).alias("end"),
+        "time_acc",
+        "ublox_counter",
+        "fix",
+    )
+    logs = ev_us.filter(F.col("event_id") % 5 == 0).select(
+        "hash",
+        (F.col("start") * 1000).alias("ts"),
+        (1.0 + (F.col("event_id") % 40) / 10.0).alias("dop"),
+        (30.0 + (F.col("event_id") % 200)).alias("h_acc"),
+        F.lit(40.0).alias("v_acc"),
+    )
+    return logs, events
+
+
+def _pair_uptime_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import pair_uptime
+    from ..operators.station import station_lifecycle
+
+    logs, events = _lifecycle_inputs(spark, sf_dir)
+    # one replay, reused for the end-of-data scalar AND the interval build
+    tr = station_lifecycle(logs, events).localCheckpoint(eager=True)
+    end_ts = tr.agg(F.max("ts")).collect()[0][0]  # O(1) driver bytes
+    return pair_uptime(tr, end_ts)
+
+
+@register(
+    "pair_uptime",
+    oracle=f"""
+WITH {_uptime_oracle_ctes()}
+SELECT * FROM ({_UPTIME_ORACLE_BODY})
+ORDER BY hash_lo, hash_hi
+""",
+    doc="A7 meta: per-pair uptime minutes from the station_lifecycle transition stream (reference src/analysis/stationcoincidence.cpp:82-109: time with BOTH stations reliable, minutes truncated per segment). Interval-overlap self-join on the station dimension — O(stations x flips), never data-sized. operators/histogram.py::pair_uptime, adjudicated against the recursive-CTE lifecycle oracle.",
+)
+def pair_uptime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pair_uptime_df(spark, sf_dir).orderBy("hash_lo", "hash_hi")
+
+
+@register(
+    "histogram_merge_meta",
+    oracle=f"""
+WITH {_uptime_oracle_ctes()},
+up AS ({_UPTIME_ORACLE_BODY}),
+e AS ({_pair_tof_histogram_oracle("WHERE start % 2 = 0")}),
+o AS ({_pair_tof_histogram_oracle("WHERE start % 2 = 1")}),
+bins AS (
+  SELECT hash_lo, hash_hi, min(distance) AS distance,
+         CAST(min(bin_width) AS INTEGER) AS bin_width, bin, CAST(sum(n) AS BIGINT) AS n
+  FROM (SELECT * FROM e UNION ALL SELECT * FROM o)
+  GROUP BY hash_lo, hash_hi, bin
+),
+-- meta sums only over the saves that actually contain the pair
+-- (src/aggregation.cpp:154-176 reads per-pair files; an absent file
+-- contributes nothing)
+presence AS (
+  SELECT hash_lo, hash_hi, CAST(count(*) AS BIGINT) AS k FROM (
+    SELECT DISTINCT hash_lo, hash_hi FROM e
+    UNION ALL
+    SELECT DISTINCT hash_lo, hash_hi FROM o
+  ) GROUP BY hash_lo, hash_hi
+)
+SELECT b.hash_lo, b.hash_hi, b.distance, b.bin_width,
+       CAST(p.k * coalesce(u.uptime, 0) AS BIGINT) AS uptime,
+       CAST(p.k * 60 AS BIGINT) AS sample_time, b.bin, b.n
+FROM bins b
+JOIN presence p ON b.hash_lo = p.hash_lo AND b.hash_hi = p.hash_hi
+LEFT JOIN up u ON b.hash_lo = u.hash_lo AND b.hash_hi = u.hash_hi
+ORDER BY b.hash_lo, b.hash_hi, b.bin
+""",
+    doc="A8/A9 with meta end-to-end: two saved histogram tables carrying per-pair uptime + 60 min sample_time each (operators/histogram.py::with_pair_meta), merged by merge_histograms_meta — bin counts sum per (pair, bin); uptime/sample_time sum PER PAIR across saves exactly as the reference's aggregator does (src/aggregation.cpp:154-176), not per row.",
+)
+def histogram_merge_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import merge_histograms_meta, with_pair_meta
+
+    up = _pair_uptime_df(spark, sf_dir).localCheckpoint(eager=True)
+    even = with_pair_meta(_pair_hist_df(spark, sf_dir, F.col("start") % 2 == 0), up, 60)
+    odd = with_pair_meta(_pair_hist_df(spark, sf_dir, F.col("start") % 2 == 1), up, 60)
+    return merge_histograms_meta(even, odd).orderBy("hash_lo", "hash_hi", "bin")

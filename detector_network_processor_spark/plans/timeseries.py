@@ -386,6 +386,10 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     dele = base.filter(F.col("o_orderkey") % 10 == 7).select(
         "o_orderkey", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_pc")
     )
+    # Insert keys are synthesized at a fixed +1e8 offset. This is safe only
+    # while max(o_orderkey) < 1e8 — true for TPC-H SF < ~17, which covers
+    # every fixture scale here (sf <= 0.1). At larger SF derive the offset
+    # from max(o_orderkey) instead (and mirror it in the oracle SQL).
     ins = base.filter(F.col("o_orderkey") % 10 == 1).select(
         (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
         F.lit("I").alias("op"),

@@ -145,7 +145,18 @@ def stream_kv_assembly_tws(
             first_ts = None
             if self._state.exists():
                 snames, svals, first_ts = self._state.get()
-                got = dict(zip(snames, svals))
+                # Input is processed BEFORE expired timers within a
+                # micro-batch: if the stored partial has already aged past
+                # its deadline relative to the current watermark, discard it
+                # NOW — otherwise a late-arriving missing key in this batch
+                # would complete an assembly the reference already dropped.
+                wm = timerValues.getCurrentWatermarkInMs()
+                if wm >= 0 and int(first_ts) + timeout_ms <= wm:
+                    self._state.clear()
+                    self._handle.deleteTimer(int(first_ts) + timeout_ms)
+                    first_ts = None
+                else:
+                    got = dict(zip(snames, svals))
             completed = []
             batch = pd.concat(list(rows), ignore_index=True)
             # deterministic replay order within the micro-batch

@@ -269,18 +269,36 @@ class InfluxWriter:
 
 
 def mqtt_foreach_batch(publisher: MqttPublisher, topic: str, column: str = "line", qos: int = 0):
-    """foreachBatch callback: drain a formatted-line DataFrame to MQTT."""
+    """foreachBatch callback: drain a formatted-line DataFrame to MQTT.
+
+    Rows stream through ``toLocalIterator`` (one partition in driver memory
+    at a time) instead of ``collect`` — an unbounded L1 stream routed here
+    never materializes a whole micro-batch on the driver."""
 
     def handle(batch_df, batch_id: int) -> None:
-        publisher.publish_lines(topic, (r[column] for r in batch_df.collect()), qos=qos)
+        publisher.publish_lines(
+            topic,
+            (r[column] for r in batch_df.select(column).toLocalIterator(prefetchPartitions=True)),
+            qos=qos,
+        )
 
     return handle
 
 
-def influx_foreach_batch(writer: InfluxWriter, column: str = "point"):
-    """foreachBatch callback: drain formatted points to InfluxDB."""
+def influx_foreach_batch(writer: InfluxWriter, column: str = "point", chunk_size: int = 5000):
+    """foreachBatch callback: drain formatted points to InfluxDB.
+
+    Streams via ``toLocalIterator`` and POSTs in ``chunk_size``-line bodies,
+    bounding driver memory AND request size regardless of batch volume."""
 
     def handle(batch_df, batch_id: int) -> None:
-        writer.write_lines([r[column] for r in batch_df.collect()])
+        chunk: list[str] = []
+        for r in batch_df.select(column).toLocalIterator(prefetchPartitions=True):
+            chunk.append(r[column])
+            if len(chunk) >= chunk_size:
+                writer.write_lines(chunk)
+                chunk = []
+        if chunk:
+            writer.write_lines(chunk)
 
     return handle

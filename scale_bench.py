@@ -54,7 +54,6 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
 
     ev = load_table(spark, BASE_SF, "events")
     n_ev = ev.count()
-    span_us = 30 * 86_400_000_000  # the fixture's 30-day window
     scaled_ev = (
         ev.crossJoin(F.broadcast(rep))
         .select(

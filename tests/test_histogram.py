@@ -50,3 +50,59 @@ def test_merge_histograms_sums_counts(spark):
     tm = {(r.hash_lo, r.hash_hi): r.total for r in pair_totals(merged).collect()}
     for k in set(t1) | set(t2):
         assert tm[k] == t1.get(k, 0) + t2.get(k, 0)
+
+
+def test_pair_uptime_segment_truncation(spark):
+    """A7 meta: uptime counts whole minutes PER online==2 segment
+    (stationcoincidence.cpp:92-103 duration_cast at each close), and an
+    open interval runs to end-of-data."""
+    from detector_network_processor_spark.operators.histogram import pair_uptime
+
+    M = 60 * 10**9  # ns per minute
+    tr = spark.createDataFrame(
+        [
+            # station 1: reliable [0, 10.5 min), then unreliable, then
+            # reliable again [20, 25 min)
+            (1, 0, "reliable", "miscellaneous"),
+            (1, int(10.5 * M), "unreliable", "time_accuracy"),
+            (1, 20 * M, "reliable", "miscellaneous"),
+            (1, 25 * M, "offline", "missed_log_interval"),
+            # station 2: reliable the whole span [0, open)
+            (2, 0, "reliable", "miscellaneous"),
+            # station 3: never reliable
+            (3, 0, "unreliable", "location_precision"),
+        ],
+        "hash long, ts long, status string, reason string",
+    )
+    up = {(r.hash_lo, r.hash_hi): r.uptime
+          for r in pair_uptime(tr, end_of_data_ts=30 * M).collect()}
+    # pair (1,2): segments 10.5 min (trunc 10) + 5 min -> 15, NOT floor(15.5)
+    assert up[(1, 2)] == 15
+    # station 2 alone vs 3: no overlap rows at all
+    assert (1, 3) not in up and (2, 3) not in up
+
+
+def test_with_pair_meta_and_meta_merge(spark):
+    from detector_network_processor_spark.operators.histogram import (
+        merge_histograms_meta,
+        pair_totals,
+        with_pair_meta,
+    )
+
+    h1, h2 = _hist(spark, seed=41), _hist(spark, seed=42)
+    up = spark.createDataFrame(
+        [(r.hash_lo, r.hash_hi, 7) for r in pair_totals(h1).collect()],
+        "hash_lo long, hash_hi long, uptime long",
+    )
+    m1, m2 = with_pair_meta(h1, up, 60), with_pair_meta(h2, up, 60)
+    merged = merge_histograms_meta(m1, m2)
+    rows = merged.collect()
+    assert rows
+    p1 = {(r.hash_lo, r.hash_hi) for r in h1.select("hash_lo", "hash_hi").distinct().collect()}
+    p2 = {(r.hash_lo, r.hash_hi) for r in h2.select("hash_lo", "hash_hi").distinct().collect()}
+    for r in rows:
+        k = (r.hash_lo, r.hash_hi)
+        n_present = (k in p1) + (k in p2)
+        assert r.sample_time == 60 * n_present
+        base = 7 if k in {(x.hash_lo, x.hash_hi) for x in up.collect()} else 0
+        assert r.uptime == base * n_present

@@ -282,3 +282,60 @@ def test_mqtt_subscribe_ingest_parse_cluster(spark, tmp_path):
     groups = l1.filter(F.col("n") >= 2).collect()
     assert len(groups) == 50
     assert all(g.n == 2 and not g.conflicting for g in groups)
+
+
+def test_non_l1_formatter_round_trip(spark):
+    """K1/K2 round trip for the non-L1 message types (mqtt.h:128-146,
+    database.h:95-113): detector_summary text lines out through the MQTT
+    publisher, summary + trigger points out through the Influx writer."""
+    from detector_network_processor_spark.streaming.sinks import (
+        summary_influx_points,
+        summary_text_lines,
+        trigger_influx_points,
+        trigger_text_lines,
+    )
+
+    summary = spark.createDataFrame(
+        [(5, 2, 10, 12, 0.166667, 123.5, 700.25, 0.25, 0.433013, "u5", "s5", 240_000_000)],
+        "hash long, win long, incoming long, ublox_counter_progress long, "
+        "deadtime double, mean_pulselength double, mean_time_acc double, "
+        "rate_mean double, rate_std double, user string, station_id string, ts_us long",
+    )
+    lines = [r["line"] for r in summary_text_lines(summary).orderBy("idx").collect()]
+    assert lines[0] == "1970-01-01_00-04-00 u5 s5 eventrate 0.250000"
+    assert lines[4] == "1970-01-01_00-04-00 u5 s5 incoming 10"
+    assert lines[5] == "1970-01-01_00-04-00 u5 s5 ublox_counter_progess 12"  # sic, mqtt.h:143
+    assert lines[6] == "1970-01-01_00-04-00 u5 s5 deadtime_factor 0.166667"
+
+    broker = FakeBroker()
+    broker.start()
+    pub = MqttPublisher("127.0.0.1", broker.port)
+    mqtt_foreach_batch(pub, "muonpi/summary")(summary_text_lines(summary), 0)
+    pub.close()
+    broker.join(timeout=5)
+    assert sorted(p.decode() for _, p, _ in broker.published) == sorted(lines)
+
+    point = summary_influx_points(summary).collect()[0]["point"]
+    assert point == (
+        "detector_summary,user=u5,detector=s5,site_id=u5s5 "
+        "eventrate=0.250000,eventrate_stddev=0.433013,time_acc=700.250000,"
+        "pulselength=123.500000,incoming=10i,ublox_counter_progress=12i,"
+        "deadtime_factor=0.166667 240000000000"
+    )
+
+    tr = spark.createDataFrame(
+        [(5, 240_000_000_000, "reliable", "miscellaneous", "u5", "s5")],
+        "hash long, ts long, status string, reason string, user string, station_id string",
+    )
+    assert trigger_text_lines(tr).collect()[0]["line"] == (
+        "1970-01-01_00-04-00 GMT reliable miscellaneous"
+    )
+    srv = FakeInflux()
+    srv.start()
+    influx_foreach_batch(InfluxWriter("127.0.0.1", srv.port))(trigger_influx_points(tr), 0)
+    srv.join(timeout=5)
+    body = srv.requests[0][1].decode()
+    assert body == (
+        'trigger,user=u5,detector=s5,site_id=u5s5 '
+        'type="reliable",reason="miscellaneous" 240000000000'
+    )
