@@ -21,6 +21,7 @@ reference daemon.
 """
 
 from __future__ import annotations
+from .config import python_stage_partitions
 
 import argparse
 import os
@@ -215,7 +216,7 @@ def _cmd_compact(args) -> int:
     exact = keyed.join(canon, ["content_key", "doc_id"])
     n_exact = exact.count()
     # near-dup: LSH pairs over the exact-deduped survivors only
-    sigs = minhash_signatures(exact.repartition(spark.sparkContext.defaultParallelism))
+    sigs = minhash_signatures(exact.repartition(python_stage_partitions(spark)))
     pairs = minhash_lsh_pairs(sigs).filter(F.col("est_jaccard") >= args.jaccard)
     cc = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
     survivors = (

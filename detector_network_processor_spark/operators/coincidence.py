@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from ..constants import MAX_TIME_NS, MEAN_FALSE_THRESHOLD, SIMPLE_WINDOW_NS
+from ..config import python_stage_partitions
 from .golden import Hit, cluster_hits, compare_physics, compare_simple, groups_to_rows
 from .sessionize import sessionize_global_gap
 
@@ -407,7 +408,7 @@ def cluster_coincidences(
     # at sf0.1 AQE shrank it to 2 partitions and serialized the stage
     # (measured: the longest tail of the whole query). The byte-size
     # heuristic is wrong whenever downstream cost is per-row Python work.
-    n_part = events.sparkSession.sparkContext.defaultParallelism
+    n_part = python_stage_partitions(events.sparkSession)
     multis = (
         sess.filter(F.col("_n") > 3)
         .drop("_n")

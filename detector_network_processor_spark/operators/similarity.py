@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from ..config import python_stage_partitions
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
@@ -261,7 +262,7 @@ def cosine_threshold_join(
     # Pin the shuffle width: the cells are small in BYTES but each costs a
     # CPU-bound matmul — AQE's byte-size coalescing would serialize them
     # (same lever as the coincidence replay kernel).
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = python_stage_partitions(spark)
     return (
         side_a.unionByName(side_b)
         .repartition(n_part, "pa", "pb")

@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..config import python_stage_partitions
 from .station_golden import replay_station
 
 TRANSITION_SCHEMA = StructType(
@@ -93,20 +94,26 @@ def station_lifecycle(
     # wall cost). An explicit user repartition on the same key is exempt
     # from AQE coalescing and satisfies the groupBy's distribution, so no
     # second exchange is added.
-    n_part = merged.sparkSession.sparkContext.defaultParallelism
+    n_part = python_stage_partitions(merged.sparkSession)
     return merged.repartition(n_part, "hash").groupBy("hash").applyInPandas(
         kernel, TRANSITION_SCHEMA
     )
 
 
 def detector_summaries(
-    events: DataFrame, interval: int = 120 * 10**9, sub_interval: int = 30 * 10**9
+    events: DataFrame,
+    interval: int | None = None,
+    sub_interval: int = 30 * 10**9,
+    cfg=None,
 ) -> DataFrame:
     """A5 snapshot per station per tumbling interval (reference
     src/supervision/station.cpp:89-102, detectorstation.cpp:138-156).
 
     ``interval``/``sub_interval`` are in the unit of ``start`` (ns by
     default, matching the reference's 120 s summary / 30 s rate intervals).
+    ``interval`` defaults to ``cfg.detectorsummary_interval_s`` seconds
+    (an ``EngineConfig``; the reference's `detectorsummary_interval` file
+    key, configuration.cpp:58) or the reference default of 120 s.
 
     Batch canonical divergences (documented, SURVEY.md §7.3): the K-sample
     ring statistics (pulselength/time_acc) become exact per-interval
@@ -115,6 +122,8 @@ def detector_summaries(
 
     events: (hash, start, end, time_acc, ublox_counter)
     """
+    if interval is None:
+        interval = (cfg.detectorsummary_interval_s if cfg is not None else 120) * 10**9
     w = Window.partitionBy("hash").orderBy("start", "ublox_counter", "end")
     ev = events.select(
         "hash",

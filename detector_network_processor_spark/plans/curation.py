@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table
 from . import register
+from ..config import python_stage_partitions
 
 # --------------------------------------------------------------------------
 # PII detection / redaction
@@ -296,7 +297,7 @@ ORDER BY doc_id
 )
 def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     t = F.split(F.col("text"), " ")
     th = F.transform(t, lambda w: F.xxhash64(w))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table
 from . import register
+from ..config import python_stage_partitions
 
 _STOPWORDS = ("the", "a", "of", "and")
 
@@ -184,7 +185,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-heavy shingling so it parallelizes (at real scale the scan itself
     # provides the splits and this repartition coalesces into the same shape).
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     t = F.split(F.col("text"), " ")
     # Two-stage hash shingling, all JVM-side: hash every token ONCE, then a
@@ -453,7 +454,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_lsh_pairs, minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     sigs = minhash_signatures(docs, portable=True)
     return (
@@ -503,7 +504,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(
-        docs.repartition(spark.sparkContext.defaultParallelism), portable=True
+        docs.repartition(python_stage_partitions(spark)), portable=True
     )
     pairs = minhash_lsh_pairs(sigs, portable=True).filter(F.col("est_jaccard") >= 0.34)
     cc = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
@@ -567,7 +568,7 @@ def simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_dups
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     return (
         simhash_near_dups(docs, portable=True)
@@ -684,7 +685,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_media, documents_as_media
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     decoded = decode_media(documents_as_media(docs), fake=True)
     return decoded.select(
@@ -862,7 +863,7 @@ ORDER BY b.doc_id
 )
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     t = F.split(F.col("text"), " ")
     base = docs.filter(F.size(t) >= 2).select(
@@ -1025,7 +1026,7 @@ ORDER BY h.doc_id
 )
 def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     t = F.split(F.col("text"), " ")
     th = F.transform(t, lambda w: F.xxhash64(w))
@@ -1103,7 +1104,7 @@ ORDER BY doc_id
 )
 def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     grams = docs.filter(F.length("text") >= 2).select(
         "doc_id",
@@ -1195,7 +1196,7 @@ ORDER BY doc_id
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     t = F.split(F.col("text"), " ")
     n_tokens = F.size(t)
@@ -1370,7 +1371,7 @@ ORDER BY query_id, rank
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     qterms = spark.createDataFrame(
         [(qid, w) for qid, terms in _BM25_QUERIES for w in terms], "query_id int, w string"
@@ -1829,7 +1830,7 @@ def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hashed_shingles
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        python_stage_partitions(spark)
     )
     sh = hashed_shingles(docs).localCheckpoint(eager=True)
     sizes = sh.select("doc_id", F.size("_sh").alias("n_sh"))

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table, ts_to_us
 from . import register
+from ..config import python_stage_partitions
 
 # Deterministic malformed-row injection (each exercises one Error path):
 _MOD_CLUSTER = 11  # username 'cluster' -> S7 topic filter drop
@@ -101,7 +102,7 @@ def parse_event_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broker and this whole block is replaced by the source itself.
     lines = (
         ev.select(topic.alias("topic"), payload.alias("payload"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(python_stage_partitions(spark))
         .persist()
     )
     return parse_events(lines).drop("hash").orderBy("username", "start", "station_id")

@@ -96,9 +96,24 @@ def stream_cluster_coincidences(
     # the key is a constant and session-state updates serialize onto one
     # state partition. This path is therefore the LOW-VOLUME convenience
     # API (mirrors the reference's single `muon::filter` thread). The scale
-    # path is streaming/incremental.py: the distributed batch operator per
+    # path is ``stream_cluster_coincidences_scaled`` below
+    # (streaming/incremental.py): the distributed batch operator per
     # micro-batch with a carried open tail — same exact semantics, state
-    # and compute sharded by the range shuffle.
+    # and compute sharded by the range shuffle. Exact sharding of THIS
+    # plan is not expressible in Structured Streaming: bucket keys split
+    # boundary sessions, and every stitch mechanism is rejected by Spark —
+    # session_window merges anchor on window-END event times (a chained
+    # constant-key pass misses merges whenever the later fragment's chain
+    # extends past first_hit + gap; verified on 4.1), and
+    # applyInPandasWithState/transformWithState are disallowed downstream
+    # of a streaming aggregation. What IS available: map-side session
+    # pre-merge, which collapses each micro-batch's sessions locally
+    # before they reach the single state partition, cutting state-update
+    # traffic from O(hits) to O(open sessions) per trigger.
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition", "true"
+    )
     return (
         with_ts.withColumn("_k", F.lit(0))
         .groupBy("_k", F.session_window("_ts", f"{gap_ns + 1} microseconds"))
@@ -109,4 +124,43 @@ def stream_cluster_coincidences(
         )
         .select("hits")
         .mapInPandas(_resolve_collected(criterion), L1_SCHEMA)
+    )
+
+
+def stream_cluster_coincidences_scaled(
+    events: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    criterion: str = "physics",
+    gap_ns: int | None = None,
+    watermark_ns: int = 10_000_000_000,
+):
+    """The SCALE variant of ``stream_cluster_coincidences`` — same inputs,
+    same exact semantics, but state and compute shard across the cluster.
+
+    Delegates to the incremental micro-batch engine
+    (streaming/incremental.py): each trigger runs the distributed BATCH
+    operator over new rows ∪ carried open tail, emits closed groups to
+    ``out_path/batch_id=N/`` and carries the open tail in range-sharded
+    parquet state. Use this whenever the stream is more than a single
+    executor's worth of events; the session_window path above keeps the
+    pure-DataFrame streaming shape but serializes session state onto one
+    partition (see the in-function comment for why that is a Structured
+    Streaming limit, not a choice).
+
+    Returns the (unstarted) ``DataStreamWriter``; call ``.trigger(...)``/
+    ``.start()``, then ``streaming.incremental.flush_incremental_state``
+    after end-of-stream to emit the final open tail.
+    """
+    from .incremental import incremental_cluster_query
+
+    return incremental_cluster_query(
+        events,
+        out_path,
+        state_path,
+        checkpoint_dir,
+        criterion=criterion,
+        gap_ns=gap_ns,
+        watermark_ns=watermark_ns,
     )
