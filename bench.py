@@ -54,6 +54,10 @@ def _release_cached(spark) -> None:
     # GC notices they are unreachable; a busy short-lived session may never
     # GC, so blocks pile up and late queries run under memory pressure.
     spark.sparkContext._jvm.System.gc()
+    # settle: let the GC/ContextCleaner callbacks finish before the timed
+    # run starts — otherwise block-manager removals land inside the
+    # measurement window (quiet-host protocol, BASELINE.md r3 notes).
+    time.sleep(0.2)
 
 
 def main() -> None:
@@ -76,21 +80,31 @@ def main() -> None:
             except Exception as e:  # pragma: no cover
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = specs[name].fn
         _release_cached(spark)  # drop the previous query's persisted state
-        best, rows = None, 0
+        runs: list[float] = []
+        rows = 0
         for _ in range(n_runs):
             t0 = time.perf_counter()
             rows = fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
+        best = min(runs)
         timings[name] = round(best, 3)
+        # spread = max-min across runs: the per-query noise band this host
+        # showed round-over-round; a large spread flags a hypervisor-noise
+        # reading, not a plan change.
+        spreads[name] = round(max(runs) - best, 3)
         total += best
-        print(f"# {name}: {best:.3f}s ({rows} rows, min of {n_runs})", file=sys.stderr)
+        print(
+            f"# {name}: {best:.3f}s (+{spreads[name]:.3f} spread, {rows} rows, "
+            f"min of {n_runs})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -101,6 +115,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": n_runs,
+                "spread": spreads,
+                "spread_total": round(sum(spreads.values()), 3),
             }
         )
     )

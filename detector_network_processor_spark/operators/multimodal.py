@@ -96,21 +96,52 @@ def _fake_decode_one(media: bytes) -> tuple[int, int, int, list[float], list[int
     return width, height, ck, feats, sums
 
 
+def _real_decode_one(media: bytes):
+    """Real image decode behind a soft import: PIL if present (optional
+    extra — absent in the CI sandbox, in which case callers get the
+    NotImplementedError below and should use fake=True). Features are the
+    N_FEATURES per-slot means/sums of the DECODED pixel bytes — the same
+    shape contract as the fake decoder, so downstream plumbing is
+    identical either way."""
+    try:
+        import io
+
+        from PIL import Image  # soft import: optional extra
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg/librosa, not "
+            "available in this environment — run with fake=True "
+            "for the deterministic test decoder"
+        ) from exc
+    with Image.open(io.BytesIO(media)) as img:
+        width, height = img.size
+        arr = np.frombuffer(img.convert("RGB").tobytes(), dtype=np.uint8)
+    ck = 0
+    for b in arr.tolist():
+        ck = (ck * _CK_BASE + b) % _CK_MOD
+    pad = (-len(arr)) % N_FEATURES
+    chunks = np.pad(arr, (0, pad)).reshape(-1, N_FEATURES)
+    sums = chunks.sum(axis=0, dtype=np.int64).tolist()
+    feats = (chunks.mean(axis=0) / 255.0).astype(np.float32).tolist()
+    return width, height, ck, feats, sums
+
+
 def decode_media(media_df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode + feature-extract stage over MEDIA_SCHEMA rows."""
+    """Decode + feature-extract stage over MEDIA_SCHEMA rows.
+
+    ``fake=True`` runs the deterministic byte-domain decoder (the
+    oracle-checked path); ``fake=False`` decodes real images via PIL when
+    installed and raises ``NotImplementedError`` otherwise."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for t in pdf[["media_id", "media", "media_type"]].itertuples(index=False, name=None):
                 media_id, media, mtype = int(t[0]), bytes(t[1]), t[2]
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decoding requires PIL/ffmpeg/librosa, not "
-                        "available in this environment — run with fake=True "
-                        "for the deterministic test decoder"
-                    )
-                w, h, ck, feats, sums = _fake_decode_one(media)
+                if fake:
+                    w, h, ck, feats, sums = _fake_decode_one(media)
+                else:
+                    w, h, ck, feats, sums = _real_decode_one(media)
                 out.append((media_id, mtype, w, h, len(media), ck, feats, sums))
             yield pd.DataFrame(
                 out, columns=[f.name for f in DECODED_SCHEMA.fields]

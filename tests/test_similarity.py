@@ -147,3 +147,37 @@ def test_pq_train_monotonically_reduces_quantization_error(spark):
         assert b <= a * (1 + 1e-9), f"error increased: {a} -> {b}"
     assert history[-1] < history[0] * 0.95, f"no real improvement: {history}"
     assert cb.shape == (4, 16, 16)
+
+
+def test_multimodal_real_decode_soft_import(spark):
+    """decode_media(fake=False): decodes real images when PIL is installed
+    (skipped cleanly when not), raises NotImplementedError otherwise — the
+    Spark-side plumbing (schema, Arrow batching) is identical either way."""
+    import pytest
+
+    from detector_network_processor_spark.operators.multimodal import decode_media
+
+    media = spark.createDataFrame(
+        [(1, b"not-an-image", "image")], "media_id long, media binary, media_type string"
+    )
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(Exception) as ei:
+            decode_media(media, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or isinstance(
+            ei.value, NotImplementedError
+        )
+        pytest.skip("PIL not installed — real-decode error path verified")
+    # PIL present: decode a real 3x2 PNG end to end
+    img = Image.new("RGB", (3, 2), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    real = spark.createDataFrame(
+        [(1, buf.getvalue(), "image")], "media_id long, media binary, media_type string"
+    )
+    row = decode_media(real, fake=False).collect()[0]
+    assert (row.width, row.height) == (3, 2)
+    assert row.n_bytes == len(buf.getvalue())
