@@ -540,3 +540,139 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document by
+# the log importance weight log(p_target(x) / p_raw(x)) under hashed
+# bag-of-ngram models, then select the top fraction. The target domain
+# here is a deterministic source slice of the corpus (src0/src1), standing
+# in for "quality" reference data (e.g. Wikipedia) as in the paper.
+# --------------------------------------------------------------------------
+
+_DSIR_K = 4096  # hashed feature buckets
+_DSIR_MOD = 1000003  # polynomial-hash modulus (exact int64 both engines)
+_DSIR_SCALE = 1_000_000  # log fixed-point scale
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_KEEP_PCT = 30  # select the top 30% by weight
+
+# polynomial rolling hash over the word's characters — identical integer
+# arithmetic in Spark (aggregate/transform) and DuckDB (list_reduce);
+# Spark's explicit 0 init and DuckDB's first-element init coincide because
+# (0 * 31 + c1) = c1.
+_DSIR_HASH_SPARK = (
+    "aggregate(transform(sequence(1, length(w)), i -> ascii(substring(w, i, 1))), 0L, "
+    f"(acc, x) -> (acc * 31 + x) % {_DSIR_MOD}) % {_DSIR_K}"
+)
+_DSIR_HASH_DUCK = (
+    "list_reduce(list_transform(generate_series(1, len(w)), i -> ascii(w[i:i])), "
+    f"(acc, x) -> (acc * 31 + x) % {_DSIR_MOD}) % {_DSIR_K}"
+)
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+feats AS (
+  SELECT doc_id, source, {_DSIR_HASH_DUCK} AS b, count(*) AS dc
+  FROM words WHERE len(w) > 0 GROUP BY doc_id, source, w
+),
+docfeat AS (
+  SELECT doc_id, source, b, CAST(sum(dc) AS BIGINT) AS dc
+  FROM feats GROUP BY doc_id, source, b
+),
+raw_counts AS (SELECT b, CAST(sum(dc) AS BIGINT) AS cr FROM docfeat GROUP BY b),
+tgt_counts AS (
+  SELECT b, CAST(sum(dc) AS BIGINT) AS ct FROM docfeat
+  WHERE source IN {_DSIR_TARGET} GROUP BY b
+),
+tots AS (
+  SELECT (SELECT sum(cr) FROM raw_counts) AS tr,
+         (SELECT coalesce(sum(ct), 0) FROM tgt_counts) AS tt
+),
+lr AS (
+  SELECT r.b,
+         CAST(floor((ln((coalesce(t.ct, 0) + 1.0) / (tots.tt + {_DSIR_K}))
+                     - ln((r.cr + 1.0) / (tots.tr + {_DSIR_K}))) * {_DSIR_SCALE}) AS BIGINT)
+           AS lr6
+  FROM raw_counts r LEFT JOIN tgt_counts t ON r.b = t.b CROSS JOIN tots
+),
+scored AS (
+  SELECT d.doc_id, CAST(sum(d.dc) AS BIGINT) AS n_words,
+         CAST(sum(d.dc * lr.lr6) AS BIGINT) AS w6
+  FROM docfeat d JOIN lr ON d.b = lr.b
+  GROUP BY d.doc_id
+),
+ranked AS (
+  SELECT doc_id, n_words,
+         round(w6 * 1.0 / {_DSIR_SCALE}, 6) AS log_weight,
+         row_number() OVER (ORDER BY w6 DESC, doc_id) AS rank,
+         count(*) OVER () AS n_docs
+  FROM scored
+)
+SELECT doc_id, n_words, log_weight, rank,
+       CAST(rank <= (n_docs * {_DSIR_KEEP_PCT}) // 100 AS BOOLEAN) AS selected
+FROM ranked
+ORDER BY doc_id
+""",
+    doc=f"DSIR importance resampling (Xie et al. 2023): per-doc log importance weight log(p_target/p_raw) under add-1-smoothed hashed bag-of-word models ({_DSIR_K} buckets, polynomial char hash identical in both engines), target domain = sources {_DSIR_TARGET}, top {_DSIR_KEEP_PCT}% selected. Scale shape: ONE token shuffle to per-doc bucket counts (map-side combined), two tiny bucket-count aggs broadcast back, integer-scaled order-free weight sum. The model tables stay O({_DSIR_K}) rows at any corpus size; the exact global rank column exists for oracle adjudication — at 100 TB the selection threshold comes from approx_percentile over w6 (one scalar) and `selected` becomes a plain filter, dropping the single-reducer window.",
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        python_stage_partitions(spark)
+    )
+    words = docs.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    # distinct-word counts first: the char-level hash runs once per distinct
+    # (doc, word), not once per occurrence
+    feats = words.groupBy("doc_id", "source", "w").agg(F.count(F.lit(1)).alias("dc"))
+    docfeat = (
+        feats.select(
+            "doc_id", "source", F.expr(_DSIR_HASH_SPARK).alias("b"), "dc"
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.sum("dc").alias("dc"))
+        .localCheckpoint(eager=True)  # feeds three consumers below
+    )
+    raw_counts = docfeat.groupBy("b").agg(F.sum("dc").alias("cr"))
+    tgt_counts = (
+        docfeat.filter(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.sum("dc").alias("ct"))
+    )
+    # corpus totals: two scalars, collected (O(1) driver bytes) so the
+    # bucket-model build below is a single broadcastable table
+    tr = raw_counts.agg(F.sum("cr")).collect()[0][0]
+    tt = tgt_counts.agg(F.sum("ct")).collect()[0][0] or 0
+    lr = raw_counts.join(tgt_counts, "b", "left").select(
+        "b",
+        F.floor(
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (tt + _DSIR_K))
+                - F.log((F.col("cr") + 1.0) / (tr + _DSIR_K))
+            )
+            * _DSIR_SCALE
+        ).cast("long").alias("lr6"),
+    )
+    scored = (
+        docfeat.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("dc").alias("n_words"), F.sum(F.col("dc") * F.col("lr6")).alias("w6"))
+    )
+    n_docs = docs.count()
+    w_rank = Window.orderBy(F.col("w6").desc(), F.col("doc_id"))
+    return (
+        scored.select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("w6") / float(_DSIR_SCALE), 6).alias("log_weight"),
+            F.row_number().over(w_rank).alias("rank"),
+        )
+        .withColumn("selected", F.col("rank") <= (n_docs * _DSIR_KEEP_PCT) // 100)
+        .orderBy("doc_id")
+    )

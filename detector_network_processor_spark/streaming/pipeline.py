@@ -63,3 +63,42 @@ def stream_main_path(
         F.broadcast(stations.select("hash", "lat", "lon", "h")), "hash", "inner"
     )
     return stream_cluster_coincidences(enriched, criterion=criterion, watermark_ns=watermark_ns)
+
+
+def stream_monitoring_path(
+    lines: DataFrame,
+    stations: DataFrame,
+    interval_ns: int = 120 * 10**9,
+    sub_interval_ns: int = 30 * 10**9,
+    output: str = "text",
+) -> DataFrame:
+    """The reference's MONITORING wiring (src/application.cpp:141-176:
+    station supervision feeding the detector_summary sinks), end to end as
+    one streaming plan:
+
+        line source -> S2 parse -> per-station windowed summaries
+        (stream_detector_summaries, exact batch arithmetic) -> K1 text
+        lines or K2 Influx points (streaming/sinks.py formatters)
+
+    ``stations`` is the (hash, user, station_id) identity dimension for
+    the formatter's topic/tag fields — broadcast per micro-batch.
+    ``output``: 'text' -> (hash, win, idx, line); 'influx' -> (hash, win,
+    point); 'summary' -> the raw summary stream. Any transport adapter
+    (mqtt_foreach_batch / influx_foreach_batch) drains the result."""
+    from .sinks import summary_influx_points, summary_text_lines
+    from .station import stream_detector_summaries
+
+    events = parse_events(lines)
+    summaries = stream_detector_summaries(
+        events.select("hash", "start", "end", "time_acc", "ublox_counter"),
+        interval=interval_ns,
+        sub_interval=sub_interval_ns,
+    )
+    if output == "summary":
+        return summaries
+    enriched = summaries.join(
+        F.broadcast(stations.select("hash", "user", "station_id")), "hash"
+    ).withColumn("ts_us", F.expr(f"win * {interval_ns} div 1000"))
+    if output == "influx":
+        return summary_influx_points(enriched)
+    return summary_text_lines(enriched)

@@ -138,3 +138,59 @@ def test_retention_distincts_before_cohort_join(spark):
     plan = plan_of(spark, "retention_cohorts")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sink_formatters_are_map_only(spark):
+    """K1/K2 formatters are pure column expressions: over an already-built
+    summary frame they add NO exchange — the formatting pipeline is
+    map-only at any scale (streaming/sinks.py §Non-L1 formatters)."""
+    import pyspark.sql.functions as F
+
+    from detector_network_processor_spark.streaming.sinks import (
+        summary_influx_points,
+        summary_text_lines,
+    )
+
+    summary = spark.range(10).select(
+        F.col("id").alias("hash"),
+        F.lit(1).alias("win"),
+        F.lit(5).alias("incoming"),
+        F.lit(6).alias("ublox_counter_progress"),
+        F.lit(0.1).alias("deadtime"),
+        F.lit(1.0).alias("mean_pulselength"),
+        F.lit(2.0).alias("mean_time_acc"),
+        F.lit(0.5).alias("rate_mean"),
+        F.lit(0.1).alias("rate_std"),
+        F.lit("u").alias("user"),
+        F.lit("s").alias("station_id"),
+        F.lit(0).alias("ts_us"),
+    )
+    for out in (summary_text_lines(summary), summary_influx_points(summary)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_pair_uptime_interval_join_is_broadcast(spark):
+    """pair_uptime's interval-overlap self-join must broadcast the
+    dimension-sized interval table — a shuffled or nested-loop plan over
+    the station dimension is fine, but no full-data exchange may appear
+    beyond the lifecycle replay itself."""
+    plan = plan_of(spark, "pair_uptime")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_detector_log_influx_single_aggregate(spark):
+    """One point per log assembly = exactly one hash aggregate pair
+    (partial + final) over the EAV rows; no joins, no windows."""
+    plan = plan_of(spark, "sink_detector_log_influx")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("HashAggregate") == 2 or "SortAggregate" in plan
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """DSIR's log-ratio model table is O(K buckets) and must ride a
+    broadcast join onto the per-doc features — a shuffled model join would
+    needlessly reshuffle the corpus-sized side."""
+    plan = plan_of(spark, "dsir_importance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

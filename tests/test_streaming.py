@@ -683,3 +683,141 @@ def test_tws_kv_assembly_discards_timed_out_partials(spark):
         assert set(got) == {1, 3}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_detector_summaries_matches_batch(spark):
+    """Streaming A5 == batch detector_summaries for every window the
+    stream has CLOSED (a station's final open window emits only on the
+    next window's first record — the batch-canonical close, so the batch
+    frame is filtered to closed windows for the comparison)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from detector_network_processor_spark.operators.station import detector_summaries
+    from detector_network_processor_spark.streaming.station import stream_detector_summaries
+
+    NS = 10**9
+    rng = np.random.default_rng(23)
+    rows = []
+    for h in [1, 2, 3]:
+        t = float(rng.uniform(0, 30))
+        ublox = int(rng.integers(0, 65536))
+        while t < 1500:
+            ublox = (ublox + int(rng.integers(1, 9))) % 65536
+            rows.append(
+                dict(hash=h, start=int(t * NS), end=int(t * NS) + int(rng.integers(100, 900)),
+                     time_acc=int(rng.integers(0, 2000)), ublox_counter=ublox)
+            )
+            t += float(rng.uniform(0.5, 40.0))
+    ev = spark.createDataFrame(rows)
+    batch = detector_summaries(ev).collect()
+    last_win = {}  # per station: the never-closed tail window
+    for r in batch:
+        last_win[r["hash"]] = max(last_win.get(r["hash"], -1), r["win"])
+    expected = [r for r in batch if r["win"] != last_win[r["hash"]]]
+
+    tmp = tempfile.mkdtemp(prefix="dnp_summary_stream_")
+    try:
+        ordered = sorted(ev.collect(), key=lambda r: r["start"])
+        n = len(ordered)
+        for i in range(3):
+            chunk = [r.asDict() for r in ordered[i * n // 3 : (i + 1) * n // 3]]
+            spark.createDataFrame(chunk, ev.schema).coalesce(1).write.mode("overwrite").parquet(
+                f"{tmp}/in/f{i}"
+            )
+        stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(
+            f"{tmp}/in/f*"
+        )
+        q = (
+            stream_detector_summaries(stream)
+            .writeStream.format("memory").queryName("summary_stream_test")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql("select * from summary_stream_test").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def canon(rs):  # name-keyed: batch and stream column ORDER differ
+        return sorted(tuple(d[k] for k in sorted(d)) for d in (r.asDict() for r in rs))
+
+    assert len(got) == len(expected) > 0
+    assert canon(got) == canon(expected)
+
+
+def test_stream_monitoring_path_end_to_end(spark):
+    """Monitoring wiring (application.cpp:141-176 analog): text lines ->
+    parse -> streaming per-station summaries -> K1 summary text lines,
+    byte-equal to the batch formatter over batch detector_summaries for
+    every closed window."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from detector_network_processor_spark.operators.station import detector_summaries
+    from detector_network_processor_spark.sources.lines import parse_events
+    from detector_network_processor_spark.streaming.pipeline import stream_monitoring_path
+    from detector_network_processor_spark.streaming.sinks import summary_text_lines
+
+    NS = 10**9
+    EPOCH_NS = 1_700_000_000 * NS
+    lines = []
+    for h in (1, 2):
+        t, ub = 3 * h, 10
+        while t < 700:
+            s = (t * NS + EPOCH_NS) / 1e9
+            lines.append(
+                (f"muonpi/data/user{h}/det", f"{s:.9f} {s + 3e-7:.9f} {t % 1500} {ub % 65536} 1 0 1")
+            )
+            ub += 3
+            t += 7 + h
+    schema = "topic string, payload string"
+    lines_df = spark.createDataFrame(lines, schema)
+    stations = parse_events(lines_df).select("hash").distinct().select(
+        "hash",
+        F.concat(F.lit("u"), F.col("hash")).alias("user"),
+        F.lit("det").alias("station_id"),
+    )
+
+    batch_sum = detector_summaries(
+        parse_events(lines_df).select("hash", "start", "end", "time_acc", "ublox_counter")
+    )
+    last_win = {r["hash"]: r["mw"] for r in batch_sum.groupBy("hash").agg(F.max("win").alias("mw")).collect()}
+    enriched = batch_sum.join(F.broadcast(stations), "hash").withColumn(
+        "ts_us", F.expr(f"win * {120 * NS} div 1000")
+    )
+    expected = {
+        (r["hash"], r["win"], r["idx"], r["line"])
+        for r in summary_text_lines(enriched).collect()
+        if r["win"] != last_win[r["hash"]]
+    }
+
+    tmp = tempfile.mkdtemp(prefix="dnp_monpath_")
+    try:
+        n = len(lines)
+        for i in range(2):
+            spark.createDataFrame(lines[i * n // 2 : (i + 1) * n // 2], schema).coalesce(
+                1
+            ).write.parquet(f"{tmp}/in/f{i}")
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+            f"{tmp}/in/f*"
+        )
+        q = (
+            stream_monitoring_path(stream, stations)
+            .writeStream.format("memory").queryName("monpath_test")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["hash"], r["win"], r["idx"], r["line"])
+            for r in spark.sql("select * from monpath_test").collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert got == expected and len(got) > 0
