@@ -1926,3 +1926,118 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HH_TOPK)
         .orderBy("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE merge training (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units"): learn the first M merge
+# rules of a byte-pair-encoding vocabulary over the corpus. The classic
+# single-process algorithm is a loop over (count adjacent symbol pairs,
+# merge the argmax); here each iteration is one map-side-combined pair
+# count over DISTINCT words (the word-frequency table, a dimension), an
+# O(1)-row argmax collect, and a map-only string rewrite — the exact
+# shape that scales: corpus text is touched once (word counting), and the
+# iteration loop runs on the word DIM table only.
+#
+# Greedy left-to-right pair application matches the reference algorithm
+# via plain non-overlapping replace() on a ' sym|' token encoding: every
+# symbol carries its own lead-space + trailing marker, so consecutive
+# matches never share boundary characters and replace() in Spark and
+# DuckDB produce identical (greedy) merges.
+# --------------------------------------------------------------------------
+
+_BPE_ITERS = 4
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    return f"""
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS c FROM (
+    SELECT freq, l[i][2:] AS a, l[i+1][2:] AS b
+    FROM (SELECT freq, string_split(r, '|') AS l FROM {src}),
+         LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i)
+  ) GROUP BY a, b"""
+
+
+def _bpe_oracle() -> str:
+    ctes = ["""words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE len(w) > 0 AND w NOT LIKE '%|%' GROUP BY w
+)""", """w0 AS (
+  SELECT freq, array_to_string(list_transform(generate_series(1, len(w)), i -> ' ' || w[i:i] || '|'), '') AS r
+  FROM words
+)"""]
+    selects = []
+    for i in range(_BPE_ITERS):
+        ctes.append(f"p{i} AS ({_bpe_pairs_sql(f'w{i}')})")
+        ctes.append(f"t{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1)")
+        if i + 1 < _BPE_ITERS:
+            ctes.append(f"""w{i + 1} AS (
+  SELECT freq, replace(r,
+      ' ' || (SELECT a FROM t{i}) || '| ' || (SELECT b FROM t{i}) || '|',
+      ' ' || (SELECT a FROM t{i}) || (SELECT b FROM t{i}) || '|') AS r
+  FROM w{i}
+)""")
+        selects.append(
+            f"SELECT {i} AS iteration, a AS left_sym, b AS right_sym, "
+            f"a || b AS merged, c AS pair_count FROM t{i}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY iteration"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc=f"Distributed BPE vocabulary training (Sennrich et al. 2016): the first {_BPE_ITERS} merge rules learned over the corpus word-frequency table. Per iteration: map-side-combined adjacent-pair count over DISTINCT words, O(1)-row argmax collect (ties broken by pair, byte-order identical cross-engine), map-only greedy rewrite (non-overlapping replace on a boundary-safe ' sym|' encoding). Corpus text is read once; the loop runs on the word dimension — at 100 TB that table is vocabulary-sized, not corpus-sized. Adjudicated against a {_BPE_ITERS}-stage unrolled DuckDB oracle.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter((F.length("w") > 0) & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sym = words.select(
+        "freq",
+        F.expr(
+            "array_join(transform(sequence(1, length(w)), i -> concat(' ', substring(w, i, 1), '|')), '')"
+        ).alias("r"),
+    ).localCheckpoint(eager=True)
+
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+    # generate_series(1, 0) is empty — single-symbol words must yield no
+    # pairs, not an index-0 error
+    pair_expr = (
+        "CASE WHEN size(l) < 3 THEN array() ELSE "
+        "transform(sequence(1, size(l) - 2), i -> "
+        "struct(substring(element_at(l, i), 2) AS a, substring(element_at(l, i + 1), 2) AS b)) END"
+    )
+    out = []
+    for it in range(_BPE_ITERS):
+        pairs = (
+            sym.select("freq", F.split("r", "\\|").alias("l"))
+            .select("freq", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()[0]  # O(1) driver row
+        out.append((it, top["a"], top["b"], top["a"] + top["b"], int(top["c"])))
+        if it + 1 < _BPE_ITERS:
+            pat = f" {top['a']}| {top['b']}|"
+            rep = f" {top['a']}{top['b']}|"
+            # map-only rewrite; localCheckpoint truncates the growing
+            # lineage so iteration i+1 does not replay iterations 0..i
+            sym = sym.select(
+                "freq",
+                F.expr(
+                    f"replace(r, {_sql_str(pat)}, {_sql_str(rep)})"
+                ).alias("r"),
+            ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "iteration int, left_sym string, right_sym string, merged string, pair_count long"
+    ).orderBy("iteration")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

@@ -1330,3 +1330,98 @@ def histogram_merge_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = with_pair_meta(_pair_hist_df(spark, sf_dir, F.col("start") % 2 == 0), up, 60)
     odd = with_pair_meta(_pair_hist_df(spark, sf_dir, F.col("start") % 2 == 1), up, 60)
     return merge_histograms_meta(even, odd).orderBy("hash_lo", "hash_hi", "bin")
+
+
+# --------------------------------------------------------------------------
+# Spatial proximity self-join (§2.4 extension): "station pairs within D
+# meters" — the geometry the reference holds as its station-pair matrix
+# (src/analysis/stationcoincidence.cpp:224-240 sizes per-pair histograms
+# from exactly this distance), expressed as a grid-bucketed equi-join.
+# --------------------------------------------------------------------------
+
+_SPATIAL_D_M = 20_000.0  # proximity threshold
+# cell spans chosen >= D along both axes over the point field's lat range
+# (46..50°: 0.2° lat = 22.2 km, 0.3° lon >= 21.4 km at lat 50) so the
+# 9-cell neighborhood is COMPLETE for the threshold — no pair can span
+# more than one cell step.
+_CELL_LAT = 0.2
+_CELL_LON = 0.3
+
+
+def _spatial_points_sql() -> str:
+    return """
+  SELECT DISTINCT user_id AS hash,
+         46.0 + (user_id * 7 % 400) / 100.0 AS lat,
+         6.0 + (user_id * 13 % 600) / 100.0 AS lon,
+         450.0 AS h
+  FROM events"""
+
+
+@register(
+    "stations_within_range",
+    oracle=f"""
+WITH pts AS ({_spatial_points_sql()})
+SELECT a.hash AS hash_a, b.hash AS hash_b,
+       round(sqrt(({_ecef_sql('a.lat', 'a.lon', 'a.h')[0]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[0]}) * ({_ecef_sql('a.lat', 'a.lon', 'a.h')[0]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[0]})
+                 + ({_ecef_sql('a.lat', 'a.lon', 'a.h')[1]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[1]}) * ({_ecef_sql('a.lat', 'a.lon', 'a.h')[1]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[1]})
+                 + ({_ecef_sql('a.lat', 'a.lon', 'a.h')[2]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[2]}) * ({_ecef_sql('a.lat', 'a.lon', 'a.h')[2]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[2]})), 3) AS distance_m
+FROM pts a JOIN pts b ON a.hash < b.hash
+WHERE sqrt(({_ecef_sql('a.lat', 'a.lon', 'a.h')[0]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[0]}) * ({_ecef_sql('a.lat', 'a.lon', 'a.h')[0]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[0]})
+           + ({_ecef_sql('a.lat', 'a.lon', 'a.h')[1]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[1]}) * ({_ecef_sql('a.lat', 'a.lon', 'a.h')[1]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[1]})
+           + ({_ecef_sql('a.lat', 'a.lon', 'a.h')[2]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[2]}) * ({_ecef_sql('a.lat', 'a.lon', 'a.h')[2]} - {_ecef_sql('b.lat', 'b.lon', 'b.h')[2]})) <= {_SPATIAL_D_M!r}
+ORDER BY hash_a, hash_b
+""",
+    doc=f"§2.4 spatial proximity self-join: all point pairs within {_SPATIAL_D_M / 1000:.0f} km (WGS84 ECEF chord distance), planned as a grid-cell equi-join — the probe side explodes into its 9-cell neighborhood (cell spans sized >= D on both axes, so the neighborhood is complete) and the exact distance rescoring touches only co-celled candidates. The oracle is the naive all-pairs theta join; the engine plan shuffles on cell keys and never forms the quadratic pair space. At 100 TB-scale point sets this is the standard spatial-bucketing shape (same family as the pivot-pruned cosine join).",
+)
+def stations_within_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.geodesy import straight_distance_col
+
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("hash"),
+            (46.0 + (F.col("user_id") * 7 % 400) / 100.0).alias("lat"),
+            (6.0 + (F.col("user_id") * 13 % 600) / 100.0).alias("lon"),
+            F.lit(450.0).alias("h"),
+        )
+    )
+    cx = F.floor(F.col("lon") / _CELL_LON).cast("long")
+    cy = F.floor(F.col("lat") / _CELL_LAT).cast("long")
+    left = pts.select(
+        F.col("hash").alias("hash_a"), F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"), F.col("h").alias("h_a"),
+        cx.alias("cx"), cy.alias("cy"),
+    )
+    # probe side: each point lands in its 9-cell neighborhood, so every
+    # qualifying pair co-locates in EXACTLY one (cx, cy) bucket
+    neighbor = F.explode(
+        F.expr("transform(sequence(-1, 1), dx -> dx)")
+    ).alias("dx")
+    right = (
+        pts.select(
+            F.col("hash").alias("hash_b"), F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"), F.col("h").alias("h_b"),
+            cx.alias("bx"), cy.alias("by"),
+        )
+        .select("*", neighbor)
+        .select("*", F.explode(F.expr("transform(sequence(-1, 1), dy -> dy)")).alias("dy"))
+        .select(
+            "hash_b", "lat_b", "lon_b", "h_b",
+            (F.col("bx") + F.col("dx")).alias("cx"),
+            (F.col("by") + F.col("dy")).alias("cy"),
+        )
+    )
+    dist = straight_distance_col(
+        F.col("lat_a"), F.col("lon_a"), F.col("h_a"),
+        F.col("lat_b"), F.col("lon_b"), F.col("h_b"),
+    )
+    return (
+        left.join(right, ["cx", "cy"])
+        .filter(F.col("hash_a") < F.col("hash_b"))
+        .withColumn("distance_m", dist)
+        .filter(F.col("distance_m") <= _SPATIAL_D_M)
+        .select("hash_a", "hash_b", F.round("distance_m", 3).alias("distance_m"))
+        .orderBy("hash_a", "hash_b")
+    )

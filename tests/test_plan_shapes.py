@@ -194,3 +194,13 @@ def test_dsir_model_join_is_broadcast(spark):
     plan = plan_of(spark, "dsir_importance")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_join_is_cell_bucketed(spark):
+    """stations_within_range must plan as an equi-join on grid-cell keys —
+    never the all-pairs theta join its oracle runs."""
+    plan = plan_of(spark, "stations_within_range")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
