@@ -42,6 +42,8 @@ DEFAULT_QUERIES = [
     "gap_fill_locf",
     "bm25_search",
     "q1_pricing_summary",
+    "dsir_importance",
+    "bpe_train_merges",
 ]
 
 # tables the heavy queries read; everything else is linked as-is

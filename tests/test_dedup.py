@@ -66,3 +66,61 @@ def test_minhash_lsh_recall_vs_exact(spark):
     if strong:
         recall = len(strong & got) / len(strong)
         assert recall >= 0.9, f"LSH recall {recall} over {len(strong)} strong pairs"
+
+
+def test_bpe_train_merges_differential(spark):
+    """Distributed BPE == an independent pure-Python BPE (Sennrich-style
+    greedy merge with (count desc, pair asc) tie-break) on a randomized
+    corpus — including tie-heavy and run-heavy ('aaaa') words."""
+    import numpy as np
+
+    from detector_network_processor_spark.plans.llm import _BPE_ITERS
+
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "aaaa", "abab", "low", "lower", "xy", "xyz", "q"]
+    corpus_words = [vocab[i] for i in rng.integers(0, len(vocab), 300)]
+
+    # independent reference implementation (no shared code with the plan)
+    def ref_bpe(words, iters):
+        from collections import Counter
+
+        freq = Counter(words)
+        sym = {w: tuple(w) for w in freq}
+        merges = []
+        for _ in range(iters):
+            pc = Counter()
+            for w, f in freq.items():
+                s = sym[w]
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += f
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, a + b, c))
+            for w in freq:
+                s, out, i = sym[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                sym[w] = tuple(out)
+        return merges
+
+    expected = ref_bpe(corpus_words, _BPE_ITERS)
+
+    # drive the registered plan over a docs-shaped temp table
+    import os
+    import tempfile
+
+    from detector_network_processor_spark.plans import all_queries
+
+    with tempfile.TemporaryDirectory(prefix="dnp_bpe_") as tmp:
+        docs = spark.createDataFrame(
+            [(1, " ".join(corpus_words), "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = all_queries()["bpe_train_merges"].fn(spark, tmp).collect()
+
+    assert [(r.left_sym, r.right_sym, r.merged, r.pair_count) for r in got] == expected
