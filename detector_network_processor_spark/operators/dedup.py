@@ -135,17 +135,10 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", portable: bool = False
-) -> DataFrame:
-    """Candidate pairs from LSH banding, scored by signature agreement.
-
-    Returns (doc_a, doc_b, est_jaccard) for pairs colliding in >=1 band.
-    """
-    # signatures feed both sides of the self-join — materialize once
-    # (eager: lazy checkpoints can be raced into duplicate computation by
-    # concurrent consumer jobs)
-    signatures = signatures.localCheckpoint(eager=True)
+def band_rows(signatures: DataFrame, id_col: str = "doc_id", portable: bool = False) -> DataFrame:
+    """Explode signatures into LSH band rows (id, signature, band, bhash)
+    — the join key-space for bucket collision, shared by the batch
+    self-join and the incremental dedup-against-index path."""
     if portable:
         bhash_of = lambda b: F.aggregate(  # noqa: E731
             F.slice(F.col("signature"), b * LSH_ROWS + 1, LSH_ROWS),
@@ -158,9 +151,23 @@ def minhash_lsh_pairs(
         F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
         lambda b: F.struct(b.alias("band"), bhash_of(b).alias("bhash")),
     )
-    exploded = signatures.select(id_col, "signature", F.explode(bands).alias("bb")).select(
+    return signatures.select(id_col, "signature", F.explode(bands).alias("bb")).select(
         id_col, "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", portable: bool = False
+) -> DataFrame:
+    """Candidate pairs from LSH banding, scored by signature agreement.
+
+    Returns (doc_a, doc_b, est_jaccard) for pairs colliding in >=1 band.
+    """
+    # signatures feed both sides of the self-join — materialize once
+    # (eager: lazy checkpoints can be raced into duplicate computation by
+    # concurrent consumer jobs)
+    signatures = signatures.localCheckpoint(eager=True)
+    exploded = band_rows(signatures, id_col, portable)
     a = exploded.select(
         F.col(id_col).alias("doc_a"), F.col("signature").alias("sig_a"), "band", "bhash"
     )

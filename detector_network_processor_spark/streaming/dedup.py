@@ -48,3 +48,103 @@ def stream_dedup_within_watermark(
     a timestamp column; ``delay`` is the lateness bound (also the duplicate
     horizon)."""
     return df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(key_cols)
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup against a persistent MinHash index — the crawl-
+# ingest posture at 100 TB: each new batch of documents is checked against
+# everything already ingested WITHOUT reprocessing the historical corpus.
+# The index is an append-only parquet dataset of LSH band rows partitioned
+# by ingest batch; per increment the work is O(batch + colliding buckets),
+# never O(corpus). Same replay-idempotent versioned-directory discipline
+# as streaming/incremental.py (both writes keyed by the foreachBatch id).
+# --------------------------------------------------------------------------
+
+
+def process_neardup_increment(
+    spark,
+    batch_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    batch_id: int,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One increment: signatures for ``batch_docs`` collide against the
+    historical band index AND against each other; pairs with estimated
+    Jaccard >= ``threshold`` land in ``out_path/batch_id=N`` and the new
+    band rows are appended as ``index_path/ingest_batch=N``. Replays of a
+    batch_id overwrite (not duplicate) both directories."""
+    import os
+
+    from ..operators.dedup import MINHASH_K, band_rows, minhash_lsh_pairs, minhash_signatures
+
+    sigs = minhash_signatures(
+        batch_docs.select(id_col, text_col), id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    new_bands = band_rows(sigs, id_col=id_col).localCheckpoint(eager=True)
+
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = F.round(agree / float(MINHASH_K), 6)
+
+    # new-vs-new (within the batch)
+    intra = minhash_lsh_pairs(sigs, id_col=id_col).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+    # new-vs-history: bucket equi-join against index batches OLDER than
+    # this one (replay-safe: a re-run of batch N sees the same history)
+    pairs = intra
+    if os.path.isdir(index_path):
+        hist = (
+            spark.read.parquet(index_path)
+            .filter(F.col("ingest_batch") < batch_id)
+            .select(
+                F.col(id_col).alias("doc_a"),
+                F.col("signature").alias("sig_a"),
+                "band",
+                "bhash",
+            )
+        )
+        nb = new_bands.select(
+            F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bhash"
+        )
+        cross = (
+            hist.join(nb, ["band", "bhash"])
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+            .select("doc_a", "doc_b", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+        pairs = intra.unionByName(cross)
+
+    pairs.write.mode("overwrite").parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+    # the ingest_batch column comes from the partition DIRECTORY name at
+    # read time — writing it into the files too would collide on discovery
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(index_path, f"ingest_batch={batch_id}")
+    )
+
+
+def incremental_neardup_query(
+    docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Wire a streaming document DataFrame into the incremental near-dup
+    checker. Returns the unstarted DataStreamWriter."""
+    spark = docs.sparkSession
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        process_neardup_increment(
+            spark, batch_df, index_path, out_path, batch_id,
+            threshold=threshold, id_col=id_col, text_col=text_col,
+        )
+
+    return docs.writeStream.foreachBatch(fb).option("checkpointLocation", checkpoint_dir)

@@ -145,3 +145,60 @@ def test_stream_curation_pipeline_matches_batch(spark):
         assert len(got) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_incremental_neardup_index_matches_batch(spark):
+    """Streaming dedup-against-index == batch minhash_lsh_pairs over the
+    union of all ingested batches (>= threshold), including pairs whose
+    members arrived in DIFFERENT increments — and a replayed batch_id
+    overwrites instead of duplicating."""
+    import shutil
+    import tempfile
+
+    from detector_network_processor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from detector_network_processor_spark.streaming.dedup import process_neardup_increment
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    docs = []
+    for i in range(30):
+        words = base.split()
+        if i % 3 == 1:
+            words[i % len(words)] = f"tok{i}"  # near-dup of base
+        if i % 3 == 2:
+            words = [f"w{i}_{j}" for j in range(14)]  # unrelated
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    THRESH = 0.5
+    batch_pairs = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(minhash_signatures(df)).collect()
+        if r.est_jaccard >= THRESH
+    }
+    assert batch_pairs, "fixture produced no near-dup pairs"
+
+    tmp = tempfile.mkdtemp(prefix="dnp_neardup_idx_")
+    try:
+        index, out = f"{tmp}/index", f"{tmp}/out"
+        chunks = [docs[:10], docs[10:20], docs[20:]]
+        for bid, chunk in enumerate(chunks):
+            process_neardup_increment(
+                spark, spark.createDataFrame(chunk, df.schema), index, out, bid,
+                threshold=THRESH,
+            )
+        # replay of batch 1 must be a no-op net effect
+        process_neardup_increment(
+            spark, spark.createDataFrame(chunks[1], df.schema), index, out, 1,
+            threshold=THRESH,
+        )
+        got = {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.est_jaccard)
+            for r in spark.read.parquet(out).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert got == {(min(a, b), max(a, b), e) for a, b, e in batch_pairs}
