@@ -244,22 +244,34 @@ def fold() -> str:
     )
 
 
-def station_lifecycle_oracle_sql() -> str:
-    """Full oracle SQL for the station_lifecycle driver query."""
+def station_lifecycle_oracle_sql(
+    ts_ns: str = "epoch_us(ts) * 1000",
+    ev_time_acc: str = "event_id % 2000",
+    dop: str = "1.0 + (event_id % 40) / 10.0",
+    h_acc: str = "30.0 + (event_id % 200)",
+) -> str:
+    """Full oracle SQL for the station_lifecycle driver query.
+
+    The fixture-framing expressions are parameters so derived queries can
+    replay the SAME state machine on a different deterministic framing —
+    pair_uptime uses a time-compressed, quality-clean variant in which
+    stations actually reach `reliable` (the real 30-day cadence never
+    clears the 90 s log timer, so the default framing has no reliable
+    intervals and per-pair uptime would be vacuously empty)."""
     return f"""
 WITH RECURSIVE
 lev AS (
-  SELECT user_id AS hash, epoch_us(ts) * 1000 AS ts_ns, event_id FROM events
+  SELECT user_id AS hash, {ts_ns} AS ts_ns, event_id FROM events
 ),
 lmerged AS (
   SELECT hash, ts_ns AS ts, FALSE AS is_log,
-         CAST(event_id % 2000 AS BIGINT) AS time_acc,
+         CAST({ev_time_acc} AS BIGINT) AS time_acc,
          CAST(0.0 AS DOUBLE) AS dop, CAST(0.0 AS DOUBLE) AS h_acc, CAST(0.0 AS DOUBLE) AS v_acc
   FROM lev
   UNION ALL
   SELECT hash, ts_ns AS ts, TRUE AS is_log, CAST(0 AS BIGINT) AS time_acc,
-         CAST(1.0 + (event_id % 40) / 10.0 AS DOUBLE) AS dop,
-         CAST(30.0 + (event_id % 200) AS DOUBLE) AS h_acc, CAST(40.0 AS DOUBLE) AS v_acc
+         CAST({dop} AS DOUBLE) AS dop,
+         CAST({h_acc} AS DOUBLE) AS h_acc, CAST(40.0 AS DOUBLE) AS v_acc
   FROM lev WHERE event_id % 5 = 0
 ),
 srecs AS (

@@ -1232,9 +1232,25 @@ _UPTIME_ORACLE_BODY = """
 """
 
 
+# Reliability-friendly lifecycle framing for the uptime queries: the real
+# 30-day cadence never clears the 90 s log timer (stations sit in
+# missed-log states, zero reliable time — measured: 0 transitions at every
+# SF), so uptime would be vacuously empty. Compressing the timeline 4x
+# from µs-as-ns (span 43 min -> ~11 min, per-station event gap ~1.6 s,
+# log gap ~8 s) with clean quality values gives every SF real reliable
+# intervals (sf0.001: 19 overlapping pairs; sf0.01: 1361). div 4 is a
+# power of two, so floor(us/4) is exact in both engines.
+_UPTIME_FRAMING = dict(
+    ts_ns="epoch_us(ts) // 4",
+    ev_time_acc="event_id % 500",
+    dop="1.0",
+    h_acc="30.0 + (event_id % 100)",
+)
+
+
 def _uptime_oracle_ctes() -> str:
     return f"""
-tr AS ({_lifecycle_oracle_sql()}),
+tr AS ({_lifecycle_oracle_sql(**_UPTIME_FRAMING)}),
 iv AS (
   SELECT hash, t0, coalesce(t1, (SELECT max(ts) FROM tr)) AS t1 FROM (
     SELECT hash, status, ts AS t0,
@@ -1270,7 +1286,27 @@ def _pair_uptime_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.histogram import pair_uptime
     from ..operators.station import station_lifecycle
 
-    logs, events = _lifecycle_inputs(spark, sf_dir)
+    # the _UPTIME_FRAMING timeline (see comment above): 4x-compressed
+    # µs-as-ns with clean GNSS quality so reliable intervals exist
+    ev = load_table(spark, sf_dir, "events")
+    us = ts_to_us(ev)
+    base = ev.select(
+        F.col("user_id").alias("hash"),
+        (us / 4).cast("long").alias("start"),  # div 4: exact (power of two)
+        ((us / 4).cast("long") + F.col("event_id") % 400).alias("end"),
+        (F.col("event_id") % 500).cast("long").alias("time_acc"),
+        (F.col("event_id") % 65536).cast("long").alias("ublox_counter"),
+        F.lit(1).cast("long").alias("fix"),
+        "event_id",
+    )
+    events = base.drop("event_id")
+    logs = base.filter(F.col("event_id") % 5 == 0).select(
+        "hash",
+        F.col("start").alias("ts"),
+        F.lit(1.0).alias("dop"),
+        (30.0 + F.col("event_id") % 100).alias("h_acc"),
+        F.lit(40.0).alias("v_acc"),
+    )
     # one replay, reused for the end-of-data scalar AND the interval build
     tr = station_lifecycle(logs, events).localCheckpoint(eager=True)
     end_ts = tr.agg(F.max("ts")).collect()[0][0]  # O(1) driver bytes
