@@ -622,9 +622,10 @@ ORDER BY doc_id
     doc=f"DSIR importance resampling (Xie et al. 2023): per-doc log importance weight log(p_target/p_raw) under add-1-smoothed hashed bag-of-word models ({_DSIR_K} buckets, polynomial char hash identical in both engines), target domain = sources {_DSIR_TARGET}, top {_DSIR_KEEP_PCT}% selected. Scale shape: ONE token shuffle to per-doc bucket counts (map-side combined), two tiny bucket-count aggs broadcast back, integer-scaled order-free weight sum. The model tables stay O({_DSIR_K}) rows at any corpus size; the exact global rank column exists for oracle adjudication — at 100 TB the selection threshold comes from approx_percentile over w6 (one scalar) and `selected` becomes a plain filter, dropping the single-reducer window.",
 )
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        python_stage_partitions(spark)
-    )
+    # no repartition: the plan is pure JVM (no Python stage to widen), and
+    # the explode below multiplies rows anyway — an upfront shuffle of the
+    # raw documents would be pure cost
+    docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).filter(F.length("w") > 0)

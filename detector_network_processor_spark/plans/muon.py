@@ -1422,6 +1422,9 @@ def stations_within_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             (6.0 + (F.col("user_id") * 13 % 600) / 100.0).alias("lon"),
             F.lit(450.0).alias("h"),
         )
+        # dimension-sized (one row per station): materialize once so the
+        # build and the 9-cell-exploded probe don't each rescan events
+        .localCheckpoint(eager=True)
     )
     cx = F.floor(F.col("lon") / _CELL_LON).cast("long")
     cy = F.floor(F.col("lat") / _CELL_LAT).cast("long")
