@@ -1070,22 +1070,7 @@ def sink_trigger_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.station import station_lifecycle
     from ..streaming.sinks import trigger_text_lines
 
-    ev_us = _station_events_us(spark, sf_dir)
-    events = ev_us.select(
-        "hash",
-        (F.col("start") * 1000).alias("start"),
-        (F.col("end") * 1000).alias("end"),
-        "time_acc",
-        "ublox_counter",
-        "fix",
-    )
-    logs = ev_us.filter(F.col("event_id") % 5 == 0).select(
-        "hash",
-        (F.col("start") * 1000).alias("ts"),
-        (1.0 + (F.col("event_id") % 40) / 10.0).alias("dop"),
-        (30.0 + (F.col("event_id") % 200)).alias("h_acc"),
-        F.lit(40.0).alias("v_acc"),
-    )
+    logs, events = _lifecycle_inputs(spark, sf_dir)
     tr = station_lifecycle(logs, events).select(
         "*",
         F.concat(F.lit("u"), F.col("hash")).alias("user"),

@@ -202,3 +202,58 @@ def test_incremental_neardup_index_matches_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
     assert got == {(min(a, b), max(a, b), e) for a, b, e in batch_pairs}
+
+
+def test_streaming_dedup_on_rocksdb_state_store(spark):
+    """The production state backend (RocksDB provider + changelog
+    checkpointing, streaming/pipeline.py::use_rocksdb_state) must actually
+    run stateful queries in this Spark build — exercised with
+    dropDuplicatesWithinWatermark, then the provider is restored."""
+    import shutil
+    import tempfile
+
+    from detector_network_processor_spark.streaming.dedup import (
+        stream_dedup_within_watermark,
+        with_content_key,
+    )
+    from detector_network_processor_spark.streaming.pipeline import (
+        ROCKSDB_PROVIDER,
+        use_rocksdb_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    tmp = tempfile.mkdtemp(prefix="dnp_rocksdb_")
+    try:
+        use_rocksdb_state(spark)
+        assert spark.conf.get("spark.sql.streaming.stateStore.providerClass") == ROCKSDB_PROVIDER
+        rows = [(i, f"doc body {i % 7}", i * 1000) for i in range(50)]
+        spark.createDataFrame(rows, "doc_id long, text string, ts_ms long").coalesce(
+            1
+        ).write.parquet(f"{tmp}/in/f0")
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts_ms long")
+            .parquet(f"{tmp}/in/f*")
+            .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        )
+        deduped = stream_dedup_within_watermark(
+            with_content_key(stream), ["content_key"], "ts", delay="10 seconds"
+        )
+        q = (
+            deduped.writeStream.format("memory").queryName("rocksdb_dedup_test")
+            .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from rocksdb_dedup_test").collect()
+        assert len(got) == 7  # one per distinct content key
+        # the checkpoint really used RocksDB (its state dir layout exists)
+        import glob
+
+        assert glob.glob(f"{tmp}/ckpt/state/**", recursive=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+        shutil.rmtree(tmp, ignore_errors=True)
