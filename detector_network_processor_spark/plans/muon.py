@@ -461,7 +461,7 @@ def _pair_hist_df(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
 @register(
     "l1_pair_histogram",
     oracle=None,
-    doc="A7 on true clustered output: constituent pairs of each n>=2 coincidence, per-pair variable-width bins (reference src/analysis/stationcoincidence.cpp:43-80). Rows-only: upstream clustering is not SQL-expressible.",
+    doc="A7 on true clustered output: constituent pairs of each n>=2 coincidence, per-pair variable-width bins (reference src/analysis/stationcoincidence.cpp:43-80). Oracle: the recursive clustering replay + pair-binning SQL, attached post-registration by _finalize_l1_oracles.",
 )
 def l1_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.histogram import pair_dt_histogram
@@ -531,7 +531,7 @@ def station_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cluster_log",
     oracle=None,
-    doc="A6 cluster health log (reference src/supervision/state.cpp:106-136, include/messages/clusterlog.h:12-32): per 10s window — single_in/l1_out frequencies, outgoing count-by-multiplicity map, running max_n, mean plausibility (true_e / (n(n-1)/2)) of L1 events. cpu/mem live in streaming/monitor.py::ClusterLogListener, outside the data plane. Rows-only: clustering upstream.",
+    doc="A6 cluster health log (reference src/supervision/state.cpp:106-136, include/messages/clusterlog.h:12-32): per 10s window — single_in/l1_out frequencies, outgoing count-by-multiplicity map, running max_n, mean plausibility (true_e / (n(n-1)/2)) of L1 events. cpu/mem live in streaming/monitor.py::ClusterLogListener, outside the data plane. Oracle: the recursive clustering replay + window stats SQL, attached by _finalize_l1_oracles.",
 )
 def cluster_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = muonize_events(spark, sf_dir)
@@ -1173,7 +1173,7 @@ def sink_detector_log_influx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_cluster_log_lines",
     oracle=None,
-    doc="K1 cluster_log_t MQTT lines (reference include/sink/mqtt.h:98-126): '<gmtime> <metric> <value>' per metric + 'outgoing_<level>' per level != 1, host-side statics injected first. Rows-only: upstream L1 clustering (same reason as cluster_log). streaming/sinks.py::cluster_log_text_lines.",
+    doc="K1 cluster_log_t MQTT lines (reference include/sink/mqtt.h:98-126): '<gmtime> <metric> <value>' per metric + 'outgoing_<level>' per level != 1, host-side statics injected first. Byte-exact oracle over the recursive clustering replay (attached post-registration by _finalize_sink_clog_oracles). streaming/sinks.py::cluster_log_text_lines.",
 )
 def sink_cluster_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import cluster_log_text_lines
@@ -1190,7 +1190,7 @@ def sink_cluster_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_cluster_log_influx",
     oracle=None,
-    doc="K2 cluster_summary points (reference include/sink/database.h:56-92): measurement cluster_summary, tag cluster_id, dynamic fields + outgoing<level> fields and their level!=1 total. Rows-only: upstream L1 clustering. streaming/sinks.py::cluster_log_influx_points.",
+    doc="K2 cluster_summary points (reference include/sink/database.h:56-92): measurement cluster_summary, tag cluster_id, dynamic fields + outgoing<level> fields and their level!=1 total. Byte-exact oracle over the recursive clustering replay. streaming/sinks.py::cluster_log_influx_points.",
 )
 def sink_cluster_log_influx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import cluster_log_influx_points
@@ -1531,3 +1531,76 @@ def station_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank12"),
         F.round(F.col("r") / 1_000_000.0 / 1_000_000.0, 6).alias("rank"),
     ).orderBy("hash")
+
+
+# --------------------------------------------------------------------------
+# Byte-exact oracles for the cluster_log sink formatters — built on the
+# same recursive clustering replay (groups CTE) as the cluster_log oracle,
+# so the LAST two rows-only queries become value-hash adjudicable.
+# --------------------------------------------------------------------------
+
+_SINK_CLOG_CTES = """,
+cwins AS (SELECT g_start // 10000000000 AS w, n, true_e FROM groups),
+cws AS (
+  SELECT w, CAST(sum(n) AS BIGINT) AS single_in,
+         CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS l1_out,
+         CAST(max(n) AS INTEGER) AS max_n,
+         round(avg(CASE WHEN n >= 2 THEN true_e / (n * (n - 1) / 2) END), 6) AS mean_plausibility,
+         strftime(make_timestamp(w * 10000000), '%Y-%m-%d_%H-%M-%S') AS t
+  FROM cwins GROUP BY w
+),
+ccnt AS (
+  SELECT w, CAST(n AS INTEGER) AS n, CAST(count(*) AS BIGINT) AS cnt,
+         strftime(make_timestamp(w * 10000000), '%Y-%m-%d_%H-%M-%S') AS t
+  FROM cwins GROUP BY w, n
+)"""
+
+_SINK_CLOG_LINES_SELECT = _SINK_CLOG_CTES + """
+SELECT w AS "window", metric, line FROM (
+  SELECT w, 'timeout' AS metric, t || ' timeout 100' AS line FROM cws
+  UNION ALL SELECT w, 'version', t || ' version spark-dnp 1.0.0' FROM cws
+  UNION ALL SELECT w, 'frequency_in', t || ' frequency_in ' || printf('%.6f', round(single_in / 10.0, 6)) FROM cws
+  UNION ALL SELECT w, 'frequency_l1_out', t || ' frequency_l1_out ' || printf('%.6f', round(l1_out / 10.0, 6)) FROM cws
+  UNION ALL SELECT w, 'max_coincidences', t || ' max_coincidences ' || printf('%d', max_n) FROM cws
+  UNION ALL SELECT w, 'plausibility_level', t || ' plausibility_level ' || printf('%.6f', coalesce(mean_plausibility, 0.0)) FROM cws
+  UNION ALL SELECT w, 'incoming', t || ' incoming ' || printf('%d', single_in) FROM cws
+  UNION ALL SELECT w, 'outgoing_' || n, t || ' outgoing_' || n || ' ' || printf('%d', cnt) FROM ccnt WHERE n != 1
+)
+ORDER BY "window", metric, line
+"""
+
+_SINK_CLOG_INFLUX_SELECT = _SINK_CLOG_CTES + """
+SELECT cws.w AS "window",
+  'cluster_summary,cluster_id=cluster ' ||
+  'timeout=100i,version="spark-dnp 1.0.0",' ||
+  'frequency_in=' || printf('%.6f', round(single_in / 10.0, 6)) ||
+  ',frequency_l1_out=' || printf('%.6f', round(l1_out / 10.0, 6)) ||
+  ',max_multiplicity=' || printf('%d', max_n) || 'i' ||
+  ',plausibility_level=' || printf('%.6f', coalesce(mean_plausibility, 0.0)) ||
+  ',incoming=' || printf('%d', single_in) || 'i' ||
+  coalesce(',' || og.fields, '') ||
+  ',outgoing=' || printf('%d', coalesce(og.total, 0)) || 'i' ||
+  ' ' || printf('%d', cws.w * 10000000 * 1000) AS point
+FROM cws LEFT JOIN (
+  SELECT w, string_agg('outgoing' || n || '=' || printf('%d', cnt) || 'i', ',' ORDER BY n) AS fields,
+         CAST(sum(cnt) AS BIGINT) AS total
+  FROM ccnt WHERE n != 1 GROUP BY w
+) og ON cws.w = og.w
+ORDER BY "window"
+"""
+
+
+def _finalize_sink_clog_oracles() -> None:
+    from dataclasses import replace
+
+    from . import REGISTRY
+
+    ungated = _l1_groups_cte(gated=False)
+    for name, select in (
+        ("sink_cluster_log_lines", _SINK_CLOG_LINES_SELECT),
+        ("sink_cluster_log_influx", _SINK_CLOG_INFLUX_SELECT),
+    ):
+        REGISTRY[name] = replace(REGISTRY[name], oracle=ungated + select)
+
+
+_finalize_sink_clog_oracles()
