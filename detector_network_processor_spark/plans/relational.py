@@ -28,36 +28,42 @@ from . import register
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)                                    AS sum_qty,
-       round(sum(l_extendedprice), 4)                               AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)            AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 4)                                    AS avg_qty,
-       round(avg(l_extendedprice), 4)                               AS avg_price,
-       round(avg(l_discount), 4)                                    AS avg_disc,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0, 4) AS sum_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 4) AS sum_base_price,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS sum_disc_price,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 4) AS sum_charge,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000.0 / count(*), 4) AS avg_disc,
        count(*)                                                     AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
-    doc="TPC-H Q1 shape: scan → filter (pushdown) → hash agg. Parity for F1-class filters + A-class aggregation (SURVEY §2.2, §2.6).",
+    doc="TPC-H Q1 shape: scan → filter (pushdown) → hash agg. Parity for F1-class filters + A-class aggregation (SURVEY §2.2, §2.6). Money/quantity sums run in exact scaled integers (2/4/6 dp): distributed double summation is order-dependent and breaks cross-engine hashing at larger SFs.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q2 = F.round(F.col("l_quantity") * 100).cast("long")
+    p2 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d4 = F.round(disc_price * 10_000).cast("long")
+    c6 = F.round(disc_price * (1 + F.col("l_tax")) * 1_000_000).cast("long")
+    disc4 = F.round(F.col("l_discount") * 10_000).cast("long")
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(q2) / 100.0, 4).alias("sum_qty"),
+            F.round(F.sum(p2) / 100.0, 4).alias("sum_base_price"),
+            F.round(F.sum(d4) / 10_000.0, 4).alias("sum_disc_price"),
+            F.round(F.sum(c6) / 1_000_000.0, 4).alias("sum_charge"),
+            F.round(F.sum(q2) / 100.0 / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(p2) / 100.0 / cnt, 4).alias("avg_price"),
+            F.round(F.sum(disc4) / 10_000.0 / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -67,7 +73,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
        o_orderpriority
 FROM customer
@@ -91,7 +97,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000).cast("long")) / 10_000.0, 4).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -107,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier",
     oracle="""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -142,7 +148,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(F.round(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000).cast("long")) / 10_000.0, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -151,9 +157,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_parts",
     oracle="""
 SELECT p_brand,
-       round(sum(l_quantity), 4) AS sum_qty,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0, 4) AS sum_qty,
        count(*)                  AS n_items,
-       round(avg(p_retailprice), 4) AS avg_retail
+       round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 4) AS avg_retail
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand
@@ -167,9 +173,11 @@ def join_broadcast_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0, 4).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            F.round(
+                F.sum(F.round(F.col("p_retailprice") * 100).cast("long")) / 100.0 / F.count(F.lit(1)), 4
+            ).alias("avg_retail"),
         )
         .orderBy("p_brand")
     )
@@ -226,12 +234,12 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        count(DISTINCT o_custkey) AS n_customers,
        count(*)                  AS n_orders,
-       round(sum(o_totalprice), 4) AS sum_total
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_total
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """,
-    doc="Distinct aggregation parity (SURVEY §2.10).",
+    doc="Distinct aggregation parity (SURVEY §2.10). Price sum runs in integer cents: distributed double summation is order-dependent and diverges from DuckDB's at sf0.1 row counts (caught by the sf0.1 parity sweep), while TPC-H prices are exact 2-decimal values.",
 )
 def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -240,7 +248,9 @@ def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+            ).alias("sum_total"),
         )
         .orderBy("o_orderstatus")
     )
@@ -251,7 +261,7 @@ def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       round(sum(l_quantity), 4)     AS sum_qty,
+       round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0, 4) AS sum_qty,
        count(*)                      AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -263,7 +273,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .agg(F.round(F.sum(F.round(F.col("l_quantity") * 100).cast("long")) / 100.0, 4).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -392,7 +402,7 @@ _HOUR_US = 3_600_000_000
     "rate_tumbling",
     oracle=f"""
 SELECT user_id, epoch_us(ts) // {_HOUR_US} AS bucket, count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0, 4) AS sum_value
 FROM events
 GROUP BY user_id, bucket
 ORDER BY user_id, bucket
@@ -404,7 +414,7 @@ def rate_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_us(spark, sf_dir)
         .withColumn("bucket", F.expr(f"ts_us div {_HOUR_US}"))
         .groupBy("user_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / 1_000_000.0, 4).alias("sum_value"))
         .orderBy("user_id", "bucket")
     )
 
@@ -574,10 +584,10 @@ def pair_delta_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semi_anti_join",
     oracle="""
-SELECT 'with_lineitem' AS tag, count(*) AS n, round(sum(o_totalprice), 4) AS total
+SELECT 'with_lineitem' AS tag, count(*) AS n, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 4) AS total
 FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
 UNION ALL
-SELECT 'without_lineitem' AS tag, count(*) AS n, round(sum(o_totalprice), 4) AS total
+SELECT 'without_lineitem' AS tag, count(*) AS n, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 4) AS total
 FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
 ORDER BY tag
 """,
@@ -589,12 +599,12 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = li.filter(F.col("l_quantity") > 45)
     semi = (
         orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 4).alias("total"))
         .select(F.lit("with_lineitem").alias("tag"), "n", "total")
     )
     anti = (
         orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 4).alias("total"))
         .select(F.lit("without_lineitem").alias("tag"), "n", "total")
     )
     return semi.unionAll(anti).orderBy("tag")
@@ -692,7 +702,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS total,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 4) AS total,
        min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day
 FROM orders
 GROUP BY y, m
@@ -708,7 +718,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 4).alias("total"),
             F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_day"),
         )
         .orderBy("y", "m")
@@ -755,7 +765,7 @@ def case_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT coalesce(o_orderstatus, 'ALL')   AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*)                         AS n_orders,
-       round(sum(o_totalprice), 4)      AS total
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0, 4) AS total
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
@@ -766,7 +776,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 4).alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),

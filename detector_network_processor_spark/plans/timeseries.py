@@ -136,17 +136,18 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "time_bucket_rollup",
     oracle="""
 WITH ev AS (SELECT epoch_us(ts) AS ts_us, value FROM events),
-m AS (SELECT ts_us // 60000000 AS mb, count(*) AS n, sum(value) AS s
+m AS (SELECT ts_us // 60000000 AS mb, count(*) AS n,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS s6
       FROM ev GROUP BY 1),
-h AS (SELECT mb // 60 AS hb, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s FROM m GROUP BY 1),
-d AS (SELECT hb // 24 AS db, CAST(sum(n) AS BIGINT) AS n, sum(s) AS s FROM h GROUP BY 1)
+h AS (SELECT mb // 60 AS hb, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s6) AS BIGINT) AS s6 FROM m GROUP BY 1),
+d AS (SELECT hb // 24 AS db, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s6) AS BIGINT) AS s6 FROM h GROUP BY 1)
 SELECT 'minute' AS resolution, mb * 60000000 AS bucket_us,
-       n AS n_events, round(s, 4) AS sum_value
+       n AS n_events, round(s6 / 1000000.0, 4) AS sum_value
 FROM m
 UNION ALL
-SELECT 'hour', hb * 3600000000, n, round(s, 4) FROM h
+SELECT 'hour', hb * 3600000000, n, round(s6 / 1000000.0, 4) FROM h
 UNION ALL
-SELECT 'day', db * 86400000000, n, round(s, 4) FROM d
+SELECT 'day', db * 86400000000, n, round(s6 / 1000000.0, 4) FROM d
 ORDER BY resolution, bucket_us
 """,
     doc=(
@@ -161,13 +162,16 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_us(spark, sf_dir)
     minute = (
         ev.groupBy(F.expr(f"ts_us div {minute_us}").alias("mb"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("s6"),
+        )
     )
     hour = minute.groupBy(F.expr("mb div 60").alias("hb")).agg(
-        F.sum("n").alias("n"), F.sum("s").alias("s")
+        F.sum("n").alias("n"), F.sum("s6").alias("s6")
     )
     day = hour.groupBy(F.expr("hb div 24").alias("db")).agg(
-        F.sum("n").alias("n"), F.sum("s").alias("s")
+        F.sum("n").alias("n"), F.sum("s6").alias("s6")
     )
 
     def out(df: DataFrame, tag: str, bucket_col: str, width: int) -> DataFrame:
@@ -175,7 +179,7 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(tag).alias("resolution"),
             (F.col(bucket_col) * width).alias("bucket_us"),
             F.col("n").alias("n_events"),
-            F.round("s", 4).alias("sum_value"),
+            F.round(F.col("s6") / 1_000_000.0, 4).alias("sum_value"),
         )
 
     return (
