@@ -59,6 +59,22 @@ def _build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--available-now", action="store_true", help="drain the spool and exit")
     sp.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
 
+    mon = sub.add_parser(
+        "monitor", help="run the streaming monitoring path (detector summaries -> K1/K2 lines)"
+    )
+    mon.add_argument("--lines-dir", required=True, help="spool dir of (topic, payload) parquet batches")
+    mon.add_argument(
+        "--stations-parquet",
+        required=True,
+        help="parquet identity dimension: hash, user, station_id",
+    )
+    mon.add_argument("--out", required=True, help="output parquet dir for formatted lines/points")
+    mon.add_argument("--checkpoint", required=True)
+    mon.add_argument("--output", choices=("text", "influx", "summary"), default="text")
+    mon.add_argument("--interval-ns", type=int, default=120 * 10**9)
+    mon.add_argument("--available-now", action="store_true", help="drain the spool and exit")
+    mon.add_argument("--cpus", default=None)
+
     mat = sub.add_parser(
         "materialize",
         help="rewrite fixture tables into the scale storage layout "
@@ -165,6 +181,28 @@ def _cmd_stream(args) -> int:
     return 0
 
 
+def _cmd_monitor(args) -> int:
+    from .session import get_spark
+    from .streaming.pipeline import stream_monitoring_path, use_rocksdb_state
+
+    spark = get_spark(app_name="dnp-stream-monitor", cpus=args.cpus)
+    use_rocksdb_state(spark)
+    lines = spark.readStream.schema("topic string, payload string").parquet(args.lines_dir)
+    stations = spark.read.parquet(args.stations_parquet)
+    out = stream_monitoring_path(
+        lines, stations, interval_ns=args.interval_ns, output=args.output
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", args.out)
+        .option("checkpointLocation", args.checkpoint)
+        .outputMode("append")
+    )
+    q = writer.trigger(availableNow=True).start() if args.available_now else writer.start()
+    q.awaitTermination()
+    return 0
+
+
 def _cmd_materialize(args) -> int:
     import pyspark.sql.functions as F
 
@@ -267,6 +305,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_run(args)
     if args.cmd == "oracle":
         return _cmd_oracle(args)
+    if args.cmd == "monitor":
+        return _cmd_monitor(args)
     if args.cmd == "stream":
         return _cmd_stream(args)
     if args.cmd == "materialize":

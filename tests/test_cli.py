@@ -164,3 +164,49 @@ def test_compact_removes_exact_and_near_duplicates(spark, tmp_path):
     assert rc == 0
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 4]
+
+
+def test_cli_monitor_drains_spool(spark, tmp_path):
+    """`monitor --available-now`: (topic, payload) spool -> streaming
+    detector summaries -> K1 text lines parquet."""
+    import subprocess
+    import sys
+
+    import pyspark.sql.functions as F
+
+    NS = 10**9
+    EPOCH_NS = 1_700_000_000 * NS
+    lines = []
+    for h in (1, 2):
+        t, ub = 3 * h, 10
+        while t < 600:
+            s = (t * NS + EPOCH_NS) / 1e9
+            lines.append((f"muonpi/data/user{h}/det", f"{s:.9f} {s + 3e-7:.9f} 100 {ub % 65536} 1 0 1"))
+            ub, t = ub + 3, t + 9
+    spark.createDataFrame(lines, "topic string, payload string").coalesce(1).write.parquet(
+        str(tmp_path / "spool" / "b0")
+    )
+    from detector_network_processor_spark.sources.lines import parse_events
+
+    parse_events(
+        spark.createDataFrame(lines, "topic string, payload string")
+    ).select("hash").distinct().select(
+        "hash",
+        F.concat(F.lit("u"), F.col("hash")).alias("user"),
+        F.lit("det").alias("station_id"),
+    ).write.parquet(str(tmp_path / "stations"))
+
+    r = subprocess.run(
+        [sys.executable, "-m", "detector_network_processor_spark", "monitor",
+         "--lines-dir", str(tmp_path / "spool" / "*"),
+         "--stations-parquet", str(tmp_path / "stations"),
+         "--out", str(tmp_path / "out"), "--checkpoint", str(tmp_path / "ckpt"),
+         "--available-now", "--cpus", "4"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(" eventrate " in r_["line"] or " " in r_["line"] for r_ in rows)
+    assert {f.name for f in out.schema.fields} == {"hash", "win", "idx", "line"}
