@@ -677,3 +677,118 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("selected", F.col("rank") <= (n_docs * _DSIR_KEEP_PCT) // 100)
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# PQ codebook training as a driver-visible query (the production half of
+# IVF-PQ; operators/similarity.py::pq_train is the numpy-returning API —
+# this registers the same distributed-Lloyd shape with an unrolled oracle,
+# closing the one operator that previously had no driver adjudication).
+# --------------------------------------------------------------------------
+
+_PQT_M = 4
+_PQT_K = 16
+_PQT_SUB = 16  # dim 64 / M
+
+
+def _pqt_assign_sql(cent: str) -> str:
+    return f"""
+  SELECT sv.m, sv.vec_id, sv.s, c.c,
+         row_number() OVER (PARTITION BY sv.m, sv.vec_id ORDER BY
+           list_sum(list_transform(list_zip(sv.s, c.cs), x -> (x[1]-x[2])*(x[1]-x[2]))),
+           c.c) AS rn
+  FROM sv JOIN ({cent}) c ON sv.m = c.m"""
+
+
+@register(
+    "pq_train_codebook",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ms AS (SELECT unnest(generate_series(0, {_PQT_M - 1})) AS m),
+sv AS (SELECT m, vec_id, v[m * {_PQT_SUB} + 1 : m * {_PQT_SUB} + {_PQT_SUB}] AS s
+       FROM e CROSS JOIN ms),
+c0 AS (SELECT m, vec_id AS c, s AS cs FROM sv WHERE vec_id < {_PQT_K}),
+a1 AS ({_pqt_assign_sql('SELECT * FROM c0')}),
+m1 AS (SELECT m, vec_id, s, c FROM a1 WHERE rn = 1),
+c1 AS (
+  SELECT m, c, list(mu ORDER BY i) AS cs FROM (
+    SELECT m, c, i, round(avg(s[i]), 6) AS mu
+    FROM m1, generate_series(1, {_PQT_SUB}) AS g(i)
+    GROUP BY m, c, i
+  ) GROUP BY m, c
+),
+a2 AS ({_pqt_assign_sql('SELECT * FROM c1')}),
+m2 AS (SELECT m, vec_id, c FROM a2 WHERE rn = 1)
+SELECT m2.m AS m, m2.c AS code, count(*) AS n_members,
+       round(sqrt(list_dot_product(any_value(c1.cs), any_value(c1.cs))), 4) AS centroid_norm
+FROM m2 JOIN c1 ON m2.m = c1.m AND m2.c = c1.c
+GROUP BY m2.m, m2.c
+ORDER BY m, code
+""",
+    doc=(
+        f"Distributed PQ codebook training (Jégou et al. 2011), driver-"
+        f"adjudicated: 2 Lloyd iterations per subspace ({_PQT_M} subspaces x "
+        f"{_PQT_K} codes over {_PQT_SUB}-dim subvectors, deterministic seed "
+        "codes). Shuffle carries per-(m, code, dim) mean partials — "
+        "map-side combined, never raw vectors; centroid means round to 6 dp "
+        "on both sides to pin FP summation order (same discipline as "
+        "kmeans_refine). Output: per-code membership + centroid norm."
+    ),
+)
+def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"), F.slice("v", m * _PQT_SUB + 1, _PQT_SUB).alias("s")
+            )
+            for m in range(_PQT_M)
+        ]
+    )
+    sv = emb.select("vec_id", F.explode(subs).alias("e")).select(
+        "vec_id", F.col("e.m").alias("m"), F.col("e.s").alias("s")
+    ).localCheckpoint(eager=True)
+    cents = sv.filter(F.col("vec_id") < _PQT_K).select(
+        "m", F.col("vec_id").alias("c"), F.col("s").alias("cs")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with("s", "cs", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("m", "vec_id").orderBy("d2", "c")
+        return (
+            sv.join(F.broadcast(centroids), "m")
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    a1 = assign(cents)
+    c1 = (
+        a1.select("m", "c", F.posexplode("s").alias("i", "x"))
+        .groupBy("m", "c", "i")
+        .agg(F.round(F.avg("x"), 6).alias("mu"))
+        .groupBy("m", "c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mu"))), lambda s: s["mu"]
+            ).alias("cs")
+        )
+        .localCheckpoint(eager=True)
+    )
+    a2 = assign(c1)
+    norm = F.round(F.sqrt(dot(F.col("cs"), F.col("cs"))), 4)
+    return (
+        a2.groupBy("m", "c")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(c1, ["m", "c"])
+        .select("m", F.col("c").alias("code"), "n_members", norm.alias("centroid_norm"))
+        .orderBy("m", "code")
+    )
