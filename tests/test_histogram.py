@@ -106,3 +106,73 @@ def test_with_pair_meta_and_meta_merge(spark):
         assert r.sample_time == 60 * n_present
         base = 7 if k in {(x.hash_lo, x.hash_hi) for x in up.collect()} else 0
         assert r.uptime == base * n_present
+
+
+def test_pair_uptime_property_vs_bruteforce(spark):
+    """Property: pair_uptime == a brute-force per-segment simulation on
+    randomized multi-station transition streams (per-segment minute
+    truncation, open intervals to end-of-data, only 'reliable' counts).
+    One Spark invocation over many generated cases (hypothesis would spin
+    up a Spark job per example; the generator loop is the same coverage)."""
+    import numpy as np
+
+    from detector_network_processor_spark.operators.histogram import pair_uptime
+
+    M = 60 * 10**9
+    rng = np.random.default_rng(101)
+    statuses = ["reliable", "unreliable", "offline", "online"]
+    rows, expected = [], {}
+    case_stations = {}
+    for case in range(40):
+        n_st = int(rng.integers(2, 5))
+        end_ts = 200 * M
+        sim = {}
+        for st_i in range(n_st):
+            hash_ = case * 100 + st_i
+            t = 0
+            seq = []
+            while t < 180 * M:
+                s = statuses[int(rng.integers(0, len(statuses)))]
+                seq.append((t, s))
+                t += int(rng.integers(1, 40) * M / 2)  # half-minute grid
+            # dedupe consecutive same-status (state machine only emits changes)
+            ded = [seq[0]]
+            for ts, s in seq[1:]:
+                if s != ded[-1][1]:
+                    ded.append((ts, s))
+            sim[hash_] = ded
+            rows += [(hash_, ts, s, "miscellaneous") for ts, s in ded]
+        case_stations[case] = sorted(sim)
+        # brute force: reliable intervals, pairwise overlap, per-segment floor
+        iv = {}
+        for h, seq in sim.items():
+            out = []
+            for i, (ts, s) in enumerate(seq):
+                if s == "reliable":
+                    t1 = seq[i + 1][0] if i + 1 < len(seq) else end_ts
+                    out.append((ts, t1))
+            iv[h] = out
+        hs = sorted(sim)
+        for i in range(len(hs)):
+            for j in range(i + 1, len(hs)):
+                tot = 0
+                for a0, a1 in iv[hs[i]]:
+                    for b0, b1 in iv[hs[j]]:
+                        ov = min(a1, b1) - max(a0, b0)
+                        if ov > 0:
+                            tot += ov // M
+                if any(min(a1, b1) > max(a0, b0) for a0, a1 in iv[hs[i]] for b0, b1 in iv[hs[j]]):
+                    expected[(hs[i], hs[j])] = tot
+
+    tr = spark.createDataFrame(rows, "hash long, ts long, status string, reason string")
+    # NOTE: end_of_data is GLOBAL max ts in the operator; make it uniform by
+    # appending one sentinel transition per station at exactly 200 min
+    sentinels = [(h, 200 * M, "offline", "miscellaneous") for hs in case_stations.values() for h in hs]
+    tr = tr.unionByName(
+        spark.createDataFrame(sentinels, "hash long, ts long, status string, reason string")
+    )
+    got = {(r.hash_lo, r.hash_hi): r.uptime for r in pair_uptime(tr, 200 * M).collect()}
+    # compare within-case pairs only (cross-case pairs can overlap too but
+    # expected{} only covers same-case; filter got accordingly)
+    got_same_case = {k: v for k, v in got.items() if k[0] // 100 == k[1] // 100}
+    assert got_same_case == expected
