@@ -792,3 +792,100 @@ def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("m", F.col("c").alias("code"), "n_members", norm.alias("centroid_norm"))
         .orderBy("m", "code")
     )
+
+
+@register(
+    "duplicate_span_ranges",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (
+  SELECT doc_id, i,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {_SPAN_W - 1})) AS i)
+  WHERE len(t) >= {_SPAN_W}
+),
+freq AS (SELECT g FROM pos GROUP BY g HAVING count(*) > 1),
+dup AS (SELECT p.doc_id, p.i FROM pos p JOIN freq f ON p.g = f.g),
+marked AS (
+  SELECT doc_id, i,
+         CASE WHEN i > coalesce(max(i + {_SPAN_W}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+islands AS (
+  SELECT doc_id, i,
+         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+  FROM marked
+)
+SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+       CAST(max(i) + {_SPAN_W} AS BIGINT) AS span_end,
+       CAST(max(i) + {_SPAN_W} - min(i) AS BIGINT) AS span_tokens,
+       count(*) AS n_windows
+FROM islands
+GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+""",
+    doc=(
+        f"Duplicate-substring EXCISION ranges (Lee et al. 2022): the merged "
+        f"maximal token spans covered by corpus-duplicated {_SPAN_W}-token "
+        "windows, per document — the actionable output for dedup-aware loss "
+        "masking or text excision (duplicate_ngram_spans reports the "
+        "counts; this emits the [start, end) ranges). Island detection via "
+        "running-max window over duplicated positions: two windows merge "
+        "when the later one starts at or before the earlier one's end. "
+        "Integer-only arithmetic; the inverted-index join carries hashed "
+        "shingle keys only."
+    ),
+)
+def duplicate_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        python_stage_partitions(spark)
+    )
+    t = F.split(F.col("text"), " ")
+    th = F.transform(t, lambda w: F.xxhash64(w))
+    staged = docs.filter(F.size(t) >= _SPAN_W).select("doc_id", th.alias("th"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("th")) - (_SPAN_W - 1)),
+        lambda i: F.xxhash64(*[F.element_at(F.col("th"), i + j) for j in range(_SPAN_W)]),
+    )
+    pos = (
+        staged.select("doc_id", shingles.alias("s"))
+        .localCheckpoint(eager=True)
+        .select("doc_id", F.posexplode("s").alias("i0", "sh"))
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "sh")  # 1-based like the oracle
+    )
+    freq = pos.groupBy("sh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    dup = pos.join(freq.select("sh"), "sh").select("doc_id", "i")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.select(
+        "doc_id",
+        "i",
+        F.when(
+            F.col("i") > F.coalesce(F.max(F.col("i") + _SPAN_W).over(w_prev), F.lit(-1)),
+            1,
+        ).otherwise(0).alias("brk"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.select("doc_id", "i", F.sum("brk").over(w_run).alias("isl"))
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + _SPAN_W).alias("span_end"),
+            (F.max("i") + _SPAN_W - F.min("i")).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("isl")
+        .orderBy("doc_id", "span_start")
+    )
