@@ -84,3 +84,21 @@ def test_interval_changes_detector_summary(spark):
     slow = EngineConfig(detectorsummary_interval_s=240)
     slow_wins = detector_summaries(ev, cfg=slow).select("win").distinct().count()
     assert slow_wins < default_wins
+
+
+def test_from_file_parses_reference_shipped_cfg():
+    """The reference's actual shipped config file must parse unchanged
+    (configuration.cpp consumes the same file via boost program_options)."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/config/detector-network-processor.cfg"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout not present")
+    cfg = EngineConfig.from_file(path)
+    assert cfg.station_id == "processor"
+    assert cfg.source_mqtt_host == "muonpi.org"
+    assert cfg.source_mqtt_port == 1883
+    # commented-out keys keep defaults
+    assert cfg.sink_mqtt_base_path == "muonpi/"
