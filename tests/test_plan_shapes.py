@@ -204,3 +204,19 @@ def test_spatial_join_is_cell_bucketed(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_pq_train_codebook_broadcasts_centroids(spark):
+    """Each Lloyd assignment joins the corpus against the 4x16-code
+    centroid table — that table must broadcast; the corpus never
+    reshuffles for it."""
+    plan = plan_of(spark, "pq_train_codebook")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_span_ranges_no_cartesian(spark):
+    """Span detection = inverted-index equi-join + windows; no pair
+    explosion anywhere."""
+    plan = plan_of(spark, "duplicate_span_ranges")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
