@@ -124,3 +124,75 @@ def test_bpe_train_merges_differential(spark):
         got = all_queries()["bpe_train_merges"].fn(spark, tmp).collect()
 
     assert [(r.left_sym, r.right_sym, r.merged, r.pair_count) for r in got] == expected
+
+
+def test_dsir_importance_differential(spark):
+    """dsir_importance == an independent pure-Python DSIR implementation
+    (hashed bag-of-words, add-1 smoothing, integer-scaled log weights) on a
+    synthetic corpus with a distinct target domain."""
+    import math
+    import os
+    import tempfile
+
+    from detector_network_processor_spark.plans import all_queries
+    from detector_network_processor_spark.plans.curation import (
+        _DSIR_K,
+        _DSIR_KEEP_PCT,
+        _DSIR_MOD,
+        _DSIR_SCALE,
+        _DSIR_TARGET,
+    )
+
+    def h(w: str) -> int:
+        acc = 0
+        for ch in w:
+            acc = (acc * 31 + ord(ch)) % _DSIR_MOD
+        return acc % _DSIR_K
+
+    docs = []
+    for i in range(60):
+        src = f"src{i % 6}"
+        words = (["wiki", "clean", "prose"] * 3) if i % 6 < 2 else ["spam", "buy", "now", f"junk{i}"]
+        docs.append((i, " ".join(words + [f"w{i % 9}"]), "en", src, 1))
+
+    # independent model
+    raw, tgt, per_doc = {}, {}, {}
+    for doc_id, text, _l, src, _n in docs:
+        counts = {}
+        for w in text.split(" "):
+            if w:
+                counts[h(w)] = counts.get(h(w), 0) + 1
+        per_doc[doc_id] = counts
+        for b, c in counts.items():
+            raw[b] = raw.get(b, 0) + c
+            if src in _DSIR_TARGET:
+                tgt[b] = tgt.get(b, 0) + c
+    tr, tt = sum(raw.values()), sum(tgt.values())
+    lr6 = {
+        b: math.floor(
+            (math.log((tgt.get(b, 0) + 1.0) / (tt + _DSIR_K)) - math.log((c + 1.0) / (tr + _DSIR_K)))
+            * _DSIR_SCALE
+        )
+        for b, c in raw.items()
+    }
+    scored = {
+        d: (sum(cs.values()), sum(c * lr6[b] for b, c in cs.items())) for d, cs in per_doc.items()
+    }
+    order = sorted(scored, key=lambda d: (-scored[d][1], d))
+    n_keep = (len(docs) * _DSIR_KEEP_PCT) // 100
+    expected = {
+        d: (scored[d][0], round(scored[d][1] / _DSIR_SCALE, 6), r + 1, r + 1 <= n_keep)
+        for r, d in enumerate(order)
+    }
+
+    with tempfile.TemporaryDirectory(prefix="dnp_dsir_") as tmp:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_words, r.log_weight, r.rank, r.selected)
+            for r in all_queries()["dsir_importance"].fn(spark, tmp).collect()
+        }
+    assert got == expected
+    # sanity: the clean target-domain docs must outrank the junk
+    assert all(expected[d][3] for d in range(0, 12, 6))
