@@ -2041,3 +2041,98 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_ctes_with_final() -> str:
+    """The bpe_train_merges CTE chain EXTENDED with the post-final-merge
+    symbolization (w{N}) — shared by the tokenize oracle."""
+    ctes = ["""words AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE len(w) > 0 AND w NOT LIKE '%|%' GROUP BY w
+)""", """w0 AS (
+  SELECT w, freq, array_to_string(list_transform(generate_series(1, len(w)), i -> ' ' || w[i:i] || '|'), '') AS r
+  FROM words
+)"""]
+    for i in range(_BPE_ITERS):
+        ctes.append(f"p{i} AS ({_bpe_pairs_sql(f'w{i}')})")
+        ctes.append(f"t{i} AS (SELECT a, b, c FROM p{i} ORDER BY c DESC, a, b LIMIT 1)")
+        ctes.append(f"""w{i + 1} AS (
+  SELECT w, freq, replace(r,
+      ' ' || (SELECT a FROM t{i}) || '| ' || (SELECT b FROM t{i}) || '|',
+      ' ' || (SELECT a FROM t{i}) || (SELECT b FROM t{i}) || '|') AS r
+  FROM w{i}
+)""")
+    return ",\n".join(ctes)
+
+
+@register(
+    "bpe_tokenize",
+    oracle=f"""
+WITH {_bpe_ctes_with_final()},
+vocab AS (
+  SELECT w, len(string_split(r, '|')) - 1 AS n_sym FROM w{_BPE_ITERS}
+),
+docw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE len(w) > 0 AND w NOT LIKE '%|%'
+)
+SELECT d.doc_id,
+       count(*) AS n_words,
+       CAST(sum(v.n_sym) AS BIGINT) AS n_tokens_bpe,
+       round(CAST(sum(v.n_sym) AS BIGINT) * 1.0 / count(*), 6) AS tokens_per_word
+FROM docw d JOIN vocab v ON d.w = v.w
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+""",
+    doc=f"BPE APPLICATION at corpus scale: the {_BPE_ITERS} merges learned by bpe_train_merges are applied to every word (map-only greedy rewrites over the word DIMENSION, then a broadcast vocabulary join back onto the doc stream), yielding per-document BPE token counts vs whitespace words — the tokenizer-accounting pass of a training-data pipeline. Train + apply share one plan; corpus text is scanned twice total (word counting, doc join), never per-merge.",
+)
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter((F.length("w") > 0) & (~F.col("w").contains("|")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sym = words.select(
+        "w",
+        "freq",
+        F.expr(
+            "array_join(transform(sequence(1, length(w)), i -> concat(' ', substring(w, i, 1), '|')), '')"
+        ).alias("r"),
+    ).localCheckpoint(eager=True)
+    pair_expr = (
+        "CASE WHEN size(l) < 3 THEN array() ELSE "
+        "transform(sequence(1, size(l) - 2), i -> "
+        "struct(substring(element_at(l, i), 2) AS a, substring(element_at(l, i + 1), 2) AS b)) END"
+    )
+    for it in range(_BPE_ITERS):
+        pairs = (
+            sym.select("freq", F.split("r", "\\|").alias("l"))
+            .select("freq", F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1).collect()[0]
+        pat, rep = f" {top['a']}| {top['b']}|", f" {top['a']}{top['b']}|"
+        sym = sym.select(
+            "w", "freq", F.expr(f"replace(r, {_sql_str(pat)}, {_sql_str(rep)})").alias("r")
+        ).localCheckpoint(eager=True)
+    vocab = sym.select("w", (F.size(F.split("r", "\\|")) - 1).alias("n_sym"))
+    docw = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter((F.length("w") > 0) & (~F.col("w").contains("|")))
+    return (
+        docw.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("n_sym").alias("n_tokens_bpe"))
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens_bpe",
+            F.round(F.col("n_tokens_bpe") * 1.0 / F.col("n_words"), 6).alias("tokens_per_word"),
+        )
+        .orderBy("doc_id")
+    )
