@@ -1604,3 +1604,55 @@ def _finalize_sink_clog_oracles() -> None:
 
 
 _finalize_sink_clog_oracles()
+
+
+@register(
+    "pair_rate_histogram",
+    oracle=f"""
+WITH {_uptime_oracle_ctes()},
+up AS ({_UPTIME_ORACLE_BODY}),
+e AS ({_pair_tof_histogram_oracle("WHERE start % 2 = 0")}),
+o AS ({_pair_tof_histogram_oracle("WHERE start % 2 = 1")}),
+bins AS (
+  SELECT hash_lo, hash_hi, min(distance) AS distance,
+         CAST(min(bin_width) AS INTEGER) AS bin_width, bin, CAST(sum(n) AS BIGINT) AS n
+  FROM (SELECT * FROM e UNION ALL SELECT * FROM o)
+  GROUP BY hash_lo, hash_hi, bin
+),
+presence AS (
+  SELECT hash_lo, hash_hi, CAST(count(*) AS BIGINT) AS k FROM (
+    SELECT DISTINCT hash_lo, hash_hi FROM e
+    UNION ALL
+    SELECT DISTINCT hash_lo, hash_hi FROM o
+  ) GROUP BY hash_lo, hash_hi
+)
+SELECT b.hash_lo, b.hash_hi, b.bin, b.n,
+       CAST(p.k * coalesce(u.uptime, 0) AS BIGINT) AS uptime,
+       round(b.n * 1.0 / (p.k * u.uptime), 6) AS rate_per_min
+FROM bins b
+JOIN presence p ON b.hash_lo = p.hash_lo AND b.hash_hi = p.hash_hi
+JOIN up u ON b.hash_lo = u.hash_lo AND b.hash_hi = u.hash_hi
+WHERE u.uptime > 0
+ORDER BY b.hash_lo, b.hash_hi, b.bin
+""",
+    doc="Uptime-normalized pair histograms — the downstream normalization the reference's .meta bookkeeping exists FOR (src/aggregation.cpp:154-176 sums uptime so merged counts can become rates): per-bin coincidence rate per minute of both-stations-reliable time, over the merged parity-split saves. Pairs with zero accumulated uptime are excluded (rate undefined).",
+)
+def pair_rate_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import merge_histograms_meta, with_pair_meta
+
+    up = _pair_uptime_df(spark, sf_dir).localCheckpoint(eager=True)
+    even = with_pair_meta(_pair_hist_df(spark, sf_dir, F.col("start") % 2 == 0), up, 60)
+    odd = with_pair_meta(_pair_hist_df(spark, sf_dir, F.col("start") % 2 == 1), up, 60)
+    merged = merge_histograms_meta(even, odd)
+    return (
+        merged.filter(F.col("uptime") > 0)
+        .select(
+            "hash_lo",
+            "hash_hi",
+            "bin",
+            "n",
+            "uptime",
+            F.round(F.col("n") * 1.0 / F.col("uptime"), 6).alias("rate_per_min"),
+        )
+        .orderBy("hash_lo", "hash_hi", "bin")
+    )
