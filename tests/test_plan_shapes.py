@@ -220,3 +220,21 @@ def test_duplicate_span_ranges_no_cartesian(spark):
     explosion anywhere."""
     plan = plan_of(spark, "duplicate_span_ranges")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_tokenize_broadcasts_vocab(spark):
+    """The learned-vocabulary join back onto the doc stream must broadcast
+    the word dimension — re-shuffling the corpus for a vocab lookup is the
+    anti-pattern at 100 TB."""
+    plan = plan_of(spark, "bpe_tokenize")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_documents_scan_prunes_unused_columns(spark):
+    """text_quality never touches `source` — column pruning must reach the
+    parquet reader (a scan fetching all columns for a projection is wrong)."""
+    df = all_queries()["text_quality"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "source" not in read_schema, read_schema
