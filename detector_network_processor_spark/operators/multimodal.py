@@ -164,3 +164,109 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
             F.lit(0).cast("int").alias("declared_height"),
         ).alias("meta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Resize + frame-sampling stages (the other two mandated multimodal ops).
+# Same split as decode: Spark-side plumbing (schemas, Arrow batching,
+# map-only shape) is real; pixel work is a deterministic byte-domain fake
+# unless PIL is installed (resize) / always fake for video (no ffmpeg).
+# --------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("feature_sums", ArrayType(LongType())),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, target_w: int, target_h: int, fake: bool = False) -> DataFrame:
+    """Resize stage over MEDIA_SCHEMA rows -> RESIZED_SCHEMA. ``fake=True``
+    runs the deterministic byte-domain resample; ``fake=False`` uses PIL
+    when installed (true bilinear resize, features over resized RGB bytes)
+    and raises NotImplementedError otherwise."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf[["media_id", "media"]].itertuples(index=False, name=None):
+                media_id, media = int(t[0]), bytes(t[1])
+                if fake:
+                    d = _fake_decode_one(media)
+                    src_w, src_h = d[0], d[1]
+                    arr = np.frombuffer(media, dtype=np.uint8)
+                    n = target_w * target_h
+                    if len(arr) == 0:
+                        res = np.zeros(n, dtype=np.uint8)
+                    else:
+                        idx = (np.arange(n, dtype=np.int64) * len(arr)) // n
+                        res = arr[idx]
+                else:
+                    try:
+                        import io
+
+                        from PIL import Image  # soft import
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "real resize requires PIL — run with fake=True"
+                        ) from exc
+                    with Image.open(io.BytesIO(media)) as img:
+                        src_w, src_h = img.size
+                        res = np.frombuffer(
+                            img.convert("RGB").resize((target_w, target_h)).tobytes(),
+                            dtype=np.uint8,
+                        )
+                pad = (-len(res)) % N_FEATURES
+                chunks = np.pad(res, (0, pad)).reshape(-1, N_FEATURES)
+                sums = chunks.sum(axis=0, dtype=np.int64).tolist()
+                feats = (chunks.mean(axis=0) / 255.0).astype(np.float32).tolist()
+                out.append((media_id, src_w, src_h, target_w, target_h, feats, sums))
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media_df.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("feature_sums", ArrayType(LongType())),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, every_n: int = 8, frame_bytes: int = 256) -> DataFrame:
+    """Frame-sampling stage for video media -> FRAME_SCHEMA, one row per
+    SAMPLED frame (every ``every_n``-th). The byte stream is treated as
+    consecutive ``frame_bytes`` frames (the deterministic stand-in for an
+    ffmpeg demux, which this container cannot run); per-frame features are
+    the same slot statistics as decode. Map-only explode: output rows carry
+    fixed-size features, never frame payloads — the shuffle after sampling
+    is feature-sized at any corpus scale."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf[["media_id", "media"]].itertuples(index=False, name=None):
+                media_id, media = int(t[0]), bytes(t[1])
+                arr = np.frombuffer(media, dtype=np.uint8)
+                n_frames = max(1, (len(arr) + frame_bytes - 1) // frame_bytes)
+                for fi in range(0, n_frames, every_n):
+                    fr = arr[fi * frame_bytes:(fi + 1) * frame_bytes]
+                    pad = (-len(fr)) % N_FEATURES
+                    chunks = np.pad(fr, (0, pad)).reshape(-1, N_FEATURES) if len(fr) else np.zeros((1, N_FEATURES), dtype=np.uint8)
+                    sums = chunks.sum(axis=0, dtype=np.int64).tolist()
+                    feats = (chunks.mean(axis=0) / 255.0).astype(np.float32).tolist()
+                    out.append((media_id, fi, n_frames, len(fr), feats, sums))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media_df.mapInPandas(kernel, FRAME_SCHEMA)

@@ -2136,3 +2136,100 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _mm_bytes_cte() -> str:
+    from ..operators.multimodal import _CK_BASE, _CK_MOD
+
+    return f"""
+m AS (
+  SELECT doc_id AS media_id,
+         list_transform(string_split_regex(text, ''), c -> CAST(ord(c) AS BIGINT)) AS cs
+  FROM documents
+), mb AS (
+  SELECT media_id, cs, CAST(len(cs) AS BIGINT) AS n,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                     (acc, c) -> (acc * {_CK_BASE} + c) % {_CK_MOD}) AS checksum
+  FROM m
+)"""
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH {_mm_bytes_cte()},
+resized AS (
+  SELECT media_id, checksum,
+         list_transform(generate_series(0, 1023), j -> coalesce(cs[(j * n) // 1024 + 1], 0)) AS rs
+  FROM mb
+)
+SELECT media_id,
+       CAST(64 + (checksum & 1023) AS INTEGER) AS src_width,
+       CAST(64 + ((checksum >> 10) & 1023) AS INTEGER) AS src_height,
+       CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+       CAST(list_sum(list_transform(generate_series(0, 63), k -> rs[k * 16 + 1])) AS BIGINT) AS fsum0,
+       CAST(list_sum(list_transform(generate_series(0, 63), k -> rs[k * 16 + 8])) AS BIGINT) AS fsum7,
+       CAST(list_sum(list_transform(generate_series(0, 63), k -> rs[k * 16 + 16])) AS BIGINT) AS fsum15
+FROM resized ORDER BY media_id
+""",
+    doc="Multimodal RESIZE stage (SURVEY §2.11): every media payload resampled to a fixed 32x32 target via the Arrow-batched map-only kernel (operators/multimodal.py::resize_media; deterministic nearest-neighbor byte resample standing in for PIL bilinear — real path soft-imports PIL). The oracle recomputes the resample + per-slot sums from the document bytes in SQL; at scale the stage is pure map work, and post-resize rows carry fixed-size features, never payloads.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_media, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        python_stage_partitions(spark)
+    )
+    out = resize_media(documents_as_media(docs), 32, 32, fake=True)
+    return out.select(
+        "media_id",
+        "src_width",
+        "src_height",
+        "width",
+        "height",
+        F.element_at("feature_sums", 1).alias("fsum0"),
+        F.element_at("feature_sums", 8).alias("fsum7"),
+        F.element_at("feature_sums", 16).alias("fsum15"),
+    ).orderBy("media_id")
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+WITH {_mm_bytes_cte()},
+frames AS (
+  SELECT media_id, n, cs,
+         CAST(greatest(1, ceil(n / 64.0)) AS INTEGER) AS n_frames
+  FROM mb
+),
+sampled AS (
+  SELECT media_id, CAST(fi AS INTEGER) AS frame_idx, n_frames,
+         cs[fi * 64 + 1 : fi * 64 + 64] AS fr
+  FROM frames, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS fi)
+  WHERE fi % 4 = 0
+)
+SELECT media_id, frame_idx, n_frames,
+       CAST(len(fr) AS BIGINT) AS frame_bytes,
+       CAST(coalesce(list_sum(list_transform(generate_series(0, 3), k -> coalesce(fr[k * 16 + 1], 0))), 0) AS BIGINT) AS fsum0,
+       CAST(coalesce(list_sum(list_transform(generate_series(0, 3), k -> coalesce(fr[k * 16 + 8], 0))), 0) AS BIGINT) AS fsum7,
+       CAST(coalesce(list_sum(list_transform(generate_series(0, 3), k -> coalesce(fr[k * 16 + 16], 0))), 0) AS BIGINT) AS fsum15
+FROM sampled ORDER BY media_id, frame_idx
+""",
+    doc="Multimodal FRAME-SAMPLING stage (SURVEY §2.11): every 4th 64-byte 'frame' of each media payload emitted with per-frame slot features (operators/multimodal.py::sample_frames; deterministic demux standing in for ffmpeg). Map-only explode; output rows carry fixed-size features, never frame payloads — the post-sampling shuffle is feature-sized at any corpus scale. Oracle recomputes the frame slices + slot sums in SQL.",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_media, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        python_stage_partitions(spark)
+    )
+    out = sample_frames(documents_as_media(docs), every_n=4, frame_bytes=64)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "frame_bytes",
+        F.element_at("feature_sums", 1).alias("fsum0"),
+        F.element_at("feature_sums", 8).alias("fsum7"),
+        F.element_at("feature_sums", 16).alias("fsum15"),
+    ).orderBy("media_id", "frame_idx")
