@@ -210,3 +210,20 @@ def merge_histograms_meta(*hists: DataFrame) -> DataFrame:
     return bins.join(F.broadcast(meta), ["hash_lo", "hash_hi"]).select(
         "hash_lo", "hash_hi", "distance", "bin_width", "uptime", "sample_time", "bin", "n"
     )
+
+
+def load_histograms(spark, path: str) -> DataFrame:
+    """Read a histogram store written by ``save_histograms`` across SCHEMA
+    VINTAGES: saves from before the A7 meta landed carry no
+    ``uptime``/``sample_time`` columns. ``mergeSchema`` unions the file
+    schemas and this backfills the meta as 0 (the reference's aggregator
+    treats an absent .meta line the same way — nothing is added to the
+    sums, src/aggregation.cpp:154-176), so merge_histograms_meta works over
+    mixed-vintage stores."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, default in (("uptime", 0), ("sample_time", 0)):
+        if col not in df.columns:
+            df = df.withColumn(col, F.lit(default).cast("long"))
+        else:
+            df = df.withColumn(col, F.coalesce(F.col(col).cast("long"), F.lit(default)))
+    return df

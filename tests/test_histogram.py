@@ -176,3 +176,33 @@ def test_pair_uptime_property_vs_bruteforce(spark):
     # expected{} only covers same-case; filter got accordingly)
     got_same_case = {k: v for k, v in got.items() if k[0] // 100 == k[1] // 100}
     assert got_same_case == expected
+
+
+def test_load_histograms_across_schema_vintages(spark, tmp_path):
+    """A8 store compatibility: pre-meta saves (no uptime/sample_time) and
+    post-meta saves read back as ONE frame with meta backfilled to 0, and
+    merge_histograms_meta sums correctly across the vintages."""
+    from detector_network_processor_spark.operators.histogram import (
+        load_histograms,
+        merge_histograms_meta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2, 10.0, 5, 100, 7)],
+        "hash_lo long, hash_hi long, distance double, bin_width int, bin long, n long",
+    )
+    new = spark.createDataFrame(
+        [(1, 2, 10.0, 5, 100, 3, 9, 60)],
+        "hash_lo long, hash_hi long, distance double, bin_width int, bin long, n long, "
+        "uptime long, sample_time long",
+    )
+    old.write.partitionBy("hash_lo").parquet(str(tmp_path / "h" / "v_old"))
+    new.write.partitionBy("hash_lo").parquet(str(tmp_path / "h" / "v_new"))
+
+    a = load_histograms(spark, str(tmp_path / "h" / "v_old"))
+    b = load_histograms(spark, str(tmp_path / "h" / "v_new"))
+    assert {f.name for f in a.schema.fields} == {f.name for f in b.schema.fields}
+    merged = merge_histograms_meta(a, b).collect()
+    assert len(merged) == 1
+    r = merged[0]
+    assert (r.n, r.uptime, r.sample_time) == (10, 9, 60)  # old save contributes 0 meta
