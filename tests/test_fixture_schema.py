@@ -97,3 +97,39 @@ def test_ts_to_us_int64_ns_branch(spark):
     )
     got = [r.us for r in df.select(ts_to_us(df).alias("us")).collect()]
     assert got == [1_700_000_000_123_456, 0, -1]  # floor div, exact
+
+
+def test_events_props_has_k_key():
+    """The EAV/sink/detector_log queries extract props->'$.k'; if a fixture
+    regeneration drops that key they would emit all-NULL values and pass
+    vacuously. Pin it in the actual data (first row group, footerless read
+    of a single file)."""
+    import json
+
+    path = os.path.join(SF_DIR_SMALL, "events.parquet")
+    if os.path.isdir(path):
+        path = next(
+            os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+        )
+    props = pq.ParquetFile(path).read(columns=["props"])["props"].to_pylist()[:50]
+    assert any("k" in json.loads(p or "{}") for p in props), (
+        "fixture drift: events.props no longer carries the 'k' key used by "
+        "assembly_kv_pivot / assembly_eav_collect / eav_json_stats / "
+        "sink_detector_log_* — update those framings together"
+    )
+
+
+def test_documents_text_is_space_tokenizable():
+    """Every text-analysis query splits on single spaces; a regeneration
+    that switches to tabs/newlines would silently yield one-token docs."""
+    path = os.path.join(SF_DIR_SMALL, "documents.parquet")
+    if os.path.isdir(path):
+        path = next(
+            os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+        )
+    texts = pq.ParquetFile(path).read(columns=["text"])["text"].to_pylist()[:50]
+    assert sum(" " in (t or "") for t in texts) > 25, (
+        "fixture drift: documents.text no longer space-delimited — the "
+        "token-based queries (text_quality, bpe_*, dsir, near-dup family) "
+        "assume split(text, ' ')"
+    )
