@@ -75,6 +75,17 @@ def _build_parser() -> argparse.ArgumentParser:
     mon.add_argument("--available-now", action="store_true", help="drain the spool and exit")
     mon.add_argument("--cpus", default=None)
 
+    ing = sub.add_parser(
+        "ingest", help="stream documents against the persistent near-dup index"
+    )
+    ing.add_argument("--docs-dir", required=True, help="spool dir of (doc_id, text) parquet batches")
+    ing.add_argument("--index", required=True, help="persistent MinHash band-index dir")
+    ing.add_argument("--out", required=True, help="near-dup pair output dir (batch_id partitions)")
+    ing.add_argument("--checkpoint", required=True)
+    ing.add_argument("--threshold", type=float, default=0.5)
+    ing.add_argument("--available-now", action="store_true", help="drain the spool and exit")
+    ing.add_argument("--cpus", default=None)
+
     mat = sub.add_parser(
         "materialize",
         help="rewrite fixture tables into the scale storage layout "
@@ -178,6 +189,20 @@ def _cmd_stream(args) -> int:
             writer = writer.trigger(processingTime=f"{args.trigger_seconds} seconds")
         q = writer.start()
         q.awaitTermination()
+    return 0
+
+
+def _cmd_ingest(args) -> int:
+    from .session import get_spark
+    from .streaming.dedup import incremental_neardup_query
+
+    spark = get_spark(app_name="dnp-ingest", cpus=args.cpus)
+    docs = spark.readStream.schema("doc_id long, text string").parquet(args.docs_dir)
+    writer = incremental_neardup_query(
+        docs, args.index, args.out, args.checkpoint, threshold=args.threshold
+    )
+    q = writer.trigger(availableNow=True).start() if args.available_now else writer.start()
+    q.awaitTermination()
     return 0
 
 
@@ -305,6 +330,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_run(args)
     if args.cmd == "oracle":
         return _cmd_oracle(args)
+    if args.cmd == "ingest":
+        return _cmd_ingest(args)
     if args.cmd == "monitor":
         return _cmd_monitor(args)
     if args.cmd == "stream":

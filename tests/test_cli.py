@@ -210,3 +210,32 @@ def test_cli_monitor_drains_spool(spark, tmp_path):
     assert len(rows) > 0
     assert all(" eventrate " in r_["line"] or " " in r_["line"] for r_ in rows)
     assert {f.name for f in out.schema.fields} == {"hash", "win", "idx", "line"}
+
+
+def test_cli_ingest_builds_index_and_finds_pairs(spark, tmp_path):
+    """`ingest --available-now`: document spool -> incremental near-dup
+    checker; pairs land partitioned by batch, the band index persists."""
+    import subprocess
+    import sys
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    docs = [(i, base if i % 2 == 0 else " ".join(f"w{i}_{j}" for j in range(14))) for i in range(12)]
+    spark.createDataFrame(docs[:6], "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "spool" / "b0")
+    )
+    spark.createDataFrame(docs[6:], "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "spool" / "b1")
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "detector_network_processor_spark", "ingest",
+         "--docs-dir", str(tmp_path / "spool" / "*"),
+         "--index", str(tmp_path / "index"), "--out", str(tmp_path / "out"),
+         "--checkpoint", str(tmp_path / "ckpt"), "--available-now", "--cpus", "4"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pairs = spark.read.parquet(str(tmp_path / "out")).collect()
+    # the 6 identical docs form C(6,2)=15 pairs, split across increments
+    keys = {(min(p.doc_a, p.doc_b), max(p.doc_a, p.doc_b)) for p in pairs}
+    assert keys == {(a, b) for a in range(0, 12, 2) for b in range(a + 2, 12, 2)}
+    assert spark.read.parquet(str(tmp_path / "index")).count() > 0
