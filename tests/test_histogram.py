@@ -206,3 +206,32 @@ def test_load_histograms_across_schema_vintages(spark, tmp_path):
     assert len(merged) == 1
     r = merged[0]
     assert (r.n, r.uptime, r.sample_time) == (10, 9, 60)  # old save contributes 0 meta
+
+
+def test_station_pagerank_differential(spark):
+    """station_pagerank == an independent pure-Python fixed-point PageRank
+    on the same adjacency, bit-for-bit (integer arithmetic everywhere)."""
+    from detector_network_processor_spark.plans import all_queries
+    from detector_network_processor_spark.plans.muon import _pair_hist_df
+    from detector_network_processor_spark.operators.histogram import pair_totals
+
+    sf = "/root/testdata/sf0.001"
+    pt = {(r.hash_lo, r.hash_hi): r.total for r in
+          pair_totals(_pair_hist_df(spark, sf)).collect()}
+    edges = {}
+    for (lo, hi), w in pt.items():
+        edges.setdefault(lo, {})[hi] = w
+        edges.setdefault(hi, {})[lo] = w
+    wsum = {u: sum(nb.values()) for u, nb in edges.items()}
+    n = len(edges)
+    S, base = 10**12, 150_000_000_000 // n
+    r = {u: S // n for u in edges}
+    for _ in range(3):
+        nxt = {}
+        for v in edges:
+            contrib = sum((r[u] * w) // wsum[u] for u, w in edges[v].items())
+            nxt[v] = base + (contrib * 17) // 20
+        r = nxt
+    got = {row.hash: row.rank12 for row in
+           all_queries()["station_pagerank"].fn(spark, sf).collect()}
+    assert got == r
