@@ -23,6 +23,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from detector_network_processor_spark.plans import all_queries
 from detector_network_processor_spark.session import get_spark
 
+# Non-headline spotlight ops (one timed pass each, appended to the JSON as
+# "extended"): the round-4 additions a reviewer would want numbers for.
+# Never fails the bench — errors are recorded as -1.
+EXTENDED = [
+    "dsir_importance",
+    "bpe_tokenize",
+    "bm25_search",
+    "station_pagerank",
+    "minhash_near_dup",
+    "dedup_components",
+]
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -106,6 +118,17 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        _release_cached(spark)
+        try:
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            extended[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # pragma: no cover — never fail the bench
+            print(f"# extended {name} failed: {e}", file=sys.stderr)
+            extended[name] = -1.0
+
     print(
         json.dumps(
             {
@@ -117,6 +140,7 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "spread": spreads,
                 "spread_total": round(sum(spreads.values()), 3),
+                "extended": extended,
             }
         )
     )
