@@ -760,3 +760,54 @@ def longest_outages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+_USR_GAP_US = 1_800_000_000  # 30 min
+
+
+@register(
+    "user_sessions",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL}),
+d AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - lag(ts_us) OVER w > {_USR_GAP_US}
+                   OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT user_id, ts_us, event_id,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+  FROM d
+)
+SELECT user_id, sid AS session_no, count(*) AS n_events,
+       min(ts_us) AS session_start_us,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_no
+""",
+    doc="Per-key gap sessionization (the classic 30-minute web-session split — distinct from the coincidence operator's GLOBAL cross-station sessions): lag + running-sum session ids inside one per-user window, then one agg. Two window passes over the same partitioning = a single shuffle on user_id; at 100 TB this is the textbook sessionize that needs no custom operator at all.",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    brk = F.when(
+        (F.col("ts_us") - F.lag("ts_us").over(w) > _USR_GAP_US)
+        | F.lag("ts_us").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    s = ev.select(
+        "user_id", "ts_us", "event_id", F.sum(brk).over(w_run).alias("session_no")
+    )
+    return (
+        s.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_no")
+    )
