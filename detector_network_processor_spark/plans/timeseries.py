@@ -811,3 +811,35 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "event_transitions",
+    oracle=f"""
+WITH ev AS ({_EVENTS_US_SQL}),
+d AS (
+  SELECT user_id, event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS src
+  FROM ev
+),
+c AS (SELECT src, dst, count(*) AS n FROM d WHERE src IS NOT NULL GROUP BY src, dst),
+t AS (SELECT src, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY src)
+SELECT c.src, c.dst, c.n, round(c.n * 1.0 / t.total, 6) AS p
+FROM c JOIN t ON c.src = t.src
+ORDER BY c.src, c.dst
+""",
+    doc="Event-type transition matrix (first-order Markov statistics over per-user event sequences): one lag window per user + one count shuffle; transition probabilities normalized per source state. The sequence-modeling summary a behavioural pipeline derives before training; at 100 TB it is one user-partitioned window + a (|types|^2)-row aggregate.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = ev.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    c = d.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("src").agg(F.sum("n").alias("total"))
+    return (
+        c.join(F.broadcast(t), "src")
+        .select("src", "dst", "n", F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("p"))
+        .orderBy("src", "dst")
+    )
