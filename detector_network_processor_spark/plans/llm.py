@@ -2233,3 +2233,66 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature_sums", 8).alias("fsum7"),
         F.element_at("feature_sums", 16).alias("fsum15"),
     ).orderBy("media_id", "frame_idx")
+
+
+_PMI_TOP = 32  # vocabulary slice: top tokens by document frequency
+_PMI_SCALE = 1_000_000
+
+
+@register(
+    "token_pmi",
+    oracle=f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE len(w) > 0
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM words),
+top AS (
+  SELECT w, count(*) AS df FROM words GROUP BY w
+  ORDER BY df DESC, w LIMIT {_PMI_TOP}
+),
+tw AS (SELECT words.doc_id, words.w, top.df FROM words JOIN top ON words.w = top.w),
+pairs AS (
+  SELECT a.w AS w_a, b.w AS w_b, a.df AS df_a, b.df AS df_b, count(*) AS co
+  FROM tw a JOIN tw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w, a.df, b.df
+)
+SELECT w_a, w_b, co,
+       CAST(floor(ln((co * 1.0 * (SELECT n FROM nd)) / (df_a * 1.0 * df_b)) * {_PMI_SCALE}) AS BIGINT) AS pmi6
+FROM pairs
+WHERE co >= 5
+ORDER BY w_a, w_b
+""",
+    doc=f"Collocation mining: document-level PMI over the top-{_PMI_TOP}-DF vocabulary slice — log(p(a,b)/(p(a)p(b))) at doc granularity, integer-scaled (floor x1e6) so the value is order-free and hash-exact. Scale shape: the vocabulary slice is broadcast-sized, the per-doc self-join is bounded by {_PMI_TOP} tokens/doc (never corpus-wide all-pairs), and the pair space caps at {_PMI_TOP}^2 rows. The classic corpus-statistics pass (phrase detection, stopword discovery) at any corpus size.",
+)
+def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_docs = words.select("doc_id").distinct().count()  # O(1) driver scalar
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "w")
+        .limit(_PMI_TOP)
+    )
+    tw = words.join(F.broadcast(top), "w")
+    a = tw.select("doc_id", F.col("w").alias("w_a"), F.col("df").alias("df_a"))
+    b = tw.select("doc_id", F.col("w").alias("w_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 5)
+    )
+    pmi6 = F.floor(
+        F.log(F.col("co") * 1.0 * n_docs / (F.col("df_a") * 1.0 * F.col("df_b")))
+        * _PMI_SCALE
+    ).cast("long")
+    return pairs.select("w_a", "w_b", "co", pmi6.alias("pmi6")).orderBy("w_a", "w_b")
