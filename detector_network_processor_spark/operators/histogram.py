@@ -139,7 +139,10 @@ def pair_uptime(transitions: DataFrame, end_of_data_ts: int) -> DataFrame:
 
     Returns (hash_lo, hash_hi, uptime) with uptime in whole minutes.
     """
-    w = Window.partitionBy("hash").orderBy("ts")
+    # (ts, status) ordering matches the oracle's deterministic tie-break —
+    # with ts alone, two same-instant transitions would get a
+    # nondeterministic lead() order and interval ends could flap per run.
+    w = Window.partitionBy("hash").orderBy("ts", "status")
     iv = (
         transitions.select("hash", "ts", "status", F.lead("ts").over(w).alias("ts_end"))
         .filter(F.col("status") == "reliable")

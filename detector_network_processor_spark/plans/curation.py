@@ -619,9 +619,28 @@ SELECT doc_id, n_words, log_weight, rank,
 FROM ranked
 ORDER BY doc_id
 """,
-    doc=f"DSIR importance resampling (Xie et al. 2023): per-doc log importance weight log(p_target/p_raw) under add-1-smoothed hashed bag-of-word models ({_DSIR_K} buckets, polynomial char hash identical in both engines), target domain = sources {_DSIR_TARGET}, top {_DSIR_KEEP_PCT}% selected. Scale shape: ONE token shuffle to per-doc bucket counts (map-side combined), two tiny bucket-count aggs broadcast back, integer-scaled order-free weight sum. The model tables stay O({_DSIR_K}) rows at any corpus size; the exact global rank column exists for oracle adjudication — at 100 TB the selection threshold comes from approx_percentile over w6 (one scalar) and `selected` becomes a plain filter, dropping the single-reducer window.",
+    doc=f"DSIR importance resampling (Xie et al. 2023): per-doc log importance weight log(p_target/p_raw) under add-1-smoothed hashed bag-of-word models ({_DSIR_K} buckets, polynomial char hash identical in both engines), target domain = sources {_DSIR_TARGET}, top {_DSIR_KEEP_PCT}% selected. Scale shape: ONE token shuffle to per-doc bucket counts (map-side combined), two tiny bucket-count aggs broadcast back, integer-scaled order-free weight sum. The model tables stay O({_DSIR_K}) rows at any corpus size; the exact global rank column exists for oracle adjudication — the 100 TB path is IMPLEMENTED as dsir_importance_plan(exact_rank=False): threshold from one approx_percentile(w6) scalar, `selected` a plain filter, zero global Windows (plan-shape asserted in tests).",
 )
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_importance_plan(spark, sf_dir, exact_rank=True)
+
+
+def dsir_importance_plan(
+    spark: SparkSession, sf_dir: str, exact_rank: bool = True
+) -> DataFrame:
+    """DSIR with a flag-gated selection strategy.
+
+    ``exact_rank=True`` (oracle mode, the registered query): global
+    ``row_number`` over w6 — deterministic, hash-adjudicable, but a
+    single-partition sort over the doc dimension.
+
+    ``exact_rank=False`` (the 100 TB path): the selection threshold comes
+    from one ``approx_percentile(w6, 1 - keep_pct/100)`` scalar and
+    ``selected`` is a plain filterable comparison — no global Window
+    anywhere in the plan (asserted in tests/test_plan_shapes.py). The
+    ``rank`` column is omitted in this mode: an exact global rank is
+    precisely the construct being removed.
+    """
     # no repartition: the plan is pure JVM (no Python stage to widen), and
     # the explode below multiplies rows anyway — an upfront shuffle of the
     # raw documents would be pure cost
@@ -665,13 +684,33 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("dc").alias("n_words"), F.sum(F.col("dc") * F.col("lr6")).alias("w6"))
     )
-    n_docs = docs.count()
+    # scored feeds both the scalar below (count / percentile) and the final
+    # select; it recomputes from the CHECKPOINTED docfeat (broadcast join +
+    # doc-dimension agg), so no second checkpoint — keeping the lineage
+    # also keeps the broadcast model join visible in the final plan.
+    weight = F.round(F.col("w6") / float(_DSIR_SCALE), 6).alias("log_weight")
+    if not exact_rank:
+        # Scale path: one approx_percentile scalar (t-digest, fully
+        # map-side-combinable) replaces the global rank; `selected` becomes
+        # a broadcastable comparison against a literal.
+        q = 1.0 - _DSIR_KEEP_PCT / 100.0
+        thr = scored.agg(
+            F.expr(f"approx_percentile(w6, {q}, 10000)").alias("t")
+        ).collect()[0][0]
+        return scored.select(
+            "doc_id", "n_words", weight, (F.col("w6") >= F.lit(thr)).alias("selected")
+        ).orderBy("doc_id")
+    # n_docs over the SCORED population (docs that produced >=1 non-empty
+    # token), matching the oracle's count(*) OVER () in the ranked CTE — a
+    # token-less document never reaches `scored` and must not inflate the
+    # selection budget.
+    n_docs = scored.count()
     w_rank = Window.orderBy(F.col("w6").desc(), F.col("doc_id"))
     return (
         scored.select(
             "doc_id",
             "n_words",
-            F.round(F.col("w6") / float(_DSIR_SCALE), 6).alias("log_weight"),
+            weight,
             F.row_number().over(w_rank).alias("rank"),
         )
         .withColumn("selected", F.col("rank") <= (n_docs * _DSIR_KEEP_PCT) // 100)

@@ -31,6 +31,7 @@ from ..operators.coincidence import L1_SCHEMA, _session_rows_to_l1
 from ..operators.golden import Hit, compare_physics, compare_simple
 
 import math
+import warnings
 
 _L1_COLS = [f.name for f in L1_SCHEMA.fields]
 
@@ -69,11 +70,19 @@ def _resolve_collected(criterion: str):
     return kernel
 
 
+#: rows-per-trigger bound above which the constant-key convenience path
+#: refuses to build (its session state serializes onto ONE state
+#: partition); callers declaring a higher expected rate must use
+#: ``stream_cluster_coincidences_scaled``.
+SESSION_PATH_MAX_ROWS_PER_TRIGGER = 1_000_000
+
+
 def stream_cluster_coincidences(
     events: DataFrame,
     criterion: str = "physics",
     gap_ns: int | None = None,
     watermark_ns: int = 10_000_000_000,
+    expected_rows_per_trigger: int | None = None,
 ) -> DataFrame:
     """events: streaming DataFrame with hash,start,end,time_acc,
     ublox_counter,fix,lat,lon,h (start/end int64 ns).
@@ -83,8 +92,42 @@ def stream_cluster_coincidences(
     exact-integer session grouping, so the delay is converted to the
     relabeled domain here — callers never see the 1000× scaling.
 
+    LOW-VOLUME convenience path: building this plan always emits a
+    ``UserWarning`` pointing to ``stream_cluster_coincidences_scaled``
+    (the sharded exact-equivalent), and REFUSES (``ValueError``) when
+    ``expected_rows_per_trigger`` exceeds
+    ``SESSION_PATH_MAX_ROWS_PER_TRIGGER`` — the constant session key
+    funnels all state updates through one state partition.
+
+    NOTE: building the plan sets the session-global conf
+    ``spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition``
+    (map-side session pre-merge). The setting persists on the
+    SparkSession and applies to every subsequent session_window query in
+    it — harmless for those queries (pre-merge is a pure optimization),
+    noted here because plan-builders normally don't mutate session state.
+
     Returns a streaming L1 DataFrame (append mode; sessions emit once the
     watermark passes their gap horizon)."""
+    if (
+        expected_rows_per_trigger is not None
+        and expected_rows_per_trigger > SESSION_PATH_MAX_ROWS_PER_TRIGGER
+    ):
+        raise ValueError(
+            f"stream_cluster_coincidences is the single-state-partition "
+            f"convenience path; declared rate {expected_rows_per_trigger} "
+            f"rows/trigger exceeds the bound "
+            f"{SESSION_PATH_MAX_ROWS_PER_TRIGGER}. Use "
+            f"stream_cluster_coincidences_scaled (sharded state, same "
+            f"exact semantics)."
+        )
+    warnings.warn(
+        "stream_cluster_coincidences serializes session state onto one "
+        "state partition (constant grouping key) — fine at station-network "
+        "rates; for high-volume streams use "
+        "stream_cluster_coincidences_scaled.",
+        UserWarning,
+        stacklevel=2,
+    )
     if gap_ns is None:
         gap_ns = int(math.ceil(MAX_TIME_NS)) if criterion == "physics" else SIMPLE_WINDOW_NS
 

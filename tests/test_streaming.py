@@ -821,3 +821,40 @@ def test_stream_monitoring_path_end_to_end(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
     assert got == expected and len(got) > 0
+
+
+def test_session_path_guardrail_warns_and_refuses(spark):
+    """VERDICT r4 #3: the constant-key convenience path must announce its
+    single-state-partition shape (UserWarning on every build) and refuse a
+    declared rate above the bound."""
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from detector_network_processor_spark.streaming.coincidence import (
+        SESSION_PATH_MAX_ROWS_PER_TRIGGER,
+        stream_cluster_coincidences,
+    )
+
+    schema = (
+        "hash long, start long, end long, time_acc long, ublox_counter long, "
+        "fix long, lat double, lon double, h double"
+    )
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value as hash", "value as start", "value+1 as end", "1L as time_acc",
+        "0L as ublox_counter", "1L as fix", "47.0 as lat", "8.0 as lon", "450.0 as h",
+    )
+    _ = schema  # schema string kept for readability of the contract
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        stream_cluster_coincidences(stream, criterion="physics")
+    assert any(
+        issubclass(c.category, UserWarning) and "state partition" in str(c.message)
+        for c in caught
+    )
+    with _pytest.raises(ValueError, match="scaled"):
+        stream_cluster_coincidences(
+            stream,
+            criterion="physics",
+            expected_rows_per_trigger=SESSION_PATH_MAX_ROWS_PER_TRIGGER + 1,
+        )
