@@ -94,6 +94,19 @@ def _build_parser() -> argparse.ArgumentParser:
     mat.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     mat.add_argument("--out", required=True)
     mat.add_argument("--tables", default="events", help="comma-separated table names")
+    mat.add_argument(
+        "--bucket-by-station",
+        action="store_true",
+        help="events: write the station-bucketed + day-partitioned catalog "
+        "table (zero-Exchange station aggs/joins) instead of the plain "
+        "day-partitioned directory layout",
+    )
+    mat.add_argument("--buckets", type=int, default=None, help="bucket count (default 64)")
+    mat.add_argument(
+        "--table-name",
+        default="events_bucketed",
+        help="catalog table name for --bucket-by-station",
+    )
     mat.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
 
     cp = sub.add_parser(
@@ -242,6 +255,18 @@ def _cmd_materialize(args) -> int:
             return 2
         df = load_table(spark, args.sf_dir, name)
         dest = os.path.join(args.out, name)
+        if name == "events" and args.bucket_by_station:
+            from .io import EVENTS_BUCKETS, materialize_events_bucketed
+
+            # NB: bucketed tables are catalog tables — they land under the
+            # session's spark.sql.warehouse.dir, not --out (bucket metadata
+            # lives in the metastore; a bare directory can't carry it).
+            materialize_events_bucketed(
+                spark, args.sf_dir, table=args.table_name,
+                n_buckets=args.buckets or EVENTS_BUCKETS,
+            )
+            print(f"materialized events -> catalog table {args.table_name} (bucketed)")
+            continue
         if name == "events":
             # Day-partitioned event stream: equality/range predicates on
             # `day` prune whole directories before a file is opened — the

@@ -131,3 +131,61 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.mode(mode).format("parquet").saveAsTable(table)
+
+
+DAY_US = 86_400_000_000
+EVENTS_BUCKETS = 64
+
+
+def materialize_events_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events_bucketed",
+    n_buckets: int = EVENTS_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """The 100 TB at-rest layout for the event stream, combining BOTH
+    storage optimizations (SCALING.md open item; reference analog: the
+    daemon shards per-station state by station hash,
+    src/supervision/station.cpp:30-34):
+
+    - ``partitionBy(day)`` — time predicates prune whole day directories
+      before a file is opened;
+    - ``bucketBy(n_buckets, user_id)`` + ``sortBy(user_id, ts)`` — every
+      per-station aggregation/window and every join against a station
+      dimension bucketed the same way runs with ZERO Exchange; the
+      station shuffle is paid once at ingest, not per query.
+
+    The write itself repartitions by (day, user_id-bucket) so each task
+    writes one file per (partition, bucket) instead of n_buckets files
+    per task (small-files discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("_us", ts_to_us(ev)).withColumn(
+        "day", F.expr(f"_us div {DAY_US}")
+    ).drop("_us")
+    (
+        ev.repartition(F.col("day"), F.expr(f"pmod(hash(user_id), {n_buckets})"))
+        .write.partitionBy("day")
+        .bucketBy(n_buckets, "user_id")
+        .sortBy("user_id", "ts")
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def materialize_station_dim_bucketed(
+    stations: DataFrame,
+    table: str = "stations_bucketed",
+    key_col: str = "hash",
+    n_buckets: int = EVENTS_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Station dimension bucketed IDENTICALLY to the event stream (same
+    bucket count, same hash function — Spark's Murmur3 on the key), so the
+    enrichment join co-locates bucket-for-bucket with zero Exchange on
+    either side. At fixture scale the dimension broadcasts anyway; at
+    10^6+ stations with fat metadata columns this is the join layout."""
+    stations.write.bucketBy(n_buckets, key_col).sortBy(key_col).mode(mode).format(
+        "parquet"
+    ).saveAsTable(table)

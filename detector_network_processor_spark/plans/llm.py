@@ -464,6 +464,46 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_incremental_replay",
+    oracle=_minhash_oracle(),
+    doc="Crawl-ingest near-dup posture (streaming/dedup.py::process_neardup_increment), driver-adjudicated in batch: the corpus is replayed as 4 ingest increments against a persistent LSH band index; each increment's work is O(batch + colliding buckets), never O(corpus). The union of intra-batch and new-vs-history pairs must equal the one-shot MinHash-LSH pair set — same oracle SQL as minhash_near_dup. Pair orientation is normalized (least/greatest) because new-vs-history pairs are emitted history-side-first.",
+)
+def neardup_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup import process_neardup_increment
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dnp_ndincr_")
+    try:
+        for b in range(4):
+            process_neardup_increment(
+                spark,
+                docs.filter(F.col("doc_id") % 4 == b),
+                f"{root}/index",
+                f"{root}/pairs",
+                b,
+                threshold=0.34,
+                portable=True,
+            )
+        return (
+            spark.read.parquet(f"{root}/pairs")
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+                "est_jaccard",
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .orderBy("doc_a", "doc_b")
+            # materialize before the temp index/pairs dirs are removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _components_oracle() -> str:
     # Transitive closure by recursive CTE (UNION dedup bounds it); canonical
     # id = min of the reachable set. Fine at oracle scale — components are

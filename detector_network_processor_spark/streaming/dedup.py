@@ -26,6 +26,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+def _index_exists(spark, path: str) -> bool:
+    """Probe the band-index path through the Hadoop FileSystem API so
+    non-local stores (HDFS/S3A — the stated 100 TB ingest posture) are
+    detected too. A driver-local ``os.path.isdir`` would always be false there
+    and the new-vs-history join would be silently skipped, dropping every
+    historical duplicate pair."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def with_content_key(df: DataFrame, text_col: str = "text", key_col: str = "content_key") -> DataFrame:
     """Attach the 8-byte content digest used as the dedup state key."""
     return df.withColumn(key_col, F.xxhash64(F.col(text_col)))
@@ -70,6 +82,7 @@ def process_neardup_increment(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> None:
     """One increment: signatures for ``batch_docs`` collide against the
     historical band index AND against each other; pairs with estimated
@@ -81,22 +94,22 @@ def process_neardup_increment(
     from ..operators.dedup import MINHASH_K, band_rows, minhash_lsh_pairs, minhash_signatures
 
     sigs = minhash_signatures(
-        batch_docs.select(id_col, text_col), id_col=id_col, text_col=text_col
+        batch_docs.select(id_col, text_col), id_col=id_col, text_col=text_col, portable=portable
     ).localCheckpoint(eager=True)
-    new_bands = band_rows(sigs, id_col=id_col).localCheckpoint(eager=True)
+    new_bands = band_rows(sigs, id_col=id_col, portable=portable).localCheckpoint(eager=True)
 
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     est = F.round(agree / float(MINHASH_K), 6)
 
     # new-vs-new (within the batch)
-    intra = minhash_lsh_pairs(sigs, id_col=id_col).filter(
+    intra = minhash_lsh_pairs(sigs, id_col=id_col, portable=portable).filter(
         F.col("est_jaccard") >= threshold
     )
 
     # new-vs-history: bucket equi-join against index batches OLDER than
     # this one (replay-safe: a re-run of batch N sees the same history)
     pairs = intra
-    if os.path.isdir(index_path):
+    if _index_exists(spark, index_path):
         hist = (
             spark.read.parquet(index_path)
             .filter(F.col("ingest_batch") < batch_id)

@@ -93,3 +93,58 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_events_bucketed_station_agg_and_join_no_exchange(spark):
+    """The materialized event layout (day-partitioned + station-bucketed,
+    io.materialize_events_bucketed): per-station aggregation and the
+    enrichment join against a same-bucketed station dimension must both
+    run with ZERO Exchange — the station shuffle was paid once at ingest
+    (VERDICT r4 next-round #4; reference shards per-station state by
+    station hash, src/supervision/station.cpp:30-34)."""
+    from detector_network_processor_spark.io import (
+        materialize_events_bucketed,
+        materialize_station_dim_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        materialize_events_bucketed(spark, SF_DIR_SMALL, table="t_ev_b", n_buckets=8)
+        ev = spark.table("t_ev_b")
+
+        # (a) per-station aggregation: no Exchange anywhere — partial and
+        # final agg collapse onto the bucketed scan.
+        agg = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts").alias("last_ts")
+        )
+        plan_a = _executed_plan(agg)
+        assert "Exchange" not in plan_a, plan_a
+
+        # (b) enrichment join against the same-bucketed station dimension:
+        # no Exchange on either join input (the groupBy on a non-key column
+        # downstream is allowed its own shuffle).
+        dim = (
+            ev.select(F.col("user_id").alias("hash"))
+            .distinct()
+            .withColumn("region", F.pmod("hash", F.lit(5)))
+        )
+        materialize_station_dim_bucketed(dim, table="t_st_b", key_col="hash", n_buckets=8)
+        joined = ev.join(
+            spark.table("t_st_b"), ev["user_id"] == F.col("hash")
+        ).groupBy("region").agg(F.count(F.lit(1)).alias("n"))
+        plan_b = _executed_plan(joined)
+        assert "Exchange hashpartitioning(user_id" not in plan_b, plan_b
+        assert "Exchange hashpartitioning(hash" not in plan_b, plan_b
+
+        # (c) day-partition pruning still works on top of bucketing.
+        one_day = ev.select("day").distinct().limit(1).collect()[0]["day"]
+        pruned = ev.filter(F.col("day") == one_day)
+        plan_c = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(day" in plan_c or f"day#" in plan_c.split(
+            "PartitionFilters"
+        )[1][:120], plan_c
+        assert pruned.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_ev_b")
+        spark.sql("DROP TABLE IF EXISTS t_st_b")
