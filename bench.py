@@ -33,6 +33,11 @@ EXTENDED = [
     "station_pagerank",
     "minhash_near_dup",
     "dedup_components",
+    # round-5 additions
+    "winnowing_fingerprints",
+    "rrf_fusion",
+    "station_communities",
+    "neardup_incremental_replay",
 ]
 
 HEADLINE = [

@@ -307,6 +307,178 @@ def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# KR token hash as DuckDB SQL over a token column `w` (greatest() guard:
+# ord('') is -1 in DuckDB but ascii('') is 0 in Spark) — shared by the
+# winnowing oracle below and the MinHash/SimHash oracles further down.
+def _kr_sql(base: int, p: int, var: str = "w") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split_regex({var}, ''), c -> CAST(greatest(ord(c), 0) AS BIGINT))), "
+        f"(acc, c) -> (acc * {base} + c) % {p})"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split + tokenizer fertility — the two
+# bookkeeping operators every training-data pipeline runs on every corpus
+# version.
+# --------------------------------------------------------------------------
+
+_SPLIT_P = 2_147_483_647
+_SPLIT_TRAIN_PCT, _SPLIT_VAL_PCT = 98, 1  # test = remainder
+
+
+@register(
+    "train_val_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {{kr}} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < {_SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+ORDER BY doc_id
+""".format(kr="list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(CAST(doc_id AS VARCHAR), ''), c -> CAST(greatest(ord(c), 0) AS BIGINT))), (acc, c) -> (acc * 257 + c) % " + str(_SPLIT_P) + ")"),
+    doc=f"Deterministic {_SPLIT_TRAIN_PCT}/{_SPLIT_VAL_PCT}/{100 - _SPLIT_TRAIN_PCT - _SPLIT_VAL_PCT} train/val/test assignment by content-independent Karp-Rabin hash of the document id — stable across corpus versions (a doc never flips split when other docs are added/removed), cross-engine exact, map-only: the split of 100 TB costs one scan and zero shuffles (the presentation sort is fixture-only).",
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import kr_token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (kr_token_hash(F.col("doc_id").cast("string")) % 100).cast("long")
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"))
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < _SPLIT_TRAIN_PCT, "train")
+            .when(F.col("bucket") < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+            .otherwise("test"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{_BPE_REGEX}')) AS BIGINT) AS n_tok,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(floor(sum(n_tok) * 1000000.0 / sum(n_words)) AS BIGINT) AS fertility6,
+       CAST(floor(sum(n_chars) * 1000000.0 / sum(n_tok)) AS BIGINT) AS chars_per_token6
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Tokenizer fertility per language: subword tokens per word and chars per token (integer-scaled floor at 1e6) — THE multilingual tokenizer-efficiency diagnostic (a language with fertility 2x pays 2x the sequence length for the same text). Counts are exact integers summed associatively; one tiny per-lang agg after a map-only scan.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_REGEX), F.lit(0))).cast("long").alias("n_tok"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_words"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.floor(F.sum("n_tok") * 1_000_000.0 / F.sum("n_words")).cast("long").alias("fertility6"),
+            F.floor(F.sum("n_chars") * 1_000_000.0 / F.sum("n_tok")).cast("long").alias("chars_per_token6"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): guaranteed-coverage document fingerprints for substring-level
+# duplicate detection. Any shared run of >= _WNW_W + _WNW_K - 1 tokens
+# between two documents is guaranteed to share at least one selected
+# fingerprint — the property plain rolling-hash sampling lacks.
+# --------------------------------------------------------------------------
+
+_WNW_K = 3  # words per k-gram
+_WNW_W = 4  # k-gram hashes per winnowing window
+_WNW_P = 2_147_483_647
+_WNW_B = 131
+_WNW_B2 = _WNW_B * _WNW_B
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wh AS (
+  SELECT doc_id, list_transform(t, w -> {_kr_sql(257, _WNW_P)}) AS h
+  FROM toks WHERE len(t) >= {_WNW_K + _WNW_W - 1}
+),
+kh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(h) - {_WNW_K - 1}),
+           i -> ((h[i] * {_WNW_B2}) % {_WNW_P} + (h[i + 1] * {_WNW_B}) % {_WNW_P} + h[i + 2]) % {_WNW_P}) AS kh
+  FROM wh
+),
+wins AS (
+  SELECT doc_id, unnest(generate_series(1, len(kh) - {_WNW_W - 1})) AS j, kh FROM kh
+),
+sel AS (
+  SELECT doc_id,
+         CAST(j + {_WNW_W} - list_position(list_reverse(kh[j:j + {_WNW_W - 1}]),
+                                           list_min(kh[j:j + {_WNW_W - 1}])) AS BIGINT) AS pos,
+         CAST(list_min(kh[j:j + {_WNW_W - 1}]) AS BIGINT) AS fp
+  FROM wins
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+ORDER BY doc_id, pos, fp
+""",
+    doc=f"Winnowing document fingerprints (MOSS, Schleimer et al. 2003): word {_WNW_K}-gram Karp-Rabin hashes, rightmost-minimum selection over every window of {_WNW_W} consecutive hashes — guarantees any shared token run of length >= {_WNW_W + _WNW_K - 1} between documents shares a fingerprint (coverage bound plain hash sampling lacks). Map-only pure JVM array kernel per document (no shuffle at all until the final DISTINCT on the fingerprint dimension); the portable hash family makes the oracle recompute the identical selection in SQL. At 100 TB this is the fingerprint-extraction stage of substring-level dedup: output is O(tokens / {_WNW_W}) rows, joinable on fp for cross-doc matches.",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import kr_token_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    # single-arg lambda: F.transform would otherwise pass the element INDEX
+    # into kr_token_hash's second (base) parameter
+    base = docs.select(
+        "doc_id", F.transform(t, lambda w: kr_token_hash(w)).alias("wh")
+    ).filter(
+        F.size("wh") >= _WNW_K + _WNW_W - 1
+    )
+    kh = F.expr(
+        f"transform(sequence(1, size(wh) - {_WNW_K - 1}), i -> "
+        f"((element_at(wh, i) * {_WNW_B2}) % {_WNW_P} "
+        f"+ (element_at(wh, i + 1) * {_WNW_B}) % {_WNW_P} "
+        f"+ element_at(wh, i + 2)) % {_WNW_P})"
+    )
+    fps = F.expr(
+        f"transform(sequence(1, size(kh) - {_WNW_W - 1}), j -> named_struct("
+        f"'pos', CAST(j + {_WNW_W} - array_position(reverse(slice(kh, j, {_WNW_W})), "
+        f"array_min(slice(kh, j, {_WNW_W}))) AS BIGINT), "
+        f"'fp', CAST(array_min(slice(kh, j, {_WNW_W})) AS BIGINT)))"
+    )
+    return (
+        base.withColumn("kh", kh)
+        .select("doc_id", F.explode(fps).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+        .orderBy("doc_id", "pos", "fp")
+    )
+
+
 # --------------------------------------------------------------------------
 # Language-ID heuristic (marker-token voting; deterministic tie-break)
 # --------------------------------------------------------------------------
@@ -361,16 +533,6 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every line of LSH/banding/pair logic and is pinned by the recall tests in
 # tests/test_dedup.py.
 # --------------------------------------------------------------------------
-
-# KR token hash as DuckDB SQL over a token column `w` (greatest() guard:
-# ord('') is -1 in DuckDB but ascii('') is 0 in Spark)
-def _kr_sql(base: int, p: int, var: str = "w") -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split_regex({var}, ''), c -> CAST(greatest(ord(c), 0) AS BIGINT))), "
-        f"(acc, c) -> (acc * {base} + c) % {p})"
-    )
-
 
 def _minhash_pairs_ctes() -> str:
     """CTE chain computing the portable MinHash-LSH candidate pairs in SQL,
@@ -1484,6 +1646,81 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _BM25_TOPK)
         .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with a
+# quality-prior ranking over the SAME candidate set — the standard modern
+# retrieval stack (keyword recall + re-rank) as one declarative plan.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+_RRF_TOPK = 5
+
+
+@register(
+    "rrf_fusion",
+    oracle=f"""
+WITH cand AS (
+  SELECT query_id, doc_id, rank AS bm25_rank FROM ({_bm25_oracle()})
+),
+qual AS (
+  SELECT doc_id,
+         CAST(floor({_RRF_SCALE} * len(list_distinct(string_split(text, ' ')))
+                    / len(string_split(text, ' '))) AS BIGINT) AS ttr6
+  FROM documents
+),
+cq AS (
+  SELECT c.query_id, c.doc_id, c.bm25_rank, q.ttr6,
+         CAST(row_number() OVER (PARTITION BY c.query_id
+                                 ORDER BY q.ttr6 DESC, c.doc_id) AS INTEGER) AS qual_rank
+  FROM cand c JOIN qual q ON c.doc_id = q.doc_id
+),
+fused AS (
+  SELECT query_id, doc_id, bm25_rank, qual_rank,
+         CAST({_RRF_SCALE} // ({_RRF_K} + bm25_rank)
+              + {_RRF_SCALE} // ({_RRF_K} + qual_rank) AS BIGINT) AS rrf6
+  FROM cq
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf6 DESC, doc_id) AS INTEGER)
+         AS fused_rank,
+       doc_id, bm25_rank, qual_rank, rrf6
+FROM fused
+QUALIFY fused_rank <= {_RRF_TOPK}
+ORDER BY query_id, fused_rank
+""",
+    doc=f"Reciprocal-rank fusion (k={_RRF_K}) of the BM25 top-{_BM25_TOPK} with a type-token-ratio quality prior ranked WITHIN the candidate set — the retrieval-then-rerank pattern. Scale shape: the quality rank is a per-query window over <= {_BM25_TOPK} candidate rows (never a global quality sort of the corpus); RRF contributions are integer floor divisions so the fused score is cross-engine exact. The BM25 stage keeps its inverted-index posture; fusion adds one broadcast-sized join + per-query windows.",
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = bm25_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    qual = docs.select(
+        "doc_id",
+        F.floor(F.lit(_RRF_SCALE) * F.size(F.array_distinct(t)) / F.size(t))
+        .cast("long")
+        .alias("ttr6"),
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.col("ttr6").desc(), F.col("doc_id"))
+    cq = cand.join(qual, "doc_id").withColumn("qual_rank", F.row_number().over(w_q))
+    fused = cq.withColumn(
+        "rrf6",
+        (
+            F.expr(f"{_RRF_SCALE} div ({_RRF_K} + bm25_rank)")
+            + F.expr(f"{_RRF_SCALE} div ({_RRF_K} + qual_rank)")
+        ).cast("long"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf6").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+        .select("query_id", "fused_rank", "doc_id", "bm25_rank", "qual_rank", "rrf6")
+        .orderBy("query_id", "fused_rank")
     )
 
 

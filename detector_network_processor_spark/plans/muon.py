@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from ..io import load_table, table_row_count, ts_to_us
 from ..operators.coincidence import cluster_coincidences, l1_flatten
@@ -1531,6 +1532,88 @@ def station_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").alias("rank12"),
         F.round(F.col("r") / 1_000_000.0 / 1_000_000.0, 6).alias("rank"),
     ).orderBy("hash")
+
+
+# --------------------------------------------------------------------------
+# Community detection over the same coincidence adjacency: weighted
+# synchronous label propagation, deterministic (max-weight, min-label
+# tie-break), unrolled to a fixed iteration count so the oracle can replay
+# it exactly.
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_step_sql(prev: str) -> str:
+    return f"""
+  SELECT v, lbl FROM (
+    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY wt DESC, lbl) AS rn
+    FROM (
+      SELECT e.v AS v, p.lbl AS lbl, CAST(sum(e.w) AS BIGINT) AS wt
+      FROM edges e JOIN {prev} p ON e.u = p.v
+      GROUP BY e.v, p.lbl
+    )
+  ) WHERE rn = 1"""
+
+
+@register(
+    "station_communities",
+    oracle=f"""
+WITH pt AS (
+  SELECT hash_lo, hash_hi, CAST(sum(n) AS BIGINT) AS total
+  FROM ({_pair_tof_histogram_oracle()})
+  GROUP BY hash_lo, hash_hi
+),
+edges AS (
+  SELECT hash_lo AS u, hash_hi AS v, total AS w FROM pt
+  UNION ALL
+  SELECT hash_hi AS u, hash_lo AS v, total AS w FROM pt
+),
+lp0 AS (SELECT DISTINCT u AS v, u AS lbl FROM edges),
+lp1 AS ({_lpa_step_sql('lp0')}),
+lp2 AS ({_lpa_step_sql('lp1')}),
+lp3 AS ({_lpa_step_sql('lp2')})
+SELECT v AS hash, lbl AS community,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM lp3
+ORDER BY hash
+""",
+    doc=f"Weighted label propagation ({_LPA_ITERS} synchronous iterations) over the station coincidence adjacency — which stations cluster into coincidence communities. Each node adopts the label carrying the max total edge weight among its neighbours (min label on ties), so every step is deterministic and the unrolled oracle replays it exactly. Scale shape: per iteration ONE broadcast label join (labels are O(stations)) + one (v,lbl) agg + a per-node window — the textbook distributed LPA; at 1e9 nodes labels shard by node id and the same plan holds.",
+)
+def station_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import pair_totals
+
+    pt = pair_totals(_pair_hist_df(spark, sf_dir)).localCheckpoint(eager=True)
+    edges = pt.select(
+        F.col("hash_lo").alias("u"), F.col("hash_hi").alias("v"), F.col("total").alias("w")
+    ).unionByName(
+        pt.select(
+            F.col("hash_hi").alias("u"), F.col("hash_lo").alias("v"), F.col("total").alias("w")
+        )
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("v")).distinct().withColumn("lbl", F.col("v"))
+    w_pick = Window.partitionBy("v").orderBy(F.col("wt").desc(), F.col("lbl"))
+    for _ in range(_LPA_ITERS):
+        labels = (
+            edges.join(
+                F.broadcast(labels.select(F.col("v").alias("u"), "lbl")), "u"
+            )
+            .groupBy("v", "lbl")
+            .agg(F.sum("w").cast("long").alias("wt"))
+            .withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+    w_size = Window.partitionBy("lbl")
+    return (
+        labels.withColumn("community_size", F.count(F.lit(1)).over(w_size).cast("long"))
+        .select(
+            F.col("v").alias("hash"),
+            F.col("lbl").alias("community"),
+            "community_size",
+        )
+        .orderBy("hash")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -196,3 +196,33 @@ def test_dsir_importance_differential(spark):
     assert got == expected
     # sanity: the clean target-domain docs must outrank the junk
     assert all(expected[d][3] for d in range(0, 12, 6))
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem (Schleimer et al. 2003): any shared token run
+    of length >= w + k - 1 (= 6 here) between two documents must share at
+    least one fingerprint VALUE — the coverage bound that makes winnowing
+    usable for substring-level duplicate detection. Also: a doc pair with
+    no shared 3-gram shares nothing."""
+    import os
+    import random
+    import tempfile
+
+    rng = random.Random(17)
+    vocab = [f"tok{i}" for i in range(200)]
+    shared = " ".join(rng.choice(vocab) for _ in range(10))  # 10-token run
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))  # noqa: E731
+    docs = [
+        (0, mk(30) + " " + shared + " " + mk(25), "en", "src0", 0),
+        (1, mk(40) + " " + shared, "en", "src1", 0),
+        # disjoint vocabulary -> no shared 3-gram at all
+        (2, " ".join(f"zz{i}" for i in range(40)), "en", "src2", 0),
+    ]
+    with tempfile.TemporaryDirectory(prefix="dnp_wnw_") as tmp:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = all_queries()["winnowing_fingerprints"].fn(spark, tmp).collect()
+    fps = {d: {r.fp for r in rows if r.doc_id == d} for d in (0, 1, 2)}
+    assert fps[0] & fps[1], "shared 10-token run must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])

@@ -279,3 +279,30 @@ def test_dsir_approx_selects_about_keep_pct(spark):
     assert set(exact) == {r["doc_id"] for r in approx}
     for r in approx:
         assert exact[r["doc_id"]]["log_weight"] == r["log_weight"]
+
+
+def test_winnowing_is_map_only_until_distinct(spark):
+    """Winnowing fingerprint extraction is a per-document array kernel —
+    no join anywhere; the only shuffle allowed is the final DISTINCT on
+    the fingerprint dimension."""
+    plan = plan_of(spark, "winnowing_fingerprints")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_windows_are_per_query(spark):
+    """The fusion re-rank must never sort the corpus globally — quality is
+    ranked within per-query candidate sets only (no SinglePartition
+    exchange feeding a Window)."""
+    plan = plan_of(spark, "rrf_fusion")
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_station_communities_broadcasts_labels(spark):
+    """Each LPA iteration joins the O(stations) label table onto the edge
+    list — that join must broadcast; re-shuffling edges per iteration is
+    the anti-pattern at graph scale."""
+    plan = plan_of(spark, "station_communities")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
