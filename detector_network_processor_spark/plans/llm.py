@@ -721,6 +721,175 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_TTR_SCALE = 1_000_000
+
+
+def _ttr6_sql(tbl: str = "documents") -> str:
+    return (
+        f"SELECT doc_id, CAST(floor({_TTR_SCALE} * len(list_distinct(string_split(text, ' ')))"
+        f" / len(string_split(text, ' '))) AS BIGINT) AS ttr6 FROM {tbl}"
+    )
+
+
+@register(
+    "dedup_survivorship",
+    oracle=f"""
+WITH comp AS (SELECT doc_id, canonical_id, cluster_size FROM ({_components_oracle()})),
+     qual AS ({_ttr6_sql()}),
+     r AS (
+       SELECT comp.doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size, ttr6,
+              row_number() OVER (PARTITION BY canonical_id ORDER BY ttr6 DESC, comp.doc_id) AS rn
+       FROM comp JOIN qual USING (doc_id)
+     ),
+     s AS (SELECT canonical_id, doc_id AS survivor_id FROM r WHERE rn = 1)
+SELECT r.doc_id, r.canonical_id, r.cluster_size, r.ttr6, s.survivor_id,
+       r.doc_id = s.survivor_id AS keep
+FROM r JOIN s USING (canonical_id)
+ORDER BY doc_id
+""",
+    doc="Survivorship election on top of near-dup clustering: within each connected component the highest-quality document (type-token ratio, min doc_id tie-break) is kept and every other member maps to it — the 'which copy do we train on' step that turns dedup clusters into a keep/drop decision. Scale shape: components via star-contraction, quality map-only, election is a per-component window + one join back on canonical_id (components are bounded; no global sort).",
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    qual = docs.select(
+        "doc_id",
+        F.floor(F.lit(_TTR_SCALE) * F.size(F.array_distinct(t)) / F.size(t))
+        .cast("long")
+        .alias("ttr6"),
+    )
+    r = comp.join(qual, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("canonical_id").orderBy(F.col("ttr6").desc(), "doc_id")
+        ),
+    )
+    surv = r.filter(F.col("rn") == 1).select(
+        "canonical_id", F.col("doc_id").alias("survivor_id")
+    )
+    return (
+        r.join(surv, "canonical_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "ttr6",
+            "survivor_id",
+            (F.col("doc_id") == F.col("survivor_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-document boilerplate detection: token n-grams shared by many
+# documents are template/boilerplate text (headers, footers, nav chrome in
+# real crawls) — flag them by document frequency and report how much of
+# each document is boilerplate.
+# --------------------------------------------------------------------------
+
+_BOILER_MIN_DF = 3  # a 3-gram present in >= this many docs is boilerplate
+
+
+def _boilerplate_oracle() -> str:
+    from ..operators.dedup import (
+        PORTABLE_P,
+        PORTABLE_SHINGLE_BASE,
+        PORTABLE_TOKEN_BASE,
+        _SHINGLE_W,
+    )
+
+    P, B, B2 = PORTABLE_P, PORTABLE_SHINGLE_BASE, PORTABLE_SHINGLE_BASE**2
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+th AS (
+  SELECT doc_id, list_transform(t, w -> {_kr_sql(PORTABLE_TOKEN_BASE, P)}) AS h
+  FROM toks WHERE len(t) >= {_SHINGLE_W}
+),
+gs AS (
+  SELECT doc_id, list_transform(generate_series(1, len(h) - {_SHINGLE_W - 1}),
+           i -> ((h[i] * {B2}) % {P} + (h[i + 1] * {B}) % {P} + h[i + 2]) % {P}) AS g
+  FROM th
+),
+pc AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(g) AS gram FROM gs) GROUP BY doc_id, gram
+),
+boiler AS (
+  SELECT gram FROM (SELECT gram, count(*) AS nd FROM pc GROUP BY gram) WHERE nd >= {_BOILER_MIN_DF}
+),
+nb AS (SELECT pc.doc_id, sum(pc.c) AS n_boiler FROM pc JOIN boiler USING (gram) GROUP BY pc.doc_id)
+SELECT gs.doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(floor(1000000.0 * coalesce(nb.n_boiler, 0) / len(g)) AS BIGINT) AS boiler_frac6
+FROM gs LEFT JOIN nb USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=_boilerplate_oracle(),
+    doc=f"Cross-document boilerplate detection: a token 3-gram occurring in >= {_BOILER_MIN_DF} distinct documents is template text (headers/footers/nav chrome in real crawls); per document, report total grams, boilerplate-gram occurrences, and the boilerplate fraction — the removal planner of CCNet-style corpus cleaning. Scale shape: per-(doc, gram) counts map-side combine before the gram-DF aggregation; the flagged set is the high-DF tail (small by construction) and broadcasts back — the full gram stream is shuffled once, never joined against itself.",
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        PORTABLE_SHINGLE_BASE,
+        _SHINGLE_W,
+        kr_token_hash,
+        portable_combine,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    th = F.transform(t, lambda w: kr_token_hash(w))
+    staged = docs.filter(F.size(t) >= _SHINGLE_W).select("doc_id", th.alias("_th"))
+    # positional (non-distinct) 3-gram hashes: boilerplate fraction counts
+    # every occurrence, not just distinct gram kinds
+    gs = F.transform(
+        F.sequence(F.lit(1), F.size("_th") - (_SHINGLE_W - 1)),
+        lambda i: portable_combine(
+            [F.element_at("_th", i), F.element_at("_th", i + 1), F.element_at("_th", i + 2)],
+            PORTABLE_SHINGLE_BASE,
+        ),
+    )
+    per_doc = staged.select("doc_id", gs.alias("gs")).persist()
+    # per-(doc, gram) occurrence counts — map-side combined; also the
+    # distinct-per-doc gram set the DF count needs
+    pc = (
+        per_doc.select("doc_id", F.explode("gs").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist()
+    boiler = (
+        pc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= _BOILER_MIN_DF)
+        .select("gram")
+    )
+    # the boilerplate gram set is small by construction (high-DF tail) —
+    # broadcast it back over the per-doc counts
+    nb = (
+        pc.join(F.broadcast(boiler), "gram")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_boiler"))
+    )
+    return (
+        per_doc.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
+        .join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.floor(
+                F.lit(1_000_000.0) * F.coalesce("n_boiler", F.lit(0)) / F.col("n_grams")
+            ).cast("long").alias("boiler_frac6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_oracle() -> str:
     from ..operators.dedup import (
         PORTABLE_P,
@@ -1271,9 +1440,10 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_SCALE = 1_000_000_000  # integer-scaled log-probs: order-free summation
 
 
-@register(
-    "lm_quality_scores",
-    oracle=f"""
+def _lm_oracle() -> str:
+    """Char-bigram LM cross-entropy per doc — the lm_quality_scores oracle,
+    also the scoring stage of the ccnet_ppl_buckets oracle."""
+    return f"""
 WITH grams AS (
   SELECT doc_id, lang,
          unnest(list_transform(generate_series(1, len(text) - 1),
@@ -1301,7 +1471,12 @@ SELECT doc_id, lang, n_bigrams,
        round(-(sum_scaled * 1.0) / {_LM_SCALE} / n_bigrams, 6) AS cross_entropy
 FROM scored
 ORDER BY doc_id
-""",
+"""
+
+
+@register(
+    "lm_quality_scores",
+    oracle=_lm_oracle(),
     doc=f"CCNet-style LM quality scoring, fully distributed: 'train' an add-1-smoothed char-bigram language model per language over the corpus (one map-side-combined count shuffle), then score every document's mean cross-entropy under its language's model (broadcast model join, one agg keyed by doc). High-entropy docs are gibberish/boilerplate candidates. Log-probs are integer-scaled (x{_LM_SCALE}, floored) before summation so the aggregate is ORDER-FREE — distributed float summation would be nondeterministic across partitionings and could not hash-match an oracle.",
 )
 def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,6 +1526,68 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_entropy"
         ),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity bucketing: tertile-split each
+# language's documents by LM cross-entropy (CCNet, Wenzek et al. 2020 —
+# 'head' is the cleanest third, 'tail' the noisiest). Exact ntile mode is
+# oracle-adjudicated; the scale path replaces per-lang sorting windows with
+# approx_percentile thresholds.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ccnet_ppl_buckets",
+    oracle=f"""
+WITH lm AS (SELECT * FROM ({_lm_oracle()})),
+b AS (
+  SELECT doc_id, lang, cross_entropy,
+         ntile(3) OVER (PARTITION BY lang ORDER BY cross_entropy, doc_id) AS nt
+  FROM lm
+)
+SELECT doc_id, lang, cross_entropy,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM b ORDER BY doc_id
+""",
+    doc="CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per language, tertile-split documents by char-bigram LM cross-entropy — downstream mixtures sample mostly from 'head'. Exact mode (registered) uses per-lang ntile windows over the hash-proven round-6 scores; the scale path (exact=False) computes two approx_percentile thresholds per language instead — no sorting window touches the doc dimension, the bucketing becomes a broadcast comparison (same trade as dsir_importance, plan-asserted in tests).",
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ccnet_ppl_buckets_plan(spark, sf_dir, exact=True)
+
+
+def ccnet_ppl_buckets_plan(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
+    lm = lm_quality_scores(spark, sf_dir).select("doc_id", "lang", "cross_entropy")
+    if exact:
+        nt = F.ntile(3).over(
+            Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+        )
+        bucket = (
+            F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail")
+        )
+        return lm.select("doc_id", "lang", "cross_entropy", bucket.alias("bucket")).orderBy(
+            "doc_id"
+        )
+    # Scale path: per-lang t-digest thresholds (map-side combinable), then a
+    # broadcast join + plain comparisons — zero sorting windows anywhere.
+    thr = lm.groupBy("lang").agg(
+        F.expr("approx_percentile(cross_entropy, array(0.3333, 0.6667), 10000)").alias("t")
+    )
+    return (
+        lm.join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "cross_entropy",
+            F.when(F.col("cross_entropy") <= F.element_at("t", 1), "head")
+            .when(F.col("cross_entropy") <= F.element_at("t", 2), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _PIPE_MIN_TOKENS = 20
@@ -1452,9 +1689,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "cosine_topk",
-    oracle=f"""
+def _exact_topk_oracle() -> str:
+    """Brute-force cosine top-k in SQL — the cosine_topk oracle, also the
+    ground-truth side of the ann_recall_eval oracle."""
+    return f"""
 WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < {_N_QUERY_VECS}),
      c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= {_N_QUERY_VECS}),
      scored AS (
@@ -1471,7 +1709,12 @@ WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id 
 SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
 FROM ranked WHERE rank <= {_TOP_K}
 ORDER BY query_id, rank
-""",
+"""
+
+
+@register(
+    "cosine_topk",
+    oracle=_exact_topk_oracle(),
     doc="Brute-force cosine top-k: broadcast the query set over the corpus; per-corpus-partition local top-k then global top-k (TakeOrdered per query via window). Dot products stay JVM-side (zip_with + aggregate in double).",
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,6 +1745,47 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH index against the exact
+# brute-force ranking — the metric every ANN deployment is tuned by.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+WITH ex AS (SELECT query_id, neighbor_id FROM ({_exact_topk_oracle()})),
+     ap AS (SELECT query_id, neighbor_id FROM ({_lsh_topk_oracle()})),
+     j AS (
+       SELECT ex.query_id, CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+     )
+SELECT query_id, CAST(count(*) AS BIGINT) AS k, CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST(floor(1000000.0 * sum(hit) / count(*)) AS BIGINT) AS recall6
+FROM j GROUP BY query_id ORDER BY query_id
+""",
+    doc=f"Recall@{_TOP_K} of the hyperplane-LSH index against the exact brute-force cosine ranking, per query — the tuning metric for every ANN deployment (tables x planes x probes vs recall). Both sides reuse the registered plans; the comparison itself is one join on (query, neighbor) + a per-query count, all integer outputs. At scale ground truth is computed for a SAMPLED query set (here: all {_N_QUERY_VECS} fixture queries) — recall estimation never needs the full corpus ranked.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = cosine_topk_lsh_q(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall6",
+            F.floor(F.lit(1_000_000.0) * F.col("n_hits") / F.col("k")).cast("long"),
+        )
+        .orderBy("query_id")
     )
 
 

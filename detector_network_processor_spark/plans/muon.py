@@ -1617,6 +1617,60 @@ def station_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Triangle counting over the coincidence adjacency — the standard graph
+# cohesion statistic (a station in many triangles sits in a densely
+# cross-correlated cluster, not just a hub).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "station_triangles",
+    oracle=f"""
+WITH pt AS (
+  SELECT hash_lo, hash_hi FROM ({_pair_tof_histogram_oracle()})
+  GROUP BY hash_lo, hash_hi
+),
+e AS (SELECT hash_lo AS u, hash_hi AS v FROM pt),
+tri AS (
+  SELECT a.u, a.v, b.v AS w
+  FROM e a JOIN e b ON a.v = b.u JOIN e c ON c.u = a.u AND c.v = b.v
+),
+nodes AS (
+  SELECT u AS hash FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+)
+SELECT hash, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY hash ORDER BY hash
+""",
+    doc="Per-station triangle participation over the coincidence pair adjacency: the canonical two-join triangle enumeration on id-ordered edges (u<v<w makes each triangle appear exactly once, no orientation dedup needed). The edge list is the O(station-pairs) dimension, so both joins broadcast at this graph's scale; on a billion-edge graph the same plan becomes the degree-ordered sort-merge triangle join — the distributed-systems textbook shape this operator is expressed in.",
+)
+def station_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.histogram import pair_totals
+
+    e = (
+        pair_totals(_pair_hist_df(spark, sf_dir))
+        .select(F.col("hash_lo").alias("u"), F.col("hash_hi").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tri = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.v") == F.col("b.u"))
+        .join(
+            e.alias("c"),
+            (F.col("c.u") == F.col("a.u")) & (F.col("c.v") == F.col("b.v")),
+            "left_semi",
+        )
+        .select(F.col("a.u").alias("u"), F.col("a.v").alias("v"), F.col("b.v").alias("w"))
+    )
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("hash"))
+        .groupBy("hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("hash")
+    )
+
+
+# --------------------------------------------------------------------------
 # Byte-exact oracles for the cluster_log sink formatters — built on the
 # same recursive clustering replay (groups CTE) as the cluster_log oracle,
 # so the LAST two rows-only queries become value-hash adjudicable.

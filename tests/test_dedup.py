@@ -226,3 +226,30 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     fps = {d: {r.fp for r in rows if r.doc_id == d} for d in (0, 1, 2)}
     assert fps[0] & fps[1], "shared 10-token run must share a fingerprint"
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
+def test_boilerplate_flags_grams_by_document_frequency(spark):
+    """A 3-gram present in >= 3 docs is boilerplate; one in only 2 docs is
+    not. Doc 3 shares no gram with anything -> fraction 0."""
+    import os
+    import tempfile
+
+    tpl = "alpha beta gamma"  # appears in docs 0,1,2 -> boilerplate
+    rare = "delta epsilon zeta"  # appears in docs 0,1 only -> clean
+    docs = [
+        (0, f"{tpl} one two three {rare} four", "en", "s0", 0),
+        (1, f"five {tpl} six {rare} seven eight", "en", "s1", 0),
+        (2, f"{tpl} nine ten eleven twelve", "en", "s2", 0),
+        (3, "p q r s t u v w", "en", "s3", 0),
+    ]
+    with tempfile.TemporaryDirectory(prefix="dnp_boiler_") as tmp:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = {r.doc_id: r for r in all_queries()["boilerplate_ngrams"].fn(spark, tmp).collect()}
+    # each doc's text is w words -> w-2 grams; "alpha beta gamma" contributes
+    # exactly one flagged gram occurrence per containing doc
+    assert rows[3].n_boiler == 0 and rows[3].boiler_frac6 == 0
+    for d in (0, 1, 2):
+        assert rows[d].n_boiler == 1, rows[d]
+    assert rows[0].n_grams == len(docs[0][1].split()) - 2

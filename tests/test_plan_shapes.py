@@ -306,3 +306,56 @@ def test_station_communities_broadcasts_labels(spark):
     plan = plan_of(spark, "station_communities")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_boilerplate_broadcasts_flagged_grams(spark):
+    """The flagged boilerplate-gram set (high-DF tail, small by
+    construction) must broadcast back onto the per-doc gram counts — a
+    sort-merge join there would re-shuffle the whole gram stream."""
+    plan = plan_of(spark, "boilerplate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_eval_no_global_sort(spark):
+    """Recall evaluation joins two per-query top-k tables — no cartesian
+    product and no single-partition window may appear (the rankings are
+    per-query, the comparison is an equi-join)."""
+    plan = plan_of(spark, "ann_recall_eval")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_dedup_survivorship_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_survivorship")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ccnet_approx_path_has_no_window(spark):
+    """The CCNet bucketing scale path must not sort the doc dimension —
+    thresholds come from approx_percentile, bucketing is a broadcast
+    comparison (same contract as the dsir approx path)."""
+    from detector_network_processor_spark.plans.llm import ccnet_ppl_buckets_plan
+
+    df = ccnet_ppl_buckets_plan(spark, SF_DIR, exact=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ccnet_exact_and_approx_agree_on_interior_docs(spark):
+    """Exact ntile and approx-threshold bucketing agree except possibly at
+    tertile boundaries; with 3 langs x hundreds of docs the disagreement
+    set must be a small fraction."""
+    from detector_network_processor_spark.plans.llm import ccnet_ppl_buckets_plan
+
+    exact = {r.doc_id: r.bucket for r in ccnet_ppl_buckets_plan(spark, SF_DIR, exact=True).collect()}
+    approx = {r.doc_id: r.bucket for r in ccnet_ppl_buckets_plan(spark, SF_DIR, exact=False).collect()}
+    assert exact.keys() == approx.keys()
+    diff = sum(1 for d in exact if exact[d] != approx[d])
+    assert diff <= len(exact) * 0.05, f"{diff}/{len(exact)} bucket disagreements"
+
+
+def test_station_triangles_no_cartesian(spark):
+    plan = plan_of(spark, "station_triangles")
+    assert "CartesianProduct" not in plan
