@@ -178,9 +178,28 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common * {_JACCARD_DEN} > (sa.n_sh + sb.n_sh - n_common) * {_JACCARD_NUM}
 ORDER BY doc_a, doc_b
 """,
-    doc="Near-dup via word-shingle inverted index + integer-exact Jaccard threshold. Scales: pairs generated per-shingle (hash shuffle on shingle), never all-pairs; hot shingles can be frequency-capped (stop-shingle pruning) at 100 TB.",
+    doc="Near-dup via word-shingle inverted index + integer-exact Jaccard threshold. Scales: pairs generated per-shingle (hash shuffle on shingle), never all-pairs; under heavy duplication use near_dup_jaccard_plan(max_df=...) — stop-shingle pruning plus exact array_intersect re-verification (candidate volume is sum_s C(df_s, 2), which grows ~K^2 under K-fold duplication; the 100x scale sweep is where the uncapped path stops being viable and the capped/minhash paths take over, see SCALING.md).",
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dup_jaccard_plan(spark, sf_dir, max_df=None)
+
+
+def near_dup_jaccard_plan(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
+    """``max_df=None`` is the registered exact path (oracle-adjudicated).
+
+    ``max_df=N`` is the stop-shingle scale path: shingles occurring in more
+    than N documents are dropped from CANDIDATE GENERATION only (they carry
+    ~zero discriminative information but dominate sum_s C(df_s, 2) cost),
+    and surviving candidate pairs are re-scored EXACTLY from the two full
+    shingle arrays (array_intersect), so reported n_common/jaccard are
+    identical to the exact path. The only semantic difference: a pair ALL
+    of whose shared shingles exceed the cap is missed — for an actual
+    near-dup pair (which shares most of both documents' shingles, rare
+    ones included) this requires every shared shingle to be corpus-hot;
+    tests/test_dedup.py asserts capped==exact on the fixtures at caps far
+    below the observed df tail."""
     # Small parquet inputs arrive as one split; fan out before the
     # CPU-heavy shingling so it parallelizes (at real scale the scan itself
     # provides the splits and this repartition coalesces into the same shape).
@@ -221,21 +240,67 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = shingles.select("doc_id", F.size("sh").alias("n_sh"))
     posting = shingles.select("doc_id", F.explode("sh").alias("shash"))
-    pa = posting.select(F.col("doc_id").alias("doc_a"), "shash")
-    pb = posting.select(F.col("doc_id").alias("doc_b"), "shash")
-    common = (
-        pa.join(pb, "shash")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    if max_df is None:
+        pa = posting.select(F.col("doc_id").alias("doc_a"), "shash")
+        pb = posting.select(F.col("doc_id").alias("doc_b"), "shash")
+        common = (
+            pa.join(pb, "shash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+        union_size = F.col("n_a") + F.col("n_b") - F.col("n_common")
+        return (
+            common.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .filter(F.col("n_common") * _JACCARD_DEN > union_size * _JACCARD_NUM)
+            .select(
+                "doc_a",
+                "doc_b",
+                "n_common",
+                "n_a",
+                "n_b",
+                F.round(F.col("n_common") * 1.0 / union_size, 6).alias("jaccard"),
+            )
+            .orderBy("doc_a", "doc_b")
+        )
+    # Stop-shingle scale path: drop corpus-hot shingles from candidate
+    # generation (anti-join against the small hot set), dedup candidates,
+    # then rescore each surviving pair exactly from the full arrays. Every
+    # stage is sized by TRUE output (pairs), not by sum_s C(df_s, 2).
+    hot = (
+        posting.groupBy("shash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shash")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    kept = posting.join(F.broadcast(hot), "shash", "left_anti")
+    ka = kept.select(F.col("doc_id").alias("doc_a"), "shash")
+    kb = kept.select(F.col("doc_id").alias("doc_b"), "shash")
+    cand = (
+        ka.join(kb, "shash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+    )
     union_size = F.col("n_a") + F.col("n_b") - F.col("n_common")
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(F.col("n_common") * _JACCARD_DEN > union_size * _JACCARD_NUM)
+        scored.filter(F.col("n_common") * _JACCARD_DEN > union_size * _JACCARD_NUM)
         .select(
             "doc_a",
             "doc_b",

@@ -253,3 +253,17 @@ def test_boilerplate_flags_grams_by_document_frequency(spark):
     for d in (0, 1, 2):
         assert rows[d].n_boiler == 1, rows[d]
     assert rows[0].n_grams == len(docs[0][1].split()) - 2
+
+
+def test_near_dup_capped_equals_exact(spark):
+    """Stop-shingle pruning with exact array_intersect rescoring returns
+    the IDENTICAL pair set and scores as the uncapped path, at caps far
+    below the observed df tail (sf0.01 max df = 7)."""
+    from detector_network_processor_spark.plans.llm import near_dup_jaccard_plan
+
+    from conftest import SF_DIR
+
+    exact = sorted(map(tuple, near_dup_jaccard_plan(spark, SF_DIR, max_df=None).collect()))
+    for cap in (3, 8):
+        capped = sorted(map(tuple, near_dup_jaccard_plan(spark, SF_DIR, max_df=cap).collect()))
+        assert capped == exact, f"cap={cap}: {len(capped)} vs {len(exact)} pairs"
