@@ -928,3 +928,47 @@ def duplicate_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("isl")
         .orderBy("doc_id", "span_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random sign projection (Achlioptas 2003): reduce the
+# 64-d embedding column to _RP_DIM dims with a DETERMINISTIC {-1,+1} matrix
+# derived from a Lehmer mix of (input-dim, output-dim) — no RNG state to
+# ship, both engines regenerate the identical matrix inline.
+# --------------------------------------------------------------------------
+
+_RP_DIM = 16
+_RP_SCALE = 1_000_000  # per-element fixed-point; sums of ints are order-free
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+SELECT vec_id, label,
+       array_to_string(
+         list_transform(generate_series(0, {_RP_DIM - 1}), j ->
+           list_reduce(
+             list_transform(generate_series(1, len(embedding)), i ->
+               CASE WHEN ((i - 1) * 2654435761 + j * 40503) % 2147483647 % 2 = 0
+                    THEN CAST(round(embedding[i]::DOUBLE * {_RP_SCALE}) AS BIGINT)
+                    ELSE -CAST(round(embedding[i]::DOUBLE * {_RP_SCALE}) AS BIGINT) END),
+             (acc, x) -> acc + x)),
+         ',') AS proj6
+FROM embeddings
+ORDER BY vec_id
+""",
+    doc=f"JL sign projection 64d -> {_RP_DIM}d: the cheap pre-pass that makes downstream ANN/clustering O(d') instead of O(d). Map-only — zero shuffles, zero Python; the ±1 matrix regenerates per row from integer arithmetic (nothing broadcast, nothing collected), components are exact fixed-point sums so the output hashes identically across engines and partitionings. At 100 TB this is a pure scan-transform-write pass.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # joined to a CSV string, not an array: the cross-engine comparator
+    # canonicalizes arrays via str(), and numpy's spacing differs from
+    # Python's — a string column hashes identically by construction
+    proj = F.expr(
+        f"""array_join(transform(sequence(0, {_RP_DIM - 1}), j ->
+              aggregate(sequence(0, size(embedding) - 1), 0L, (acc, i) ->
+                acc + CASE WHEN (i * 2654435761 + j * 40503) % 2147483647 % 2 = 0
+                           THEN CAST(round(CAST(embedding[i] AS DOUBLE) * {_RP_SCALE}) AS BIGINT)
+                           ELSE -CAST(round(CAST(embedding[i] AS DOUBLE) * {_RP_SCALE}) AS BIGINT) END)), ',')"""
+    )
+    return emb.select("vec_id", "label", proj.alias("proj6")).orderBy("vec_id")

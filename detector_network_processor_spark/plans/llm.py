@@ -2922,3 +2922,65 @@ def token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         * _PMI_SCALE
     ).cast("long")
     return pairs.select("w_a", "w_b", "co", pmi6.alias("pmi6")).orderBy("w_a", "w_b")
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction (classic IR companion to bm25_search: per-doc
+# top-k salient terms, the feature most labeling/routing pipelines hang off
+# a curated corpus).
+# --------------------------------------------------------------------------
+
+_TFIDF_K = 5
+_TFIDF_SCALE = 1_000_000
+
+
+@register(
+    "tfidf_topk_terms",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words WHERE len(w) > 0 GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+         CAST(floor(tf.tf * ln(n.n_docs * 1.0 / df.df) * {_TFIDF_SCALE}) AS BIGINT) AS s6
+  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, s6,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s6 DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, s6
+FROM ranked WHERE rank <= {_TFIDF_K}
+ORDER BY doc_id, rank
+""",
+    doc=f"Per-document top-{_TFIDF_K} TF-IDF terms. Scale shape: one token shuffle to (doc, term) TF pairs (map-side combined), the DF table is vocabulary-sized and broadcast back, scores stay exact scaled integers (floor(tf*ln(N/df)*1e6) — identical double ln both engines), and the per-doc top-k is a doc-partitioned WindowGroupLimit, never a global sort. n_docs is one O(1) driver scalar (dsir precedent).",
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds df, n_docs, and the score join
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()  # O(1) driver scalar
+    s6 = F.floor(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * _TFIDF_SCALE
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy(F.col("s6").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "w")
+        .select("doc_id", F.col("w").alias("term"), "tf", "df", s6.alias("s6"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tf", "df", "s6")
+        .orderBy("doc_id", "rank")
+    )
