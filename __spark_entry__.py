@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from detector_network_processor_spark.plans import all_queries
+from detector_network_processor_spark.plans import all_queries, evidence_ordered_queries
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FLAGSHIP = "l1_coincidence"  # the §2.5 coincidence-clustering operator
@@ -25,8 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    # Driver-facing: ordered weakest-driver-evidence-first so the driver's
+    # 50-query prefix sample rotates adjudication over the whole registry
+    # (library consumers get stable registration order from all_queries()).
+    return {name: spec.fn for name, spec in evidence_ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in all_queries().items() if spec.oracle is not None}
+    return {
+        name: spec.oracle
+        for name, spec in evidence_ordered_queries().items()
+        if spec.oracle is not None
+    }

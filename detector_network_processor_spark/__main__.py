@@ -247,7 +247,27 @@ def _cmd_materialize(args) -> int:
     from .io import TABLES, load_table, ts_to_us, write_partitioned
     from .session import get_spark
 
-    spark = get_spark(app_name="dnp-materialize", cpus=args.cpus)
+    # Bucketed tables are CATALOG tables: their data lands under
+    # spark.sql.warehouse.dir, not a bare directory. Keep the CLI contract
+    # truthful by pointing the warehouse under --out for that mode, so the
+    # user finds the data where they asked for it.
+    warehouse = (
+        os.path.join(os.path.abspath(args.out), "warehouse")
+        if args.bucket_by_station
+        else None
+    )
+    spark = get_spark(app_name="dnp-materialize", cpus=args.cpus, warehouse_dir=warehouse)
+    if warehouse is not None and spark.conf.get("spark.sql.warehouse.dir").rstrip(
+        "/"
+    ).removeprefix("file:") != warehouse.rstrip("/"):
+        # getOrCreate() reused a pre-existing session whose warehouse is
+        # already pinned elsewhere — refusing beats silently writing there.
+        print(
+            "--bucket-by-station with --out requires a fresh Spark session; "
+            f"active session warehouse is {spark.conf.get('spark.sql.warehouse.dir')}",
+            file=sys.stderr,
+        )
+        return 2
     day_us = 86_400_000_000
     for name in [t.strip() for t in args.tables.split(",") if t.strip()]:
         if name not in TABLES:
@@ -258,14 +278,17 @@ def _cmd_materialize(args) -> int:
         if name == "events" and args.bucket_by_station:
             from .io import EVENTS_BUCKETS, materialize_events_bucketed
 
-            # NB: bucketed tables are catalog tables — they land under the
-            # session's spark.sql.warehouse.dir, not --out (bucket metadata
-            # lives in the metastore; a bare directory can't carry it).
+            # Bucketed tables are catalog tables (bucket metadata lives in
+            # the metastore); the session's warehouse dir was pinned under
+            # --out above, so the data files land where the user asked.
             materialize_events_bucketed(
                 spark, args.sf_dir, table=args.table_name,
                 n_buckets=args.buckets or EVENTS_BUCKETS,
             )
-            print(f"materialized events -> catalog table {args.table_name} (bucketed)")
+            print(
+                f"materialized events -> catalog table {args.table_name} "
+                f"(bucketed; data under {warehouse})"
+            )
             continue
         if name == "events":
             # Day-partitioned event stream: equality/range predicates on

@@ -3,7 +3,9 @@ artifacts into a per-query adjudication history.
 
 Two consumers:
 
-- ``plans.all_queries()`` orders the registry so the driver's 50-query
+- ``plans.evidence_ordered_queries()`` (the driver-facing ordering used by
+  ``__spark_entry__``; ``plans.all_queries()`` keeps stable registration
+  order for library consumers) orders the registry so the driver's 50-query
   prefix sample always lands on the queries with the WEAKEST driver
   evidence (unresolved failures first, then never-sampled, then least
   recently sampled).  Evidence coverage therefore rotates itself round
@@ -39,6 +41,11 @@ def _row_passed(row: dict) -> bool:
     if row.get("err"):
         return False
     checks = [row.get(k) for k in ("rows_match", "schema_match", "hash_match")]
+    # A row with NONE of the verdict keys present is an unrecognized artifact
+    # shape, not evidence of a pass — treat it as not-passed so it stays at
+    # the front of the adjudication queue instead of silently rotating back.
+    if all(c is None for c in checks):
+        return False
     return all(c is not False for c in checks)
 
 

@@ -919,14 +919,17 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             PORTABLE_SHINGLE_BASE,
         ),
     )
-    per_doc = staged.select("doc_id", gs.alias("gs")).persist()
+    # localCheckpoint (not persist): blocks are reclaimed by the
+    # ContextCleaner once the plan is dropped, so repeated invocations in a
+    # long parity/bench session don't accumulate cached partitions.
+    per_doc = staged.select("doc_id", gs.alias("gs")).localCheckpoint(eager=True)
     # per-(doc, gram) occurrence counts — map-side combined; also the
     # distinct-per-doc gram set the DF count needs
     pc = (
         per_doc.select("doc_id", F.explode("gs").alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     boiler = (
         pc.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -1312,11 +1315,14 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(F.col("th")) - 1),
         lambda i: F.xxhash64(F.element_at(F.col("th"), i), F.element_at(F.col("th"), i + 1)),
     )
-    # `staged` feeds two consumers (mode count + distinct stats); without the
-    # persist barrier the tokenizer/hash/bigram tree is inlined into both and
-    # computes twice (measured 4.3 s -> 1.6 s at sf0.1). The persisted rows
-    # carry 8-byte hashes, not text — small per doc.
-    staged = base.select("doc_id", "n_tokens", "n_uniq_tokens", bg.alias("bg")).persist()
+    # `staged` feeds two consumers (mode count + distinct stats); without a
+    # materialization barrier the tokenizer/hash/bigram tree is inlined into
+    # both and computes twice (measured 4.3 s -> 1.6 s at sf0.1). The rows
+    # carry 8-byte hashes, not text — small per doc. localCheckpoint, not
+    # persist: blocks auto-reclaim when the plan is dropped.
+    staged = base.select(
+        "doc_id", "n_tokens", "n_uniq_tokens", bg.alias("bg")
+    ).localCheckpoint(eager=True)
     top = (
         staged.select("doc_id", F.explode("bg").alias("g"))
         .groupBy("doc_id", "g")
@@ -1555,12 +1561,15 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
         ).alias("bg"),
     )
-    # Reduce to per-doc bigram counts FIRST and persist that: both consumers
-    # (model training and doc scoring) derive from it, so the explode over
-    # the full text runs once, and the persisted rows are the map-side-
-    # combined counts — strictly smaller than the raw bigram stream.
+    # Reduce to per-doc bigram counts FIRST and materialize that: both
+    # consumers (model training and doc scoring) derive from it, so the
+    # explode over the full text runs once, and the materialized rows are
+    # the map-side-combined counts — strictly smaller than the raw bigram
+    # stream. localCheckpoint, not persist: blocks auto-reclaim.
     docbg = (
-        grams.groupBy("doc_id", "lang", "bg").agg(F.count(F.lit(1)).alias("dc")).persist()
+        grams.groupBy("doc_id", "lang", "bg")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .localCheckpoint(eager=True)
     )
     counts = docbg.groupBy("lang", "bg").agg(F.sum("dc").alias("c"))
     lang_tot = counts.groupBy("lang").agg(

@@ -16,12 +16,18 @@ def get_spark(
     app_name: str = "detector-network-processor-spark",
     cpus: int | str | None = None,
     shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(cpus)))
+    builder = SparkSession.builder.master(f"local[{cpus}]")
+    if warehouse_dir is not None:
+        # Bucketed catalog tables land under the warehouse dir; callers that
+        # promise users a destination (materialize --bucket-by-station --out)
+        # must pin it BEFORE session creation — it is fixed afterwards.
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -4,12 +4,20 @@ the mechanism that rotates driver adjudication across all queries
 
 from __future__ import annotations
 
-from detector_network_processor_spark.evidence import driver_history, evidence_sort_key
-from detector_network_processor_spark.plans import REGISTRY, all_queries
+from detector_network_processor_spark.evidence import (
+    _row_passed,
+    driver_history,
+    evidence_sort_key,
+)
+from detector_network_processor_spark.plans import (
+    REGISTRY,
+    all_queries,
+    evidence_ordered_queries,
+)
 
 
 def test_prefix_is_weakest_evidence_first():
-    names = list(all_queries())
+    names = list(evidence_ordered_queries())
     hist = driver_history()
     # Partition ranks must be non-decreasing along the dict order.
     def rank(n):
@@ -44,3 +52,16 @@ def test_sort_key_orders_fail_never_green():
 
 def test_registry_and_ordered_view_agree():
     assert set(all_queries()) == set(REGISTRY)
+    assert set(evidence_ordered_queries()) == set(REGISTRY)
+    # all_queries() is the stable registration-order contract.
+    assert list(all_queries()) == list(REGISTRY)
+
+
+def test_row_with_no_verdict_keys_is_not_a_pass():
+    # An artifact row carrying neither err nor any of the three check keys
+    # is an unrecognized shape — must NOT classify as PASS (which would
+    # rotate a possibly-failing query to the back of the queue).
+    assert _row_passed({"rows": 12}) is False
+    assert _row_passed({"err": "boom"}) is False
+    assert _row_passed({"rows_match": True}) is True
+    assert _row_passed({"rows_match": True, "hash_match": False}) is False
