@@ -150,9 +150,10 @@ _JACCARD_NUM = 1  # threshold num/den: jaccard > 1/3
 _JACCARD_DEN = 3
 
 
-@register(
-    "near_dup_jaccard",
-    oracle=f"""
+# Shared by near_dup_jaccard (exact) and near_dup_jaccard_capped (stop-shingle
+# scale path): the capped path re-scores candidates EXACTLY, so both register
+# against the identical DuckDB oracle.
+_JACCARD_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
@@ -177,11 +178,44 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common * {_JACCARD_DEN} > (sa.n_sh + sb.n_sh - n_common) * {_JACCARD_NUM}
 ORDER BY doc_a, doc_b
-""",
+"""
+
+# Stop-shingle document-frequency cap for the registered capped variant,
+# RELATIVE to corpus size: "a shingle present in more than 0.3% of documents
+# carries no discriminative signal". An absolute cap cannot transfer across
+# scales — the fixtures duplicate template text proportionally to corpus
+# size (measured required caps: 4 at 500 docs, 10 at 5000 docs), and so do
+# real crawls. Pruning only affects CANDIDATE GENERATION (exact rescoring
+# follows), and a true near-dup pair is missed only if EVERY shared shingle
+# is corpus-hot; tests/test_dedup.py asserts capped==exact at this cap on
+# the sf0.001/sf0.01 fixtures and the sf0.1 sweep covers the rest.
+_JACCARD_CAP_FRAC = 0.003
+_JACCARD_CAP_MIN = 4
+
+
+def _jaccard_cap(n_docs: int) -> int:
+    import math
+
+    return max(_JACCARD_CAP_MIN, math.ceil(_JACCARD_CAP_FRAC * n_docs))
+
+
+@register(
+    "near_dup_jaccard",
+    oracle=_JACCARD_ORACLE,
     doc="Near-dup via word-shingle inverted index + integer-exact Jaccard threshold. Scales: pairs generated per-shingle (hash shuffle on shingle), never all-pairs; under heavy duplication use near_dup_jaccard_plan(max_df=...) — stop-shingle pruning plus exact array_intersect re-verification (candidate volume is sum_s C(df_s, 2), which grows ~K^2 under K-fold duplication; the 100x scale sweep is where the uncapped path stops being viable and the capped/minhash paths take over, see SCALING.md).",
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_jaccard_plan(spark, sf_dir, max_df=None)
+
+
+@register(
+    "near_dup_jaccard_capped",
+    oracle=_JACCARD_ORACLE,
+    doc=f"The 100 TB near-dup path, driver-adjudicated on its own: stop-shingle candidate generation (shingles with df > max({_JACCARD_CAP_MIN}, {_JACCARD_CAP_FRAC} * n_docs) dropped from the inverted-index self-join ONLY) followed by exact array_intersect rescoring of surviving pairs — so it registers against the IDENTICAL oracle as near_dup_jaccard. Candidate volume is sized by true pairs instead of sum_s C(df_s, 2), which is the term that explodes ~K^2 under K-fold duplication; SCALING.md's 100x sweep measures the two paths head-to-head. The n_docs count is a one-row scalar job, the standard pattern for corpus-relative thresholds here (cf. dsir/ccnet scale paths).",
+)
+def near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return near_dup_jaccard_plan(spark, sf_dir, max_df=_jaccard_cap(n_docs))
 
 
 def near_dup_jaccard_plan(
@@ -482,10 +516,11 @@ _WNW_B = 131
 _WNW_B2 = _WNW_B * _WNW_B
 
 
-@register(
-    "winnowing_fingerprints",
-    oracle=f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _winnowing_ctes() -> str:
+    """DuckDB CTE chain ending in ``fps(doc_id, pos, fp)`` — the DISTINCT
+    winnowing fingerprints — shared by the ``winnowing_fingerprints`` oracle
+    and the composed ``substring_dedup_spans`` oracle."""
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 wh AS (
   SELECT doc_id, list_transform(t, w -> {_kr_sql(257, _WNW_P)}) AS h
   FROM toks WHERE len(t) >= {_WNW_K + _WNW_W - 1}
@@ -505,13 +540,28 @@ sel AS (
                                            list_min(kh[j:j + {_WNW_W - 1}])) AS BIGINT) AS pos,
          CAST(list_min(kh[j:j + {_WNW_W - 1}]) AS BIGINT) AS fp
   FROM wins
-)
-SELECT DISTINCT doc_id, pos, fp FROM sel
+),
+fps AS (SELECT DISTINCT doc_id, pos, fp FROM sel)"""
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+WITH {_winnowing_ctes()}
+SELECT doc_id, pos, fp FROM fps
 ORDER BY doc_id, pos, fp
 """,
     doc=f"Winnowing document fingerprints (MOSS, Schleimer et al. 2003): word {_WNW_K}-gram Karp-Rabin hashes, rightmost-minimum selection over every window of {_WNW_W} consecutive hashes — guarantees any shared token run of length >= {_WNW_W + _WNW_K - 1} between documents shares a fingerprint (coverage bound plain hash sampling lacks). Map-only pure JVM array kernel per document (no shuffle at all until the final DISTINCT on the fingerprint dimension); the portable hash family makes the oracle recompute the identical selection in SQL. At 100 TB this is the fingerprint-extraction stage of substring-level dedup: output is O(tokens / {_WNW_W}) rows, joinable on fp for cross-doc matches.",
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _winnowing_fps(spark, sf_dir).orderBy("doc_id", "pos", "fp")
+
+
+def _winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered DISTINCT winnowing fingerprints ``(doc_id, pos, fp)`` —
+    the shared extraction stage of ``winnowing_fingerprints`` and
+    ``substring_dedup_spans``. Map-only JVM array kernel per document; the
+    only shuffle is the final DISTINCT on the fingerprint dimension."""
     from ..operators.dedup import kr_token_hash
 
     docs = load_table(spark, sf_dir, "documents")
@@ -540,7 +590,100 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(fps).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
         .distinct()
-        .orderBy("doc_id", "pos", "fp")
+    )
+
+
+@register(
+    "substring_dedup_spans",
+    oracle=f"""
+WITH {_winnowing_ctes()},
+shared AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+),
+hits AS (
+  SELECT DISTINCT f.doc_id, f.pos FROM fps f JOIN shared s ON f.fp = s.fp
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + {_WNW_K}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+  FROM marked
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_WNW_K} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_WNW_K} - min(pos) AS BIGINT) AS span_tokens,
+       count(*) AS n_fps
+FROM islands
+GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+""",
+    doc=(
+        f"THE training-data substring-dedup pipeline, end to end: winnowing "
+        f"fingerprint extraction (MOSS; guaranteed coverage of any shared "
+        f"run >= {_WNW_W + _WNW_K - 1} tokens) -> cross-document fingerprint "
+        f"match (a fingerprint seen in >1 distinct document marks duplicated "
+        f"text) -> merged [start, end) token excision ranges per document "
+        f"(island detection over marked positions, same running-max merge as "
+        f"duplicate_span_ranges). Spans are the actionable output for "
+        f"excision or loss masking of cross-document boilerplate/duplicated "
+        f"passages (Lee et al. 2022 semantics at fingerprint resolution). "
+        f"Scale shape: everything joins on the fingerprint dimension "
+        f"(O(tokens/{_WNW_W}) rows) — per-fp distinct-doc count, one "
+        f"semi-join back, per-doc windows — never doc-pair all-pairs; "
+        f"reference parity: this composes the reference's histogram-style "
+        f"multi-stage offline analysis pattern (src/analysis) applied to "
+        f"corpus curation."
+    ),
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = _winnowing_fps(spark, sf_dir).localCheckpoint(eager=True)
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp")
+    )
+    hits = fps.join(shared, "fp", "left_semi").select("doc_id", "pos").distinct()
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + _WNW_K).over(w_prev), F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.select("doc_id", "pos", F.sum("brk").over(w_run).alias("isl"))
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + _WNW_K).alias("span_end"),
+            (F.max("pos") + _WNW_K - F.min("pos")).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .drop("isl")
+        .orderBy("doc_id", "span_start")
     )
 
 

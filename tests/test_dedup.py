@@ -267,3 +267,63 @@ def test_near_dup_capped_equals_exact(spark):
     for cap in (3, 8):
         capped = sorted(map(tuple, near_dup_jaccard_plan(spark, SF_DIR, max_df=cap).collect()))
         assert capped == exact, f"cap={cap}: {len(capped)} vs {len(exact)} pairs"
+
+
+def test_registered_capped_jaccard_equals_exact(spark):
+    """The REGISTERED capped variant (corpus-relative cap) must return the
+    identical pair set as the exact path at both small SFs — it shares the
+    exact path's DuckDB oracle, so this is its driver-correctness
+    precondition. The relative cap exists because duplication in the
+    fixtures (and real crawls) scales with corpus size: measured required
+    caps are 4 at 500 docs, 10 at 5000 docs (an absolute cap can't hold)."""
+    from detector_network_processor_spark.plans.llm import _jaccard_cap
+
+    assert _jaccard_cap(500) == 4
+    assert _jaccard_cap(5000) == 15  # >= required 10, still prunes max_df 25
+    qs = all_queries()
+    for sf in ("/root/testdata/sf0.001", SF_DIR):
+        exact = sorted(map(tuple, qs["near_dup_jaccard"].fn(spark, sf).collect()))
+        capped = sorted(map(tuple, qs["near_dup_jaccard_capped"].fn(spark, sf).collect()))
+        assert capped == exact, f"{sf}: {len(capped)} vs {len(exact)} pairs"
+
+
+def test_substring_dedup_spans_marks_cross_doc_duplication(spark):
+    """End-to-end substring dedup: a long passage shared by two docs must
+    produce an excision span in BOTH docs covering (a subset of) the
+    passage; a doc with unique text gets no spans."""
+    import os
+    import random
+    import tempfile
+
+    rng = random.Random(23)
+    vocab = [f"tok{i}" for i in range(500)]
+    shared = " ".join(rng.choice(vocab) for _ in range(12))  # >= w+k-1 = 6
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))  # noqa: E731
+    pre0, pre1 = mk(20), mk(35)
+    docs = [
+        (0, pre0 + " " + shared + " " + mk(15), "en", "s0", 0),
+        (1, pre1 + " " + shared, "en", "s1", 0),
+        (2, " ".join(f"uniq{i}" for i in range(60)), "en", "s2", 0),
+    ]
+    with tempfile.TemporaryDirectory(prefix="dnp_ssd_") as tmp:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        rows = all_queries()["substring_dedup_spans"].fn(spark, tmp).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc, "unique doc must have no excision spans"
+    # both sharing docs get at least one span, inside/overlapping the shared
+    # region (1-based token positions)
+    n0, n1 = len(pre0.split()), len(pre1.split())
+    for d, start in ((0, n0 + 1), (1, n1 + 1)):
+        assert d in by_doc, f"doc {d} missing spans"
+        sh_end = start + 12  # exclusive
+        overlapping = [
+            s for s in by_doc[d] if s.span_start < sh_end and s.span_end > start
+        ]
+        assert overlapping, f"doc {d}: no span overlaps the shared passage"
+        for s in by_doc[d]:
+            assert s.span_tokens == s.span_end - s.span_start
+            assert s.n_fps >= 1
