@@ -190,6 +190,42 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_star_edges(
+    signatures: DataFrame, id_col: str = "doc_id", portable: bool = False
+) -> DataFrame:
+    """Spanning-STAR edges per LSH bucket: for each (band, bhash) bucket,
+    one edge (bucket-min id, member) per other member — O(docs x bands)
+    edges total, versus the O(sum_buckets |bucket|^2) of full within-bucket
+    pairing (``minhash_lsh_pairs``).
+
+    Connectivity is IDENTICAL to full bucket pairing: every bucket's
+    candidate clique is replaced by a spanning star, so connected
+    components over these edges equal components over the unverified
+    candidate-pair graph (asserted in tests/test_dedup.py). This is the
+    primitive that keeps dedup clustering LINEAR under K-fold corpus
+    duplication — K clones of a document share every band hash, so full
+    pairing emits ~K^2/2 edges per bucket while the star emits K-1; pair
+    LISTING in that regime is inherently quadratic in its own output, but
+    cluster/survivorship consumers only need connectivity.
+
+    Returns (doc_a, doc_b), doc_a < doc_b, distinct. No per-pair signature
+    verification: membership evidence is the full-band minhash agreement
+    itself (recall-leaning; the verified pair path remains
+    ``minhash_lsh_pairs`` + threshold).
+    """
+    from pyspark.sql import Window
+
+    exploded = band_rows(signatures, id_col, portable).select(id_col, "band", "bhash")
+    # One shuffle on the bucket key; a mega-bucket (all K clones of a hot
+    # doc) is a single wide-but-narrow task computing one min — skew-safe.
+    root = F.min(id_col).over(Window.partitionBy("band", "bhash"))
+    return (
+        exploded.select(root.alias("doc_a"), F.col(id_col).alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+
+
 def simhash_col(text_col: str = "text"):
     """64-bit SimHash as a JVM column expression: for each bit position,
     sign of the sum of +-1 contributions from each distinct token's hash."""

@@ -929,6 +929,68 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _lsh_star_components_oracle() -> str:
+    # Star edges per (band, bhash) bucket from the shared portable band CTE
+    # chain (DuckDB only evaluates referenced CTEs, so cand/scored in the
+    # chain cost nothing here), then recursive-CTE transitive closure.
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+broot AS (
+  SELECT band, bhash, min(doc_id) AS root FROM bands GROUP BY band, bhash
+),
+star AS (
+  SELECT DISTINCT r.root AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN broot r ON b.band = r.band AND b.bhash = r.bhash
+  WHERE r.root < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM star
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM star
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM lab
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_components_lsh",
+    oracle=_lsh_star_components_oracle(),
+    doc="The clone-regime dedup clustering scale path: MinHash-LSH bucket connectivity via spanning-STAR edges (operators/dedup.py::lsh_star_edges — one edge per bucket member to the bucket-min id, O(docs x bands) edges) -> star-contraction components -> canonical id + cluster size. Components equal those over the full unverified candidate-pair graph (each bucket clique is spanned by its star; asserted in tests), but edge volume stays LINEAR under K-fold corpus duplication where full within-bucket pairing (and any pair-listing dedup, whose true-pair OUTPUT is itself ~K^2 per clone set) explodes quadratically — measured head-to-head in SCALING.md's 100x clone sweep. No per-pair verification: the membership evidence is full-band minhash agreement (recall-leaning; dedup_components remains the verified-pair variant).",
+)
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import lsh_star_edges, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs.repartition(python_stage_partitions(spark)), portable=True
+    )
+    edges = lsh_star_edges(sigs, portable=True)
+    cc = connected_components(edges, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
+    lab = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("canonical_id"))
+    )
+    w = Window.partitionBy("canonical_id")
+    return lab.select(
+        "doc_id", "canonical_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    ).orderBy("doc_id")
+
+
 _TTR_SCALE = 1_000_000
 
 

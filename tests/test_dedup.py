@@ -287,6 +287,39 @@ def test_registered_capped_jaccard_equals_exact(spark):
         assert capped == exact, f"{sf}: {len(capped)} vs {len(exact)} pairs"
 
 
+def test_star_edges_give_same_components_as_full_bucket_pairing(spark):
+    """lsh_star_edges replaces each LSH bucket's candidate clique with a
+    spanning star — connected components over star edges must equal
+    components over the FULL unverified candidate-pair graph (the property
+    that makes the linear-edge clone-regime path correct)."""
+    from detector_network_processor_spark.operators.components import (
+        connected_components,
+    )
+    from detector_network_processor_spark.operators.dedup import (
+        lsh_star_edges,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, portable=True).localCheckpoint(eager=True)
+    full = minhash_lsh_pairs(sigs, portable=True)  # unverified candidates
+    star = lsh_star_edges(sigs, portable=True)
+    # star edge volume never exceeds full pairing volume
+    assert star.count() <= full.count()
+    cc_full = {
+        r.node: r.component
+        for r in connected_components(full, "doc_a", "doc_b").collect()
+    }
+    cc_star = {
+        r.node: r.component
+        for r in connected_components(star, "doc_a", "doc_b").collect()
+    }
+    assert cc_full == cc_star
+
+
 def test_substring_dedup_spans_marks_cross_doc_duplication(spark):
     """End-to-end substring dedup: a long passage shared by two docs must
     produce an excision span in BOTH docs covering (a subset of) the
