@@ -1,14 +1,29 @@
 """Scaling-evidence harness: replicate the sf0.1 fixtures K-fold into a
-temp directory (deterministic id/timestamp offsets per replica, replica
-tokens appended to document text so near-dup structure stays realistic),
-then time a set of heavyweight queries at 1x and Kx on the SAME session.
+temp directory (deterministic id/timestamp offsets per replica), then time
+a set of heavyweight queries at 1x and Kx on the SAME session.
+
+Document replication has TWO modes, because document growth has two real
+regimes with opposite complexity behavior for pair-producing operators:
+
+- ``clone`` (default, the historical mode): each replica appends a replica
+  token to the END of the text, so the K replicas of a document are
+  near-duplicates of each other. Models a crawl where the same pages are
+  re-collected K times — the EXACT/clone-dedup regime. Near-dup pair
+  OUTPUT grows ~K^2 per document by construction (every replica pair is a
+  true near-dup pair): no pair-LISTING algorithm is linear here; the
+  linear object is the CLUSTERING (lsh_star_edges -> components).
+- ``salted``: every token of replica k>0 is prefixed with ``r<k>_``, so
+  replicas share no shingles ACROSS replicas while each replica internally
+  preserves the original corpus's near-dup structure exactly. Models a
+  crawl that grows K-fold with fresh content — pair output grows ~K, and
+  pair-listing operators should scale ~linearly.
 
 Usage:
-    python scale_bench.py [K] [query ...]
+    python scale_bench.py [K] [--salted-docs] [query ...]
 
 Prints one JSON line:
-    {"factor": K, "queries": {name: {"t1": s, "tK": s, "ratio": r,
-                                     "rows1": n, "rowsK": n}}}
+    {"factor": K, "docs_mode": m, "queries": {name: {"t1": s, "tK": s,
+        "ratio": r, "rows1": n, "rowsK": n}}}
 
 The point is the RATIO: a plan that survives 100 TB should scale
 near-linearly (ratio ~= K for O(n) operators, and distinctly sub-K x K
@@ -50,7 +65,7 @@ DEFAULT_QUERIES = [
 _SCALED = ("events", "documents", "embeddings")
 
 
-def build_scaled(spark, factor: int, out_dir: str) -> None:
+def build_scaled(spark, factor: int, out_dir: str, docs_mode: str = "clone") -> None:
     os.makedirs(out_dir, exist_ok=True)
     rep = spark.range(factor).select(F.col("id").alias("_rep"))
 
@@ -73,16 +88,34 @@ def build_scaled(spark, factor: int, out_dir: str) -> None:
 
     docs = load_table(spark, BASE_SF, "documents")
     n_doc = docs.count()
+    if docs_mode == "salted":
+        # Replica 0 keeps the original text; replica k>0 prefixes EVERY
+        # token with r<k>_ — replicas share zero shingles across replicas,
+        # but within a replica the original near-dup structure is preserved
+        # exactly (both members of a pair get the identical transformation).
+        salted = F.when(F.col("_rep") == 0, F.col("text")).otherwise(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(F.lit("r"), F.col("_rep"), F.lit("_"), w),
+                ),
+            )
+        )
+        text_expr = salted
+    elif docs_mode == "clone":
+        # near-dup replicas: only the appended tail token differs
+        text_expr = F.concat(F.col("text"), F.lit(" rep"), F.col("_rep"))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown docs_mode {docs_mode!r}")
     (
         docs.crossJoin(F.broadcast(rep))
         .select(
             (F.col("doc_id") + F.col("_rep") * n_doc).alias("doc_id"),
-            # vary each replica's text so near-dup finds structure, not
-            # wall-to-wall exact copies
-            F.concat(F.col("text"), F.lit(" rep"), F.col("_rep")).alias("text"),
+            text_expr.alias("text"),
             "lang",
             "source",
-            (F.col("n_chars") + 6).alias("n_chars"),
+            F.length(text_expr).cast("long").alias("n_chars"),
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
@@ -125,12 +158,18 @@ def time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
 
 
 def main() -> int:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    argv = [a for a in sys.argv[1:]]
+    docs_mode = "clone"
+    if "--salted-docs" in argv:
+        docs_mode = "salted"
+        argv.remove("--salted-docs")
+    factor = int(argv[0]) if argv else 10
+    names = argv[1:] or DEFAULT_QUERIES
     spark = get_spark(app_name="dnp-scale-bench")
-    out_dir = f"/tmp/dnp_scaled_x{factor}"
+    suffix = "_salted" if docs_mode == "salted" else ""
+    out_dir = f"/tmp/dnp_scaled_x{factor}{suffix}"
     if not os.path.exists(os.path.join(out_dir, "events.parquet")):
-        build_scaled(spark, factor, out_dir)
+        build_scaled(spark, factor, out_dir, docs_mode=docs_mode)
     results = {}
     for name in names:
         t1, r1 = time_query(spark, name, BASE_SF)
@@ -143,7 +182,7 @@ def main() -> int:
             "rowsK": rk,
         }
         print(f"# {name}: {t1:.2f}s -> {tk:.2f}s (x{tk / t1:.1f})", file=sys.stderr)
-    print(json.dumps({"factor": factor, "base": BASE_SF, "queries": results}))
+    print(json.dumps({"factor": factor, "base": BASE_SF, "docs_mode": docs_mode, "queries": results}))
     return 0
 
 
