@@ -1,0 +1,365 @@
+"""Targeted scale experiments backing SCALING.md claims with measurements.
+
+Each subcommand prints one JSON line. Run them one at a time — they are
+sized to use most of the host.
+
+    python tools/scale_experiments.py crossover
+        Incremental near-dup crossover: with history >> batch (10x corpus
+        as the persistent LSH band index, a 0.1x batch of new documents),
+        per-increment wall must be far below one-shot LSH over the union —
+        the claim that justifies the incremental index for crawl ingest.
+
+    python tools/scale_experiments.py bucketed [K]
+        Bucketed-at-rest layout win: per-station aggregation + dimension
+        join on the day-partitioned/station-bucketed catalog table vs the
+        same plan on plain parquet, at Kx (default 10x) events. The
+        zero-Exchange plan shape is already asserted in
+        tests/test_scale_io.py; this records the wall-clock difference.
+
+    python tools/scale_experiments.py clone-regime [K ...]
+        The duplication-heavy document regime (every doc present as K
+        near-identical clones, scale_bench clone mode): walls for
+        pair-listing paths (near_dup_jaccard exact/capped, verified
+        minhash dedup_components) vs the linear clustering path
+        (dedup_components_lsh star edges), plus ANALYTIC candidate-volume
+        counts — sum_s C(df_s, 2) for the shingle inverted index and
+        sum_buckets C(n, 2) vs star edge count for LSH — which quantify
+        the quadratic blowup without having to melt the host running it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from detector_network_processor_spark.io import load_table  # noqa: E402
+from detector_network_processor_spark.session import get_spark  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _scaled_dir(spark, factor: int, docs_mode: str = "clone") -> str:
+    import scale_bench
+
+    suffix = "_salted" if docs_mode == "salted" else ""
+    out_dir = f"/tmp/dnp_scaled_x{factor}{suffix}"
+    if not os.path.exists(os.path.join(out_dir, "events.parquet")):
+        scale_bench.build_scaled(spark, factor, out_dir, docs_mode=docs_mode)
+    return out_dir
+
+
+def _timeit(fn, runs: int = 2) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def cmd_crossover() -> dict:
+    from detector_network_processor_spark.operators.dedup import (
+        band_rows,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from detector_network_processor_spark.streaming.dedup import (
+        process_neardup_increment,
+    )
+
+    spark = get_spark(app_name="dnp-crossover")
+    hist_dir = _scaled_dir(spark, 10, "clone")
+    hist = load_table(spark, hist_dir, "documents").select("doc_id", "text")
+    n_hist = hist.count()
+    # the new increment: a 0.1x batch of fresh near-dup clones (collides
+    # with every historical replica set, the worst realistic case)
+    batch = (
+        load_table(spark, BASE_SF, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + n_hist).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rep10")).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_batch = batch.count()
+
+    root = "/tmp/dnp_crossover"
+    shutil.rmtree(root, ignore_errors=True)
+    # Build the persistent index once (ingest-time cost, amortized over
+    # every future increment): band rows only, not history self-pairs.
+    t0 = time.perf_counter()
+    band_rows(minhash_signatures(hist)).write.mode("overwrite").parquet(
+        os.path.join(root, "index", "ingest_batch=0")
+    )
+    t_index_build = round(time.perf_counter() - t0, 3)
+
+    def incr():
+        process_neardup_increment(
+            spark, batch, os.path.join(root, "index"), os.path.join(root, "pairs"),
+            batch_id=1, threshold=0.5,
+        )
+
+    t_incr = _timeit(incr)
+    n_pairs_incr = spark.read.parquet(os.path.join(root, "pairs")).count()
+
+    union = hist.unionByName(batch)
+
+    def oneshot():
+        minhash_lsh_pairs(minhash_signatures(union)).filter(
+            F.col("est_jaccard") >= 0.5
+        ).count()
+
+    t_oneshot = _timeit(oneshot)
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "experiment": "incremental_neardup_crossover",
+        "n_history_docs": n_hist,
+        "n_batch_docs": n_batch,
+        "t_index_build_sec": t_index_build,
+        "t_increment_sec": t_incr,
+        "t_oneshot_union_sec": t_oneshot,
+        "speedup": round(t_oneshot / t_incr, 2),
+        "increment_pairs": n_pairs_incr,
+    }
+
+
+def cmd_bucketed(factor: int = 10) -> dict:
+    from detector_network_processor_spark.io import (
+        EVENTS_BUCKETS,
+        materialize_events_bucketed,
+        materialize_station_dim_bucketed,
+    )
+
+    spark = get_spark(app_name="dnp-bucketed-wall")
+    sf_dir = _scaled_dir(spark, factor, "clone")
+    # Force the join to be a real (non-broadcast) join so layout matters —
+    # the 10^6-station fat-dimension posture the bucketed layout targets.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = load_table(spark, sf_dir, "events")
+        dim = (
+            plain.select(F.col("user_id").alias("hash"))
+            .distinct()
+            .withColumn("region", F.pmod("hash", F.lit(5)))
+            .localCheckpoint(eager=True)
+        )
+        n_events = plain.count()
+
+        def run_plain():
+            j = plain.join(dim, plain["user_id"] == dim["hash"])
+            j.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"), F.avg("value").alias("v")
+            ).select(F.count(F.lit(1))).collect()
+
+        t_plain = _timeit(run_plain)
+
+        materialize_events_bucketed(spark, sf_dir, table="x_ev_b", n_buckets=EVENTS_BUCKETS)
+        materialize_station_dim_bucketed(
+            dim, table="x_st_b", key_col="hash", n_buckets=EVENTS_BUCKETS
+        )
+        bev = spark.table("x_ev_b")
+        bdim = spark.table("x_st_b")
+
+        def run_bucketed():
+            j = bev.join(bdim, bev["user_id"] == bdim["hash"])
+            j.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"), F.avg("value").alias("v")
+            ).select(F.count(F.lit(1))).collect()
+
+        t_bucketed = _timeit(run_bucketed)
+        return {
+            "experiment": "bucketed_layout_wall",
+            "factor": factor,
+            "n_events": n_events,
+            "t_plain_sec": t_plain,
+            "t_bucketed_sec": t_bucketed,
+            "speedup": round(t_plain / t_bucketed, 2),
+        }
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS x_ev_b")
+        spark.sql("DROP TABLE IF EXISTS x_st_b")
+
+
+def _candidate_volumes(spark, sf_dir: str, cap: int) -> dict:
+    """Analytic candidate-row counts for the clone regime — aggregations
+    only, nothing quadratic is materialized."""
+    from detector_network_processor_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+    from detector_network_processor_spark.plans.llm import _SHINGLE_W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    th = F.transform(t, lambda w: F.xxhash64(w))
+    staged = docs.filter(F.size(t) >= _SHINGLE_W).select("doc_id", th.alias("th"))
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("th")) - (_SHINGLE_W - 1)),
+            lambda i: F.xxhash64(
+                F.element_at(F.col("th"), i),
+                F.element_at(F.col("th"), i + 1),
+                F.element_at(F.col("th"), i + 2),
+            ),
+        )
+    )
+    posting = staged.select("doc_id", F.explode(sh).alias("shash"))
+    dfs = posting.groupBy("shash").agg(F.count(F.lit(1)).alias("df"))
+    row = dfs.agg(
+        F.sum(F.expr("df * (df - 1) div 2")).alias("uncapped"),
+        F.sum(F.when(F.col("df") <= cap, F.expr("df * (df - 1) div 2")).otherwise(0)).alias(
+            "capped"
+        ),
+    ).collect()[0]
+    buckets = (
+        band_rows(minhash_signatures(docs.select("doc_id", "text")))
+        .groupBy("band", "bhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    brow = buckets.agg(
+        F.sum(F.expr("n * (n - 1) div 2")).alias("full_pairing"),
+        F.sum(F.expr("n - 1")).alias("star_edges"),
+    ).collect()[0]
+    return {
+        "jaccard_candidates_uncapped": int(row["uncapped"]),
+        "jaccard_candidates_capped": int(row["capped"]),
+        "lsh_full_pairing_rows": int(brow["full_pairing"]),
+        "lsh_star_edge_rows": int(brow["star_edges"]),
+    }
+
+
+def cmd_clone_regime(factors: list[int]) -> dict:
+    from detector_network_processor_spark.plans import all_queries
+    from detector_network_processor_spark.plans.llm import _jaccard_cap
+
+    spark = get_spark(app_name="dnp-clone-regime")
+    qs = all_queries()
+    out: dict = {"experiment": "clone_regime", "factors": {}}
+    for k in factors:
+        sf_dir = _scaled_dir(spark, k, "clone")
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        entry: dict = {
+            "n_docs": n_docs,
+            "analytic": _candidate_volumes(spark, sf_dir, _jaccard_cap(n_docs)),
+        }
+        # Pair-listing paths only where their candidate volume is feasible
+        # on this host (< ~500M rows); the analytics above quantify the
+        # blowup beyond that without running it.
+        feasible = entry["analytic"]["jaccard_candidates_uncapped"] < 500_000_000
+        timed = ["dedup_components_lsh", "dedup_exact"]
+        if feasible:
+            timed += ["near_dup_jaccard", "near_dup_jaccard_capped", "dedup_components"]
+        else:
+            entry["skipped_pair_listing"] = (
+                "uncapped candidate volume "
+                f"{entry['analytic']['jaccard_candidates_uncapped']:,} rows"
+            )
+        for name in timed:
+            fn = qs[name].fn
+            entry[name + "_sec"] = _timeit(lambda: fn(spark, sf_dir).count())
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        out["factors"][str(k)] = entry
+        print(f"# x{k}: {json.dumps(entry)}", file=sys.stderr)
+    return out
+
+
+def cmd_streaming(factor: int = 10, n_chunks: int = 10) -> dict:
+    """Drive the streaming SCALE path (stream_cluster_coincidences_scaled)
+    over the muonized hit stream at ``factor``x the fixture event rate,
+    delivered as ``n_chunks`` time-ordered micro-batches. Records end-to-end
+    rows/s and the carried-state footprint — the subsystem's first scale
+    measurement (correctness was already pinned by
+    tests/test_streaming.py::test_incremental_matches_batch_coincidence)."""
+    from detector_network_processor_spark.plans.muon import muonize_events
+    from detector_network_processor_spark.streaming.coincidence import (
+        stream_cluster_coincidences_scaled,
+    )
+    from detector_network_processor_spark.streaming.incremental import (
+        flush_incremental_state,
+    )
+
+    spark = get_spark(app_name="dnp-stream-throughput")
+    sf_dir = _scaled_dir(spark, factor, "clone")
+    hits = muonize_events(spark, sf_dir)
+    n_hits = hits.count()
+    schema = hits.schema
+
+    root = "/tmp/dnp_stream_tp"
+    shutil.rmtree(root, ignore_errors=True)
+    # time-ordered chunks = arrival order; ntile keeps chunk sizes equal
+    from pyspark.sql import Window as W
+
+    chunked = hits.withColumn(
+        "_c", F.ntile(n_chunks).over(W.orderBy("start"))
+    )
+    for i in range(1, n_chunks + 1):
+        chunked.filter(F.col("_c") == i).drop("_c").coalesce(4).write.parquet(
+            f"{root}/in/f{i:03d}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{root}/in/f*")
+    )
+    out_path, state_path = f"{root}/out", f"{root}/state"
+    t0 = time.perf_counter()
+    q = (
+        stream_cluster_coincidences_scaled(stream, out_path, state_path, f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(3000)
+    wall = round(time.perf_counter() - t0, 3)
+    flush_incremental_state(spark, state_path, out_path)
+    n_groups = spark.read.parquet(out_path).count()
+    state_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(state_path)
+        for f in fs
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "experiment": "streaming_throughput",
+        "factor": factor,
+        "n_hits": n_hits,
+        "n_micro_batches": n_chunks,
+        "wall_sec": wall,
+        "rows_per_sec": int(n_hits / wall),
+        "l1_groups": n_groups,
+        "final_state_bytes": state_bytes,
+    }
+
+
+def main() -> int:
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "crossover"
+    if cmd == "crossover":
+        res = cmd_crossover()
+    elif cmd == "bucketed":
+        res = cmd_bucketed(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    elif cmd == "clone-regime":
+        factors = [int(a) for a in sys.argv[2:]] or [10, 30, 100]
+        res = cmd_clone_regime(factors)
+    elif cmd == "streaming":
+        res = cmd_streaming(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    else:
+        print(f"unknown subcommand {cmd!r}", file=sys.stderr)
+        return 2
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
