@@ -359,3 +359,31 @@ def test_ccnet_exact_and_approx_agree_on_interior_docs(spark):
 def test_station_triangles_no_cartesian(spark):
     plan = plan_of(spark, "station_triangles")
     assert "CartesianProduct" not in plan
+
+
+def test_star_edges_have_no_self_join(spark):
+    """lsh_star_edges derives bucket spanning stars with ONE shuffle on the
+    bucket key (window min) — no band-rows self-join anywhere. The full
+    within-bucket pairing (minhash_lsh_pairs) is exactly what this plan
+    must NOT contain: its per-bucket edge volume is quadratic under clone
+    duplication."""
+    from detector_network_processor_spark.operators.dedup import (
+        lsh_star_edges,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = lsh_star_edges(minhash_signatures(docs, portable=True), portable=True)
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_substring_dedup_spans_joins_on_fingerprint_only(spark):
+    """The composed substring-dedup pipeline must stay on the fingerprint
+    dimension: a semi-join on fp (shared-fingerprint filter) is the ONLY
+    join; windows are per-document; no doc-pair all-pairs anywhere."""
+    plan = plan_of(spark, "substring_dedup_spans")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan
