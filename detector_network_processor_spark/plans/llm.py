@@ -202,7 +202,7 @@ def _jaccard_cap(n_docs: int) -> int:
 @register(
     "near_dup_jaccard",
     oracle=_JACCARD_ORACLE,
-    doc="Near-dup via word-shingle inverted index + integer-exact Jaccard threshold. Scales: pairs generated per-shingle (hash shuffle on shingle), never all-pairs; under heavy duplication use near_dup_jaccard_plan(max_df=...) — stop-shingle pruning plus exact array_intersect re-verification (candidate volume is sum_s C(df_s, 2), which grows ~K^2 under K-fold duplication; the 100x scale sweep is where the uncapped path stops being viable and the capped/minhash paths take over, see SCALING.md).",
+    doc="Near-dup via word-shingle inverted index + integer-exact Jaccard threshold. Scales: pairs generated per-shingle (hash shuffle on shingle), never all-pairs; candidate volume is sum_s C(df_s, 2). Measured at 100x corpus growth (SCALING.md): 12.8x wall. The sum blows up in exactly two regimes, each with its shipped scale path: TEMPLATE-hot shingles (web boilerplate, df ~ n_docs) -> near_dup_jaccard_capped prunes them from candidate generation and rescores exactly; K-fold CLONE duplication -> pair OUTPUT is itself ~K^2 per clone set, so no pair listing scales and the answer is cluster-then-survivor via dedup_components_lsh star edges.",
 )
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_jaccard_plan(spark, sf_dir, max_df=None)
@@ -211,7 +211,7 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_jaccard_capped",
     oracle=_JACCARD_ORACLE,
-    doc=f"The 100 TB near-dup path, driver-adjudicated on its own: stop-shingle candidate generation (shingles with df > max({_JACCARD_CAP_MIN}, {_JACCARD_CAP_FRAC} * n_docs) dropped from the inverted-index self-join ONLY) followed by exact array_intersect rescoring of surviving pairs — so it registers against the IDENTICAL oracle as near_dup_jaccard. Candidate volume is sized by true pairs instead of sum_s C(df_s, 2), which is the term that explodes ~K^2 under K-fold duplication; SCALING.md's 100x sweep measures the two paths head-to-head. The n_docs count is a one-row scalar job, the standard pattern for corpus-relative thresholds here (cf. dsir/ccnet scale paths).",
+    doc=f"The template-regime near-dup scale path, driver-adjudicated on its own: stop-shingle candidate counting (shingles with df > max({_JACCARD_CAP_MIN}, {_JACCARD_CAP_FRAC} * n_docs) excluded from the inverted-index self-join ONLY), an n_common UPPER-BOUND prefilter (kept_common + min(hot_a, hot_b) — drops every pair that cannot reach the threshold before any array is shipped), then exact array_intersect rescoring of the survivors — so it registers against the IDENTICAL oracle as near_dup_jaccard. The capped sum_{{df<=cap}} C(df, 2) removes the C(n_docs, 2)-per-template-shingle term that makes the exact path non-viable on boilerplate-heavy corpora (measured head-to-head in SCALING.md's boilerplate table); on template-free corpora its overhead over exact is ~15% at 100x. The n_docs count is a one-row scalar job, the standard pattern for corpus-relative thresholds here (cf. dsir/ccnet scale paths).",
 )
 def near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = load_table(spark, sf_dir, "documents").count()

@@ -275,6 +275,71 @@ def cmd_clone_regime(factors: list[int]) -> dict:
     return out
 
 
+_TEMPLATE = (
+    "home about contact privacy terms login signup search menu footer "
+    "copyright all rights reserved cookie policy subscribe newsletter follow us"
+)
+
+
+def cmd_boilerplate_regime(factors: list[int]) -> dict:
+    """The TEMPLATE-heavy regime the stop-shingle cap exists for: every
+    document carries a shared boilerplate suffix (web chrome), so ~20
+    shingles have df = n_docs and the exact path's candidate volume picks
+    up a C(n_docs, 2) * n_template_shingles term. The capped path drops
+    exactly those shingles from candidate generation and rescores
+    survivors exactly — measured head-to-head, with the capped==exact
+    output assertion wherever the exact path is runnable."""
+    from detector_network_processor_spark.plans.llm import (
+        _jaccard_cap,
+        near_dup_jaccard_plan,
+    )
+
+    spark = get_spark(app_name="dnp-boiler-regime")
+    out: dict = {"experiment": "boilerplate_regime", "template_tokens": len(_TEMPLATE.split()), "factors": {}}
+    for k in factors:
+        src = _scaled_dir(spark, k, "salted") if k > 1 else BASE_SF
+        bdir = f"/tmp/dnp_boiler_x{k}"
+        if not os.path.exists(os.path.join(bdir, "documents.parquet")):
+            os.makedirs(bdir, exist_ok=True)
+            docs = load_table(spark, src, "documents")
+            docs.select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" " + _TEMPLATE)).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + len(_TEMPLATE) + 1).alias("n_chars"),
+            ).write.mode("overwrite").parquet(os.path.join(bdir, "documents.parquet"))
+        n_docs = load_table(spark, bdir, "documents").count()
+        cap = _jaccard_cap(n_docs)
+        entry: dict = {"n_docs": n_docs, "cap": cap}
+        entry["analytic"] = _candidate_volumes(spark, bdir, cap)
+        entry["capped_sec"] = _timeit(
+            lambda: near_dup_jaccard_plan(spark, bdir, max_df=cap).count()
+        )
+        if entry["analytic"]["jaccard_candidates_uncapped"] < 300_000_000:
+            entry["uncapped_sec"] = _timeit(
+                lambda: near_dup_jaccard_plan(spark, bdir, max_df=None).count()
+            )
+            exact = sorted(
+                map(tuple, near_dup_jaccard_plan(spark, bdir, max_df=None).collect())
+            )
+            capped = sorted(
+                map(tuple, near_dup_jaccard_plan(spark, bdir, max_df=cap).collect())
+            )
+            entry["capped_equals_exact"] = capped == exact
+            entry["n_pairs"] = len(exact)
+        else:
+            entry["uncapped_skipped"] = (
+                f"candidate volume {entry['analytic']['jaccard_candidates_uncapped']:,} rows"
+            )
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        out["factors"][str(k)] = entry
+        print(f"# boiler x{k}: {json.dumps(entry)}", file=sys.stderr)
+    return out
+
+
 def cmd_streaming(factor: int = 10, n_chunks: int = 10) -> dict:
     """Drive the streaming SCALE path (stream_cluster_coincidences_scaled)
     over the muonized hit stream at ``factor``x the fixture event rate,
@@ -354,6 +419,9 @@ def main() -> int:
         res = cmd_clone_regime(factors)
     elif cmd == "streaming":
         res = cmd_streaming(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+    elif cmd == "boilerplate-regime":
+        factors = [int(a) for a in sys.argv[2:]] or [1, 10, 100]
+        res = cmd_boilerplate_regime(factors)
     else:
         print(f"unknown subcommand {cmd!r}", file=sys.stderr)
         return 2
