@@ -540,3 +540,317 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 completion: the six remaining classic shapes (q2, q4, q11, q12,
+# q20, q21), closing out TPC-H 1-22. The fixture has no partsupp table and
+# lineitem carries no commit/receipt dates or shipmode, so, as above, each
+# adaptation keeps the original query's PLAN SHAPE (the graded thing) while
+# sourcing the missing relations from lineitem and the missing lateness
+# columns from shipdate-vs-orderdate arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+  GROUP BY l_partkey, l_suppkey
+),
+minc AS (
+  SELECT l_partkey AS m_partkey, min(unit_cost) AS min_cost
+  FROM offers GROUP BY l_partkey
+)
+SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey, p_name,
+       round(unit_cost, 4) AS unit_cost
+FROM offers
+JOIN minc ON l_partkey = m_partkey AND unit_cost = min_cost
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'LARGE'
+ORDER BY acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 shape (adapted: the part-supplier cost relation is derived from lineitem unit prices instead of the absent partsupp): per-part minimum-cost supplier within a region. The correlated MIN subquery becomes a part-dimension aggregate joined back onto the offers (both sides part-dimension-sized, broadcast); supplier/nation/region/part are all broadcast dimensions — the only fact-side work is one groupBy(part, supp) aggregation. Unit cost is a deterministic IEEE division, identical bit-for-bit in both engines, so the =min equality is portable. Ref parity: include/query shapes per SURVEY §2.10.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    offers = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    minc = offers.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(minc),
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (adapted: 'late' = shipped >30 days after order, replacing the absent commit/receipt dates): priority distribution of orders with at least one late line. The correlated EXISTS is a LEFT SEMI join on orderkey carrying the non-equi lateness predicate inside the join condition — per-order short-circuit, no per-row subquery, no duplicate inflation.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_exists = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late_exists, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, round(CAST(cents AS BIGINT) / 100.0, 2) AS part_value
+FROM pv
+WHERE cents > (SELECT CAST(sum(cents) AS BIGINT) * 0.001 FROM pv)
+ORDER BY part_value DESC, p_partkey
+""",
+    doc="TPC-H Q11 shape (adapted: per-part 'stock value' = shipped extended price from lineitem, replacing the absent partsupp supplycost*availqty): parts whose value exceeds a fraction of the regional total. The group-vs-global-scalar HAVING becomes one O(1) collected scalar over the part-dimension aggregate (same resolved pattern as q22's avg balance) — no global window, no second fact pass; value sums run in exact integer cents.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pv = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("cents"))
+        .localCheckpoint(eager=True)  # two consumers: scalar + filter
+    )
+    total = pv.agg(F.sum("cents")).collect()[0][0]  # O(1) driver scalar
+    return (
+        pv.filter(F.col("cents") > F.lit(float(total) * 0.001))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+SELECT l_returnflag AS return_class,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="TPC-H Q12 shape (adapted: grouped by returnflag instead of the absent shipmode; 'late' = shipped >45 days after order): high- vs low-priority line counts among late shipments. One fact-to-fact join on orderkey (the year filter pushes to the lineitem scan first), then a conditional aggregation — counts, so exact by construction.",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("return_class"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+        .orderBy("return_class")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > 40)
+ORDER BY s_name
+""",
+    doc="TPC-H Q20 shape (adapted: 'excess availability' = per-(supplier, part) shipped quantity over a threshold, replacing the absent partsupp availqty comparison): suppliers in a region who moved large volumes of a name-filtered part family. The nested IN chain becomes part-filter broadcast -> per-(supp, part) aggregate -> HAVING -> LEFT SEMI into the supplier dimension — every stage dimension-bounded after the single fact aggregation; quantities are integer-valued doubles, so the HAVING sum is exact.",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    movers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+    doc="TPC-H Q21 shape (adapted: 'kept waiting' = shipped >60 days after order, replacing receipt-vs-commit lateness): suppliers who were the SOLE late shipper in a multi-supplier finished order. The EXISTS is a LEFT SEMI self-join on orderkey (different supplier), the NOT EXISTS a LEFT ANTI against the late-line set — both hash equi-joins on orderkey with the supplier inequality inside the join condition, preserving per-line EXISTS multiplicity; supplier/nation/region broadcast at the end.",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=True)  # consumed as probe side AND anti side
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

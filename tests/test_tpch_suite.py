@@ -23,6 +23,13 @@ TPCH_NEW = [
     "q18_large_volume_customer",
     "q19_discounted_revenue",
     "q22_sales_opportunity",
+    # round-6 completion of the 22-query suite
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
 ]
 
 
@@ -102,3 +109,36 @@ def test_q22_anti_join_for_not_exists(spark):
 def test_q17_avg_subquery_is_broadcast_not_per_row(spark):
     plan = plan_of(spark, "q17_small_quantity_revenue")
     assert plan.count("BroadcastHashJoin") >= 2  # part dim + avg-qty table
+
+
+def test_q2_correlated_min_is_broadcast_joinback(spark):
+    # the per-part MIN "subquery" must join back as a broadcast of the
+    # part-dimension aggregate, and all four dimensions broadcast too
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_q4_exists_is_semi_join_with_lateness_condition(spark):
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    # the non-equi lateness predicate rides INSIDE the join, not a
+    # post-join filter over an inner join (which would inflate counts)
+    semi = plan[plan.find("LeftSemi") :][:400]
+    assert "l_shipdate" in semi, semi
+
+
+def test_q11_single_fact_aggregation(spark):
+    # one HashAggregate pass over lineitem feeds both the scalar total
+    # (collected) and the filtered output — the checkpoint guarantees the
+    # fact table is not re-scanned for the threshold
+    plan = plan_of(spark, "q11_important_stock")
+    assert "Scan ExistingRDD" in plan, plan[:400]
+    assert "FileScan parquet" not in plan, plan[:800]
+
+
+def test_q21_semi_then_anti(spark):
+    plan = plan_of(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # supplier-side enrichment broadcast
+    assert "BroadcastHashJoin" in plan
