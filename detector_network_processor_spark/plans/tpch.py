@@ -673,10 +673,10 @@ WITH pv AS (
 )
 SELECT l_partkey AS p_partkey, round(CAST(cents AS BIGINT) / 100.0, 2) AS part_value
 FROM pv
-WHERE cents > (SELECT CAST(sum(cents) AS BIGINT) * 0.001 FROM pv)
+WHERE cents * (SELECT count(*) FROM pv) > 2 * (SELECT CAST(sum(cents) AS BIGINT) FROM pv)
 ORDER BY part_value DESC, p_partkey
 """,
-    doc="TPC-H Q11 shape (adapted: per-part 'stock value' = shipped extended price from lineitem, replacing the absent partsupp supplycost*availqty): parts whose value exceeds a fraction of the regional total. The group-vs-global-scalar HAVING becomes one O(1) collected scalar over the part-dimension aggregate (same resolved pattern as q22's avg balance) — no global window, no second fact pass; value sums run in exact integer cents.",
+    doc="TPC-H Q11 shape (adapted: per-part 'stock value' = shipped extended price from lineitem, replacing the absent partsupp supplycost*availqty): parts whose value exceeds 2x the average part value — mean-relative rather than TPC-H's fixed fraction-of-total because the original spec scales that fraction by 1/SF; a mean-relative threshold is selective at EVERY fixture SF. The group-vs-global-scalar HAVING becomes one O(1) collected scalar over the part-dimension aggregate (same resolved pattern as q22's avg balance) — no global window, no second fact pass; value sums AND the threshold comparison (integer cross-multiplication, no float boundary) run exactly.",
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -695,9 +695,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("cents"))
         .localCheckpoint(eager=True)  # two consumers: scalar + filter
     )
-    total = pv.agg(F.sum("cents")).collect()[0][0]  # O(1) driver scalar
+    # O(1) driver scalars; threshold compares in exact integers
+    total, n_parts = pv.agg(F.sum("cents"), F.count(F.lit(1))).collect()[0]
     return (
-        pv.filter(F.col("cents") > F.lit(float(total) * 0.001))
+        pv.filter(F.col("cents") * F.lit(int(n_parts)) > F.lit(2 * int(total)))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("cents") / 100.0, 2).alias("part_value"),
