@@ -645,11 +645,13 @@ def _winnowing_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "substring_dedup_spans",
-    oracle=f"""
-WITH {_winnowing_ctes()},
-shared AS (
+def _span_ctes() -> str:
+    """DuckDB CTE chain (appended after ``_winnowing_ctes``) ending in
+    ``spans(doc_id, span_start, span_end, span_tokens, n_fps)`` — the merged
+    cross-document duplicate excision ranges — shared by the
+    ``substring_dedup_spans`` oracle and the composed
+    ``substring_dedup_rewrite`` oracle."""
+    return f"""shared AS (
   SELECT fp FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) > 1
 ),
 hits AS (
@@ -668,13 +670,24 @@ islands AS (
          CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
   FROM marked
-)
-SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + {_WNW_K} AS BIGINT) AS span_end,
-       CAST(max(pos) + {_WNW_K} - min(pos) AS BIGINT) AS span_tokens,
-       count(*) AS n_fps
-FROM islands
-GROUP BY doc_id, isl
+),
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {_WNW_K} AS BIGINT) AS span_end,
+         CAST(max(pos) + {_WNW_K} - min(pos) AS BIGINT) AS span_tokens,
+         count(*) AS n_fps
+  FROM islands
+  GROUP BY doc_id, isl
+)"""
+
+
+@register(
+    "substring_dedup_spans",
+    oracle=f"""
+WITH {_winnowing_ctes()},
+{_span_ctes()}
+SELECT doc_id, span_start, span_end, span_tokens, n_fps
+FROM spans
 ORDER BY doc_id, span_start
 """,
     doc=(
@@ -696,6 +709,13 @@ ORDER BY doc_id, span_start
     ),
 )
 def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _substring_spans(spark, sf_dir).orderBy("doc_id", "span_start")
+
+
+def _substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered merged excision ranges ``(doc_id, span_start, span_end,
+    span_tokens, n_fps)`` — the shared span stage of
+    ``substring_dedup_spans`` and ``substring_dedup_rewrite``."""
     fps = _winnowing_fps(spark, sf_dir).localCheckpoint(eager=True)
     shared = (
         fps.groupBy("fp")
@@ -735,7 +755,77 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_fps"),
         )
         .drop("isl")
-        .orderBy("doc_id", "span_start")
+    )
+
+
+@register(
+    "substring_dedup_rewrite",
+    oracle=f"""
+WITH {_winnowing_ctes()},
+{_span_ctes()},
+tok_rows AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+),
+kept AS (
+  SELECT tr.doc_id, tr.tok, tr.i
+  FROM tok_rows tr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tr.doc_id AND tr.i >= s.span_start AND tr.i < s.span_end)
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(coalesce((SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id), 0) AS BIGINT) AS n_kept,
+       coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.i)
+                 FROM kept k WHERE k.doc_id = d.doc_id), '') AS dedup_text
+FROM documents d
+ORDER BY doc_id
+""",
+    doc=(
+        "The APPLY stage of substring-level dedup (Lee et al. 2022): excise "
+        "the merged cross-document duplicate ranges from substring_dedup_spans "
+        "and reassemble each document from its surviving tokens — the "
+        "rewritten corpus a training pipeline actually feeds downstream, "
+        "plus per-doc before/after token accounting. Scale shape: the span "
+        "ranges collect per document (bounded by that document's own span "
+        "count), join the corpus on doc_id (one hash shuffle, span side is "
+        "output-sized), and the token filter is a pure JVM higher-order "
+        "array expression inside the map stage — no explode of the corpus "
+        "into token rows, no Python. Documents with no duplicated spans "
+        "pass through untouched via the left join's null arm."
+    ),
+)
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spans = _substring_spans(spark, sf_dir).select(
+        "doc_id", "span_start", "span_end"
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    # 1-based token index (i is 0-based in the lambda); a token is kept when
+    # no excision span covers it
+    kept = F.when(F.col("spans").isNull(), toks).otherwise(
+        F.filter(
+            toks,
+            lambda x, i: ~F.exists(
+                F.col("spans"),
+                lambda s: (i + 1 >= s["span_start"]) & (i + 1 < s["span_end"]),
+            ),
+        )
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, " ").alias("dedup_text"),
+        )
+        .orderBy("doc_id")
     )
 
 

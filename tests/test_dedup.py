@@ -360,3 +360,50 @@ def test_substring_dedup_spans_marks_cross_doc_duplication(spark):
         for s in by_doc[d]:
             assert s.span_tokens == s.span_end - s.span_start
             assert s.n_fps >= 1
+
+
+def test_substring_dedup_rewrite_excises_and_preserves(spark):
+    """The APPLY stage: rewritten docs must (a) drop every token covered by
+    an excision span and keep every other token IN ORDER, and (b) pass
+    unique documents through byte-identical."""
+    import os
+    import random
+    import tempfile
+
+    rng = random.Random(29)
+    vocab = [f"tok{i}" for i in range(500)]
+    shared = " ".join(rng.choice(vocab) for _ in range(12))
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))  # noqa: E731
+    pre0, post0, pre1 = mk(20), mk(15), mk(35)
+    uniq = " ".join(f"uniq{i}" for i in range(60))
+    docs = [
+        (0, pre0 + " " + shared + " " + post0, "en", "s0", 0),
+        (1, pre1 + " " + shared, "en", "s1", 0),
+        (2, uniq, "en", "s2", 0),
+    ]
+    with tempfile.TemporaryDirectory(prefix="dnp_ssdr_") as tmp:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(tmp, "documents.parquet"))
+        spans = all_queries()["substring_dedup_spans"].fn(spark, tmp).collect()
+        rows = {
+            r.doc_id: r
+            for r in all_queries()["substring_dedup_rewrite"].fn(spark, tmp).collect()
+        }
+    # unique doc: untouched
+    assert rows[2].dedup_text == uniq
+    assert rows[2].n_kept == rows[2].n_tokens == 60
+    # duplicated docs: rewrite == original minus exactly the spanned tokens
+    spans_by_doc = {}
+    for s in spans:
+        spans_by_doc.setdefault(s.doc_id, []).append((s.span_start, s.span_end))
+    for d in (0, 1):
+        toks = docs[d][1].split(" ")
+        expect = [
+            t
+            for i, t in enumerate(toks, start=1)
+            if not any(a <= i < b for a, b in spans_by_doc[d])
+        ]
+        assert rows[d].dedup_text == " ".join(expect), f"doc {d}"
+        assert rows[d].n_tokens == len(toks)
+        assert rows[d].n_kept == len(expect) < len(toks)

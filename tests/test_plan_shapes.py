@@ -387,3 +387,18 @@ def test_substring_dedup_spans_joins_on_fingerprint_only(spark):
     plan = plan_of(spark, "substring_dedup_spans")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan, plan
+
+
+def test_substring_dedup_rewrite_no_token_explode(spark):
+    """The rewrite stage excises spans with a higher-order array filter on
+    the intact text column: no Explode of the corpus into token rows, no
+    Python evaluation, and the span side reaches the corpus through one
+    doc-keyed equi-join (no cartesian)."""
+    plan = plan_of(spark, "substring_dedup_rewrite")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the only Generate (explode) allowed is the fingerprint extraction's;
+    # the documents->tokens path must NOT explode, so every Generate in the
+    # plan emits the fingerprint struct, never a token string column
+    for seg in plan.split("Generate ")[1:]:
+        assert "pos" in seg[:200] or "fp" in seg[:200], seg[:200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
