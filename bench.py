@@ -38,6 +38,10 @@ EXTENDED = [
     "rrf_fusion",
     "station_communities",
     "neardup_incremental_replay",
+    # round-6 additions
+    "substring_dedup_rewrite",
+    "dedup_components_lsh",
+    "q18_large_volume_customer",
 ]
 
 HEADLINE = [
