@@ -156,6 +156,21 @@ def main() -> None:
         )
     calib_end = calibrate()
 
+    # Shuffle-discipline evidence: static physical-plan Exchange counts per
+    # headline query (shuffle vs broadcast), straight from the plan text —
+    # the quantitative form of the "one full-data shuffle per operator"
+    # audit in SCALING.md. Plan build only, nothing executed or timed.
+    plan_exchanges: dict[str, dict[str, int]] = {}
+    for name in HEADLINE:
+        try:
+            plan = specs[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+            plan_exchanges[name] = {
+                "shuffle": len(re.findall(r"\bExchange (?:hash|range|Single)", plan)),
+                "broadcast": plan.count("BroadcastExchange"),
+            }
+        except Exception as e:  # pragma: no cover — never fail the bench
+            print(f"# plan inspect {name} failed: {e}", file=sys.stderr)
+
     extended: dict[str, float] = {}
     for name in EXTENDED:
         _release_cached(spark)
@@ -194,6 +209,7 @@ def main() -> None:
                     "end": calib_end,
                 },
                 "runs_noisy_max": n_runs_noisy,
+                "plan_exchanges": plan_exchanges,
                 "extended": extended,
             }
         )
