@@ -142,3 +142,19 @@ def test_q21_semi_then_anti(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     # supplier-side enrichment broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_q12_year_filter_reaches_lineitem_scan(spark):
+    # the shipdate year window must prune at the parquet scan, BEFORE the
+    # orderkey join; only the non-pushable orderdate arithmetic runs post-join
+    plan = plan_of(spark, "q12_priority_shipping")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q4_order_quarter_filter_reaches_scan(spark):
+    plan = plan_of(spark, "q4_order_priority")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "o_orderdate" in pushed, pushed
