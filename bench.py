@@ -159,17 +159,31 @@ def main() -> None:
     # Shuffle-discipline evidence: static physical-plan Exchange counts per
     # headline query (shuffle vs broadcast), straight from the plan text —
     # the quantitative form of the "one full-data shuffle per operator"
-    # audit in SCALING.md. Plan build only, nothing executed or timed.
-    plan_exchanges: dict[str, dict[str, int]] = {}
+    # audit in SCALING.md. Plans are built at the SMALLEST fixture SF: the
+    # plan SHAPE is data-size-independent, and queries with eager
+    # localCheckpoints (near_dup_jaccard) execute those jobs at plan-build
+    # time — at sf_dir that would silently add heavy untimed work here.
+    # Checkpoints also TRUNCATE the visible plan to the post-checkpoint
+    # stages ("Scan ExistingRDD"); such counts are partial, flagged with
+    # truncated=true so a consumer never reads them as the full shuffle
+    # story.
+    plan_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    plan_exchanges: dict[str, dict[str, int | bool]] = {}
     for name in HEADLINE:
         try:
-            plan = specs[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-            plan_exchanges[name] = {
-                "shuffle": len(re.findall(r"\bExchange (?:hash|range|Single)", plan)),
+            plan = specs[name].fn(spark, plan_dir)._jdf.queryExecution().executedPlan().toString()
+            entry: dict[str, int | bool] = {
+                "shuffle": len(
+                    re.findall(r"\bExchange (?:hash|range|Single|RoundRobin)", plan)
+                ),
                 "broadcast": plan.count("BroadcastExchange"),
             }
+            if "Scan ExistingRDD" in plan:
+                entry["truncated"] = True  # checkpoint hides upstream stages
+            plan_exchanges[name] = entry
         except Exception as e:  # pragma: no cover — never fail the bench
             print(f"# plan inspect {name} failed: {e}", file=sys.stderr)
+    _release_cached(spark)  # drop checkpointed blocks from the plan builds
 
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -695,10 +695,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("cents"))
         .localCheckpoint(eager=True)  # two consumers: scalar + filter
     )
-    # O(1) driver scalars; threshold compares in exact integers
+    # O(1) driver scalars; threshold compares in exact integers.
+    # sum() over zero rows collects as None — an empty region filter must
+    # yield the oracle's empty result, not a TypeError.
     total, n_parts = pv.agg(F.sum("cents"), F.count(F.lit(1))).collect()[0]
     return (
-        pv.filter(F.col("cents") * F.lit(int(n_parts)) > F.lit(2 * int(total)))
+        pv.filter(F.col("cents") * F.lit(int(n_parts)) > F.lit(2 * int(total or 0)))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("cents") / 100.0, 2).alias("part_value"),
