@@ -1,0 +1,37 @@
+"""Results must be independent of shuffle parallelism — the property that
+makes local[32] evidence transfer to a 1000-executor cluster. The
+partition-sensitive operators (sessionize boundary merge, lifecycle
+replay, star contraction, the l1 kernel's session sharding) are re-run
+under an odd prime shuffle-partition count and value-hash-compared to the
+same DuckDB oracle that adjudicates them at 32. A one-off sweep at 1024
+partitions (round 6) was green for 10 operators; this pins the property
+against regressions at a cheaper count."""
+
+from __future__ import annotations
+
+import pytest
+
+from detector_network_processor_spark.plans import all_queries
+from detector_network_processor_spark.testing import (
+    compare_spark_vs_oracle,
+    duckdb_connect,
+)
+
+from conftest import SF_DIR_SMALL
+
+PICK = ["l1_coincidence", "sessionize_events", "dedup_components"]
+
+
+@pytest.mark.parametrize("name", PICK)
+def test_result_invariant_under_shuffle_partition_count(spark, name):
+    spec = all_queries()[name]
+    con = duckdb_connect(SF_DIR_SMALL)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "257")
+        ok, msg = compare_spark_vs_oracle(
+            spec.fn(spark, SF_DIR_SMALL), con, spec.oracle
+        )
+        assert ok, f"{name} @257 partitions: {msg}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
