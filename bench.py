@@ -185,49 +185,75 @@ def main() -> None:
             print(f"# plan inspect {name} failed: {e}", file=sys.stderr)
     _release_cached(spark)  # drop checkpointed blocks from the plan builds
 
+    # Extended section gets the same noise protocol as the headline
+    # (round-6 verdict "What's wrong #2"): min-of-2 per query plus the fixed
+    # calibration probe bracketing the section, so a noisy host window is
+    # machine-detectable here too (r6 driver read station_communities at
+    # 9.24 s vs a true ~4.5 s on an unchanged plan — single-shot timing).
+    ext_calib_start = calibrate()
     extended: dict[str, float] = {}
+    extended_spread: dict[str, float] = {}
     for name in EXTENDED:
         _release_cached(spark)
         try:
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).count()
-            extended[name] = round(time.perf_counter() - t0, 3)
+            runs = timed_runs(name, 2)
+            extended[name] = round(min(runs), 3)
+            extended_spread[name] = round(max(runs) - min(runs), 3)
         except Exception as e:  # pragma: no cover — never fail the bench
             print(f"# extended {name} failed: {e}", file=sys.stderr)
             extended[name] = -1.0
+    ext_calib_end = calibrate()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": n_runs,
-                "spread": spreads,
-                "spread_total": round(sum(spreads.values()), 3),
-                # Noise-evidence block: per-run walls + per-query start
-                # offsets (seconds since headline-section start) + a fixed
-                # calibration probe at section start/end. Interpretation:
-                # calib_start != calib_end (or either far from
-                # queries.window_sliding_stats) => the section overlapped a
-                # noisy host window and the totals are not comparable
-                # round-over-round; per-run escalation (up to
-                # runs_noisy_max) already tried to ride it out.
-                "runs": all_runs,
-                "query_start_offsets_sec": started_at,
-                "calibration": {
-                    "probe": "window_sliding_stats",
-                    "start": calib_start,
-                    "end": calib_end,
-                },
-                "runs_noisy_max": n_runs_noisy,
-                "plan_exchanges": plan_exchanges,
-                "extended": extended,
-            }
-        )
-    )
+    calibration = {
+        "probe": "window_sliding_stats",
+        "start": calib_start,
+        "end": calib_end,
+        "extended_start": ext_calib_start,
+        "extended_end": ext_calib_end,
+    }
+    # Noise-evidence detail (per-run walls, start offsets, plan Exchange
+    # counts, extended timings): printed FIRST and also written to
+    # BENCH_DETAIL.json. The driver keeps only the LAST 2000 characters of
+    # stdout and parses the final line — round 6's single fat JSON line
+    # exceeded that window and parsed as null, so the headline summary MUST
+    # be the final line and MUST stay compact (well under 1500 chars).
+    detail = {
+        "metric": "bench_detail",
+        "runs": all_runs,
+        "query_start_offsets_sec": started_at,
+        "spread": spreads,
+        "runs_per_query": n_runs,
+        "runs_noisy_max": n_runs_noisy,
+        "plan_exchanges": plan_exchanges,
+        "extended_spread": extended_spread,
+        "calibration": calibration,
+    }
+    print(json.dumps(detail))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # pragma: no cover
+        print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
+
+    # FINAL stdout line: the compact driver-parseable headline summary.
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "spread_total": round(sum(spreads.values()), 3),
+        "calibration": calibration,
+        "extended": extended,
+    }
+    line = json.dumps(summary)
+    if len(line) > 1900:  # belt-and-braces: never exceed the driver's tail
+        summary.pop("extended", None)
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

@@ -117,6 +117,15 @@ def _build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--in", dest="in_dir", required=True, help="parquet docs (doc_id, text, ...)")
     cp.add_argument("--out", required=True)
     cp.add_argument("--jaccard", type=float, default=0.5, help="near-dup signature-agreement threshold")
+    cp.add_argument(
+        "--clone-safe",
+        action="store_true",
+        help="cluster via spanning-star LSH bucket edges (O(docs x bands) "
+        "edges; survives K-fold clone corpora where any pair-listing path "
+        "is quadratic in its own output) instead of verified MinHash pairs; "
+        "recall-leaning: bucket agreement is the only membership evidence, "
+        "so --jaccard is ignored in this mode",
+    )
     cp.add_argument("--cpus", default=None, help="local[N] threads (default $SPARK_GRAFT_CPUS or 32)")
 
     ver = sub.add_parser(
@@ -257,9 +266,19 @@ def _cmd_materialize(args) -> int:
         else None
     )
     spark = get_spark(app_name="dnp-materialize", cpus=args.cpus, warehouse_dir=warehouse)
-    if warehouse is not None and spark.conf.get("spark.sql.warehouse.dir").rstrip(
-        "/"
-    ).removeprefix("file:") != warehouse.rstrip("/"):
+
+    def _as_local_path(uri: str) -> str:
+        # the conf may come back as a bare path, 'file:/p', or 'file:///p';
+        # urlparse normalizes all three to the filesystem path
+        from urllib.parse import urlparse
+
+        parsed = urlparse(uri)
+        path = parsed.path if parsed.scheme else uri
+        return os.path.normpath(path)
+
+    if warehouse is not None and _as_local_path(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ) != os.path.normpath(warehouse):
         # getOrCreate() reused a pre-existing session whose warehouse is
         # already pinned elsewhere — refusing beats silently writing there.
         print(
@@ -314,7 +333,7 @@ def _cmd_compact(args) -> int:
     import pyspark.sql.functions as F
 
     from .operators.components import connected_components
-    from .operators.dedup import minhash_lsh_pairs, minhash_signatures
+    from .operators.dedup import lsh_star_edges, minhash_lsh_pairs, minhash_signatures
     from .session import get_spark
     from .streaming.dedup import with_content_key
 
@@ -326,10 +345,17 @@ def _cmd_compact(args) -> int:
     canon = keyed.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
     exact = keyed.join(canon, ["content_key", "doc_id"])
     n_exact = exact.count()
-    # near-dup: LSH pairs over the exact-deduped survivors only
+    # near-dup clustering over the exact-deduped survivors only
     sigs = minhash_signatures(exact.repartition(python_stage_partitions(spark)))
-    pairs = minhash_lsh_pairs(sigs).filter(F.col("est_jaccard") >= args.jaccard)
-    cc = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
+    if args.clone_safe:
+        # star edges per LSH bucket: the clone-regime path — the verified
+        # pair listing below emits ~K^2/2 edges per K-clone set and dies at
+        # K>=30 (SCALING.md clone sweep); the spanning star emits K-1 with
+        # identical connectivity, so re-crawl corpora compact linearly
+        edges = lsh_star_edges(sigs)
+    else:
+        edges = minhash_lsh_pairs(sigs).filter(F.col("est_jaccard") >= args.jaccard)
+    cc = connected_components(edges, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
     survivors = (
         exact.join(cc, "doc_id", "left")
         .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))

@@ -199,6 +199,53 @@ def _jaccard_cap(n_docs: int) -> int:
     return max(_JACCARD_CAP_MIN, math.ceil(_JACCARD_CAP_FRAC * n_docs))
 
 
+# Oracle for the CAPPED variant: same exact rescoring, but candidate pairs
+# must share >=1 NON-HOT shingle (df <= max(CAP_MIN, ceil(CAP_FRAC*n_docs))),
+# replicating the Spark plan's stop-shingle candidate generation. Registering
+# the capped path against this oracle (instead of the exact one) makes the
+# driver contract describe what the plan computes BY CONSTRUCTION — a true
+# pair all of whose shared shingles are corpus-hot is excluded on both sides
+# — while capped==exact on the fixtures stays asserted in tests/test_dedup.py.
+_JACCARD_CAPPED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(t) - {_SHINGLE_W - 1}),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks WHERE len(t) >= {_SHINGLE_W}
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM shingles),
+posting AS (SELECT doc_id, unnest(sh) AS shingle FROM shingles),
+hot AS (
+  SELECT shingle FROM posting GROUP BY shingle
+  HAVING count(*) > greatest({_JACCARD_CAP_MIN}, CAST(ceil({_JACCARD_CAP_FRAC} * (SELECT count(*) FROM documents)) AS BIGINT))
+),
+kept AS (
+  SELECT doc_id, shingle FROM posting
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * {_JACCARD_DEN} > (sa.n_sh + sb.n_sh - n_common) * {_JACCARD_NUM}
+ORDER BY doc_a, doc_b
+"""
+
 @register(
     "near_dup_jaccard",
     oracle=_JACCARD_ORACLE,
@@ -210,8 +257,8 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_jaccard_capped",
-    oracle=_JACCARD_ORACLE,
-    doc=f"The template-regime near-dup scale path, driver-adjudicated on its own: stop-shingle candidate counting (shingles with df > max({_JACCARD_CAP_MIN}, {_JACCARD_CAP_FRAC} * n_docs) excluded from the inverted-index self-join ONLY), an n_common UPPER-BOUND prefilter (kept_common + min(hot_a, hot_b) — drops every pair that cannot reach the threshold before any array is shipped), then exact array_intersect rescoring of the survivors — so it registers against the IDENTICAL oracle as near_dup_jaccard. The capped sum_{{df<=cap}} C(df, 2) removes the C(n_docs, 2)-per-template-shingle term that makes the exact path non-viable on boilerplate-heavy corpora (measured head-to-head in SCALING.md's boilerplate table); on template-free corpora its overhead over exact is ~15% at 100x. The n_docs count is a one-row scalar job, the standard pattern for corpus-relative thresholds here (cf. dsir/ccnet scale paths).",
+    oracle=_JACCARD_CAPPED_ORACLE,
+    doc=f"The template-regime near-dup scale path, driver-adjudicated on its own: stop-shingle candidate counting (shingles with df > max({_JACCARD_CAP_MIN}, {_JACCARD_CAP_FRAC} * n_docs) excluded from the inverted-index self-join ONLY), an n_common UPPER-BOUND prefilter (kept_common + min(hot_a, hot_b) — drops every pair that cannot reach the threshold before any array is shipped), then exact array_intersect rescoring of the survivors. Registered against an oracle that applies the SAME df cap to candidate generation (so the driver contract is exact-by-construction even on corpora where a true pair's shared shingles are all hot); capped==exact on the fixtures is separately asserted in tests/test_dedup.py. The capped sum_{{df<=cap}} C(df, 2) removes the C(n_docs, 2)-per-template-shingle term that makes the exact path non-viable on boilerplate-heavy corpora (measured head-to-head in SCALING.md's boilerplate table); on template-free corpora its overhead over exact is ~15% at 100x. The n_docs count is a one-row scalar job, the standard pattern for corpus-relative thresholds here (cf. dsir/ccnet scale paths).",
 )
 def near_dup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = load_table(spark, sf_dir, "documents").count()
@@ -286,9 +333,13 @@ def near_dup_jaccard_plan(
         sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
         sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
         union_size = F.col("n_a") + F.col("n_b") - F.col("n_common")
+        # sizes is O(n_docs) rows of two ints — small at any tested SF, but
+        # an EXPLICIT broadcast hint would hard-fail past Spark's 8 GB
+        # broadcast limit (~300 M docs); no hint means AQE broadcasts it
+        # while it is small and falls back to a shuffle join beyond that.
         return (
-            common.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
+            common.join(sa, "doc_a")
+            .join(sb, "doc_b")
             .filter(F.col("n_common") * _JACCARD_DEN > union_size * _JACCARD_NUM)
             .select(
                 "doc_a",
@@ -322,6 +373,10 @@ def near_dup_jaccard_plan(
         .filter(F.col("df") > max_df)
         .select("shash")
     )
+    # hot-set broadcast is SAFE to force: |hot| <= total_postings / cap
+    # = (n_docs * shingles_per_doc) / (CAP_FRAC * n_docs), i.e. bounded by
+    # shingles_per_doc / CAP_FRAC rows INDEPENDENT of corpus size — unlike
+    # the O(n_docs) per-doc tables below, which carry no hint.
     kept = posting.join(F.broadcast(hot), "shash", "left_anti").localCheckpoint(
         eager=True
     )
@@ -334,8 +389,9 @@ def near_dup_jaccard_plan(
         .agg(F.count(F.lit(1)).alias("kept_common"))
     )
     # per-doc totals and hot-shingle counts (n_hot = n_sh - n_kept);
-    # O(docs) rows of ints — broadcastable far beyond this scale, and at
-    # true 100 TB it degrades gracefully to a shuffle join.
+    # O(docs) rows of ints. No broadcast hint: AQE broadcasts it while it
+    # fits and picks a shuffle join past the 8 GB broadcast limit — a
+    # forced F.broadcast would ERROR there, not degrade.
     n_kept = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kept"))
     meta = (
         sizes.join(n_kept, "doc_id", "left")
@@ -358,8 +414,8 @@ def near_dup_jaccard_plan(
     ub = F.col("kept_common") + F.least("hot_a", "hot_b")
     ub_union = F.col("n_a") + F.col("n_b") - ub
     cand = (
-        kc.join(F.broadcast(ma), "doc_a")
-        .join(F.broadcast(mb), "doc_b")
+        kc.join(ma, "doc_a")
+        .join(mb, "doc_b")
         .filter(ub * _JACCARD_DEN > ub_union * _JACCARD_NUM)
         .select("doc_a", "doc_b")
         # feeds the surviving-doc semi-filter AND the rescore join

@@ -1616,6 +1616,130 @@ def station_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Production variants of the two iterative graph operators: iterate until a
+# FIXPOINT instead of a fixed unroll count. The registered 3-iteration modes
+# stay as the driver contract (their oracles replay the unroll exactly); a
+# real deployment runs these — each iteration ends with one O(1)-row driver
+# aggregate (labels-changed count / max rank delta), and per-iteration
+# eager checkpoints keep the lineage flat, so the loop's cost is
+# iterations x (one label join + one agg), never a growing plan.
+
+
+def station_communities_converged(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> tuple[DataFrame, int]:
+    """Weighted synchronous LPA iterated to convergence (no label changed).
+
+    Returns (result DataFrame, iterations actually run). ``max_iters`` caps
+    the loop: synchronous LPA can 2-cycle on bipartite-ish subgraphs, and a
+    production job needs a bound regardless."""
+    from ..operators.histogram import pair_totals
+
+    pt = pair_totals(_pair_hist_df(spark, sf_dir)).localCheckpoint(eager=True)
+    edges = pt.select(
+        F.col("hash_lo").alias("u"), F.col("hash_hi").alias("v"), F.col("total").alias("w")
+    ).unionByName(
+        pt.select(
+            F.col("hash_hi").alias("u"), F.col("hash_lo").alias("v"), F.col("total").alias("w")
+        )
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("u").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint(eager=True)
+    )
+    w_pick = Window.partitionBy("v").orderBy(F.col("wt").desc(), F.col("lbl"))
+    iters = 0
+    for _ in range(max_iters):
+        nxt = (
+            edges.join(F.broadcast(labels.select(F.col("v").alias("u"), "lbl")), "u")
+            .groupBy("v", "lbl")
+            .agg(F.sum("w").cast("long").alias("wt"))
+            .withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+            .localCheckpoint(eager=True)
+        )
+        iters += 1
+        # O(1)-row convergence aggregate: count of nodes whose label moved
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("p"), "v")
+            .filter(F.col("n.lbl") != F.col("p.lbl"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    w_size = Window.partitionBy("lbl")
+    out = (
+        labels.withColumn("community_size", F.count(F.lit(1)).over(w_size).cast("long"))
+        .select(
+            F.col("v").alias("hash"),
+            F.col("lbl").alias("community"),
+            "community_size",
+        )
+        .orderBy("hash")
+    )
+    return out, iters
+
+
+def station_pagerank_converged(
+    spark: SparkSession, sf_dir: str, max_iters: int = 50, tol12: int = 1_000_000
+) -> tuple[DataFrame, int]:
+    """Fixed-point PageRank iterated until max per-node rank delta (in the
+    1e12 integer scale) drops to ``tol12`` (default 1e6 = 1e-6 rank units).
+
+    Returns (result DataFrame, iterations actually run). Same bit-exact
+    integer arithmetic as the registered 3-iteration mode."""
+    from ..operators.histogram import pair_totals
+
+    pt = pair_totals(_pair_hist_df(spark, sf_dir)).localCheckpoint(eager=True)
+    edges = pt.select(
+        F.col("hash_lo").alias("u"), F.col("hash_hi").alias("v"), F.col("total").alias("w")
+    ).unionByName(
+        pt.select(
+            F.col("hash_hi").alias("u"), F.col("hash_lo").alias("v"), F.col("total").alias("w")
+        )
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.sum("w").cast("long").alias("wsum"))
+    n = deg.count()  # O(1) driver scalar — station dimension
+    base = 150_000_000_000 // n
+    ranks = deg.select(
+        F.col("u").alias("v"), F.lit(_PR_SCALE // n).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    ew = edges.join(F.broadcast(deg), "u").localCheckpoint(eager=True)
+    iters = 0
+    for _ in range(max_iters):
+        nxt = (
+            ew.join(F.broadcast(ranks.withColumnRenamed("v", "u")), "u")
+            .select("v", F.expr("(r * w) div wsum").alias("contrib"))
+            .groupBy("v")
+            .agg(
+                (F.lit(base) + F.expr("(sum(contrib) * 17) div 20")).cast("long").alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+        iters += 1
+        # O(1)-row convergence aggregate: max absolute rank movement
+        delta = (
+            nxt.alias("n")
+            .join(ranks.alias("p"), "v")
+            .agg(F.max(F.abs(F.col("n.r") - F.col("p.r"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = nxt
+        if delta is not None and delta <= tol12:
+            break
+    out = ranks.select(
+        F.col("v").alias("hash"),
+        F.col("r").alias("rank12"),
+        F.round(F.col("r") / 1_000_000.0 / 1_000_000.0, 6).alias("rank"),
+    ).orderBy("hash")
+    return out, iters
+
+
 # --------------------------------------------------------------------------
 # Triangle counting over the coincidence adjacency — the standard graph
 # cohesion statistic (a station in many triangles sits in a densely

@@ -556,7 +556,8 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q2_min_cost_supplier",
     oracle="""
 WITH offers AS (
-  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 10000 / l_quantity) AS BIGINT)) AS unit_cost_j
   FROM lineitem
   WHERE l_suppkey IN (
     SELECT s_suppkey FROM supplier
@@ -566,13 +567,13 @@ WITH offers AS (
   GROUP BY l_partkey, l_suppkey
 ),
 minc AS (
-  SELECT l_partkey AS m_partkey, min(unit_cost) AS min_cost
+  SELECT l_partkey AS m_partkey, min(unit_cost_j) AS min_cost_j
   FROM offers GROUP BY l_partkey
 )
 SELECT round(s_acctbal, 2) AS acctbal, s_name, n_name, p_partkey, p_name,
-       round(unit_cost, 4) AS unit_cost
+       round(unit_cost_j / 10000.0, 4) AS unit_cost
 FROM offers
-JOIN minc ON l_partkey = m_partkey AND unit_cost = min_cost
+JOIN minc ON l_partkey = m_partkey AND unit_cost_j = min_cost_j
 JOIN part ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -580,7 +581,7 @@ WHERE p_type = 'LARGE'
 ORDER BY acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
 """,
-    doc="TPC-H Q2 shape (adapted: the part-supplier cost relation is derived from lineitem unit prices instead of the absent partsupp): per-part minimum-cost supplier within a region. The correlated MIN subquery becomes a part-dimension aggregate joined back onto the offers (both sides part-dimension-sized, broadcast); supplier/nation/region/part are all broadcast dimensions — the only fact-side work is one groupBy(part, supp) aggregation. Unit cost is a deterministic IEEE division, identical bit-for-bit in both engines, so the =min equality is portable. Ref parity: include/query shapes per SURVEY §2.10.",
+    doc="TPC-H Q2 shape (adapted: the part-supplier cost relation is derived from lineitem unit prices instead of the absent partsupp): per-part minimum-cost supplier within a region. The correlated MIN subquery becomes a part-dimension aggregate joined back onto the offers (both sides part-dimension-sized, broadcast); supplier/nation/region/part are all broadcast dimensions — the only fact-side work is one groupBy(part, supp) aggregation. The =min tie is EXACT: unit cost is scaled to integer ten-thousandths (q11 cents-style) before the min/equality, so the join never relies on cross-engine bit-identical IEEE division results. Ref parity: include/query shapes per SURVEY §2.10.",
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -600,16 +601,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        # scaled-integer unit cost (ten-thousandths): the per-part =min
+        # equality below compares exact BIGINTs, not doubles
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") * 10000 / F.col("l_quantity")).cast(
+                    "bigint"
+                )
+            ).alias("unit_cost_j")
+        )
     )
     minc = offers.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
+        F.min("unit_cost_j").alias("min_cost_j")
     )
     return (
         offers.join(
             F.broadcast(minc),
             (F.col("l_partkey") == F.col("m_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
+            & (F.col("unit_cost_j") == F.col("min_cost_j")),
         )
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -619,7 +628,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_name",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            F.round(F.col("unit_cost_j") / 10000.0, 4).alias("unit_cost"),
         )
         .orderBy(F.desc("acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

@@ -166,6 +166,24 @@ def test_compact_removes_exact_and_near_duplicates(spark, tmp_path):
     assert got == [1, 4]
 
 
+def test_compact_clone_safe_mode(spark, tmp_path):
+    """compact --clone-safe: K clones of a doc collapse via spanning-star
+    LSH bucket edges (the clone-regime path; no pair listing), and a
+    distinct doc still survives untouched."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    K = 8
+    rows = [(i, base + f" trailer{i}", "en", "web") for i in range(1, K + 1)]
+    rows.append((99, "completely different text about other things entirely with many unique words", "en", "web"))
+    src = str(tmp_path / "lake")
+    out = str(tmp_path / "clean")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string, source string").write.parquet(src)
+    rc = main(["compact", "--in", src, "--out", out, "--clone-safe"])
+    assert rc == 0
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 99]
+
+
 def test_cli_monitor_drains_spool(spark, tmp_path):
     """`monitor --available-now`: (topic, payload) spool -> streaming
     detector summaries -> K1 text lines parquet."""

@@ -402,3 +402,25 @@ def test_substring_dedup_rewrite_no_token_explode(spark):
     for seg in plan.split("Generate ")[1:]:
         assert "pos" in seg[:200] or "fp" in seg[:200], seg[:200]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jaccard_per_doc_joins_carry_no_broadcast_hint(spark):
+    """The per-doc size/meta tables in the jaccard family are O(n_docs)
+    rows: a forced F.broadcast hint on them ERRORS past Spark's 8 GB
+    broadcast hard limit (~300 M docs) instead of degrading to a shuffle
+    join. The plans must leave the choice to AQE — the only hint allowed
+    is the capped path's hot-shingle set, whose size is bounded by
+    shingles_per_doc / CAP_FRAC rows independent of corpus size."""
+    from detector_network_processor_spark.plans import all_queries
+
+    exact = all_queries()["near_dup_jaccard"].fn(spark, SF_DIR)
+    analyzed = exact._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # exact path: zero forced hints
+    # AQE still broadcasts the small side on its own at this SF
+    assert "BroadcastHashJoin" in plan_of(spark, "near_dup_jaccard")
+
+    capped = all_queries()["near_dup_jaccard_capped"].fn(spark, SF_DIR)
+    analyzed = capped._jdf.queryExecution().analyzed().toString()
+    # exactly one hint: the bounded hot-set anti-join (checkpoints truncate
+    # the analyzed plan, so count what remains visible upstream of them)
+    assert analyzed.count("ResolvedHint") <= 1

@@ -144,17 +144,25 @@ def test_q21_semi_then_anti(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def _pushed_filter_segments(plan: str) -> list[str]:
+    """All PushedFilters blocks in the plan — a query with several parquet
+    scans prints one per scan, in an order the test must not depend on."""
+    return [seg[:300] for seg in plan.split("PushedFilters")[1:]]
+
+
 def test_q12_year_filter_reaches_lineitem_scan(spark):
     # the shipdate year window must prune at the parquet scan, BEFORE the
-    # orderkey join; only the non-pushable orderdate arithmetic runs post-join
+    # orderkey join; only the non-pushable orderdate arithmetic runs
+    # post-join. Check EVERY scan's PushedFilters — which scan prints
+    # first is plan-layout noise, not the property under test.
     plan = plan_of(spark, "q12_priority_shipping")
-    assert "PushedFilters" in plan
-    pushed = plan.split("PushedFilters")[1][:300]
-    assert "l_shipdate" in pushed, pushed
+    segments = _pushed_filter_segments(plan)
+    assert segments
+    assert any("l_shipdate" in s for s in segments), segments
 
 
 def test_q4_order_quarter_filter_reaches_scan(spark):
     plan = plan_of(spark, "q4_order_priority")
-    assert "PushedFilters" in plan
-    pushed = plan.split("PushedFilters")[1][:300]
-    assert "o_orderdate" in pushed, pushed
+    segments = _pushed_filter_segments(plan)
+    assert segments
+    assert any("o_orderdate" in s for s in segments), segments
