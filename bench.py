@@ -239,6 +239,22 @@ def main() -> None:
         print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
 
     # FINAL stdout line: the compact driver-parseable headline summary.
+    print(summary_line(total, timings, sf, spreads, calibration, extended))
+    spark.stop()
+
+
+def summary_line(
+    total: float,
+    timings: dict[str, float],
+    sf: float | None,
+    spreads: dict[str, float],
+    calibration: dict,
+    extended: dict[str, float],
+) -> str:
+    """The compact headline summary — MUST stay well under the consumer's
+    2000-char stdout-tail window, whatever the query registry grows to
+    (tests/test_bench_contract.py pins this). Drops the extended block,
+    then the calibration block, if the full form ever exceeds the budget."""
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
@@ -250,11 +266,12 @@ def main() -> None:
         "extended": extended,
     }
     line = json.dumps(summary)
-    if len(line) > 1900:  # belt-and-braces: never exceed the driver's tail
-        summary.pop("extended", None)
+    for drop in ("extended", "calibration"):
+        if len(line) <= 1900:
+            break
+        summary.pop(drop, None)
         line = json.dumps(summary)
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

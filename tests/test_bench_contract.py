@@ -1,0 +1,51 @@
+"""bench.py stdout contract: the FINAL stdout line must be a compact JSON
+summary that survives a consumer keeping only the last 2000 characters of
+stdout (round 6 shipped no parseable headline because a single fat JSON
+line overflowed exactly that window). No Spark session needed — the
+contract is a pure string-building property."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_inputs():
+    timings = {name: 1.234 for name in bench.HEADLINE}
+    spreads = {name: 0.123 for name in bench.HEADLINE}
+    extended = {name: 12.345 for name in bench.EXTENDED}
+    calibration = {
+        "probe": "window_sliding_stats",
+        "start": 0.184,
+        "end": 0.186,
+        "extended_start": 0.185,
+        "extended_end": 0.187,
+    }
+    return timings, spreads, extended, calibration
+
+
+def test_summary_line_fits_tail_window_and_parses():
+    timings, spreads, extended, calibration = _fake_inputs()
+    line = bench.summary_line(10.0, timings, 0.1, spreads, calibration, extended)
+    assert len(line) <= 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["value"] == 10.0
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    # full form retains the noise-evidence calibration + extended blocks
+    assert parsed["calibration"]["probe"] == "window_sliding_stats"
+    assert set(parsed["extended"]) == set(bench.EXTENDED)
+
+
+def test_summary_line_degrades_instead_of_overflowing():
+    timings, spreads, extended, calibration = _fake_inputs()
+    # a future registry 10x the extended list must shed detail, not overflow
+    big_extended = {f"query_with_a_rather_long_name_{i:03d}": 1.0 for i in range(120)}
+    big_extended.update(extended)
+    line = bench.summary_line(10.0, timings, 0.1, spreads, calibration, big_extended)
+    assert len(line) <= 1900, len(line)
+    parsed = json.loads(line)
+    # headline metric/value/queries are never shed
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
