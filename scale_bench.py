@@ -65,26 +65,44 @@ DEFAULT_QUERIES = [
 _SCALED = ("events", "documents", "embeddings")
 
 
-def build_scaled(spark, factor: int, out_dir: str, docs_mode: str = "clone") -> None:
+def build_scaled(
+    spark,
+    factor: int,
+    out_dir: str,
+    docs_mode: str = "clone",
+    tables: tuple[str, ...] = _SCALED,
+) -> None:
+    """Replicate the base fixtures ``factor``-fold into ``out_dir``.
+
+    ``tables`` restricts which of the heavy tables are scaled (the TPC-H
+    dimension/fact tables are copied as-is only when scaling the full set)
+    — a 1000x documents-only corpus is ~1 GB, while 1000x events would be
+    a billion rows nothing here needs."""
     os.makedirs(out_dir, exist_ok=True)
     rep = spark.range(factor).select(F.col("id").alias("_rep"))
 
-    ev = load_table(spark, BASE_SF, "events")
-    n_ev = ev.count()
-    scaled_ev = (
-        ev.crossJoin(F.broadcast(rep))
-        .select(
-            (F.col("event_id") + F.col("_rep") * n_ev).alias("event_id"),
-            # shift each replica by a few minutes so sessions interleave
-            # instead of duplicating exactly (density grows ~K-fold)
-            (F.col("ts") + F.make_dt_interval(F.lit(0), F.lit(0), (F.col("_rep") * 7).cast("int"), F.lit(0))).alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
+    if "events" in tables:
+        ev = load_table(spark, BASE_SF, "events")
+        n_ev = ev.count()
+        scaled_ev = (
+            ev.crossJoin(F.broadcast(rep))
+            .select(
+                (F.col("event_id") + F.col("_rep") * n_ev).alias("event_id"),
+                # shift each replica by a few minutes so sessions interleave
+                # instead of duplicating exactly (density grows ~K-fold)
+                (F.col("ts") + F.make_dt_interval(F.lit(0), F.lit(0), (F.col("_rep") * 7).cast("int"), F.lit(0))).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
         )
-    )
-    scaled_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+        scaled_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+    if "documents" not in tables:
+        if "embeddings" in tables:  # pragma: no cover — no caller yet
+            raise ValueError("embeddings-only scaling not supported")
+        return
 
     docs = load_table(spark, BASE_SF, "documents")
     n_doc = docs.count()
@@ -120,6 +138,9 @@ def build_scaled(spark, factor: int, out_dir: str, docs_mode: str = "clone") -> 
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
     )
+
+    if "embeddings" not in tables:
+        return
 
     emb = load_table(spark, BASE_SF, "embeddings")
     n_vec = emb.count()

@@ -511,6 +511,66 @@ def cmd_skew(factor: int = 100) -> dict:
     return out
 
 
+def cmd_thousand(factor: int = 1000) -> dict:
+    """Extend the measured sweep a full decade past round 6: the flagship
+    document operators at ``factor``x (default 1000x = 5M docs) on
+    documents-ONLY corpora (events/embeddings aren't read by these plans;
+    a 1000x events table would be a billion rows nothing here needs).
+
+    Salted mode (corpus growth: replicas share zero shingles) for the
+    dedup/retrieval growth regime; clone mode (K near-identical copies)
+    for the clustering path that must stay linear under duplication.
+    1x reference points use min-of-2; the big factor runs ONCE — at
+    multi-minute walls scheduling noise is irrelevant and a decade ratio
+    does not need a second sample."""
+    import scale_bench
+
+    spark = get_spark(app_name="dnp-thousand")
+    qs = __import__(
+        "detector_network_processor_spark.plans", fromlist=["all_queries"]
+    ).all_queries()
+
+    def docs_only_dir(mode: str) -> str:
+        out_dir = f"/tmp/dnp_docs_x{factor}_{mode}"
+        if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+            scale_bench.build_scaled(
+                spark, factor, out_dir, docs_mode=mode, tables=("documents",)
+            )
+        return out_dir
+
+    salted = docs_only_dir("salted")
+    clone = docs_only_dir("clone")
+    out: dict = {"experiment": "thousand", "factor": factor, "queries": {}}
+    for name, big_dir, regime in [
+        ("dedup_exact", salted, "growth"),
+        ("bm25_search", salted, "growth"),
+        ("near_dup_jaccard_capped", salted, "growth"),
+        ("dedup_components_lsh", clone, f"clone K={factor}"),
+    ]:
+        fn = qs[name].fn
+
+        def release():
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+
+        release()
+        t1 = _timeit(lambda: fn(spark, BASE_SF).count(), runs=2)
+        release()
+        t0 = time.perf_counter()
+        rows = fn(spark, big_dir).count()
+        tk = round(time.perf_counter() - t0, 3)
+        out["queries"][name] = {
+            "regime": regime,
+            "t1_sec": t1,
+            f"t{factor}_sec": tk,
+            "wall_ratio": round(tk / t1, 1),
+            "rows_at_factor": rows,
+        }
+        print(f"# {name}: 1x {t1}s -> {factor}x {tk}s ({rows} rows)", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "crossover"
     if cmd == "crossover":
@@ -527,6 +587,8 @@ def main() -> int:
         res = cmd_boilerplate_regime(factors)
     elif cmd == "skew":
         res = cmd_skew(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    elif cmd == "thousand":
+        res = cmd_thousand(int(sys.argv[2]) if len(sys.argv) > 2 else 1000)
     else:
         print(f"unknown subcommand {cmd!r}", file=sys.stderr)
         return 2
