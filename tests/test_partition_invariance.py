@@ -35,3 +35,33 @@ def test_result_invariant_under_shuffle_partition_count(spark, name):
         assert ok, f"{name} @257 partitions: {msg}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_converged_graph_variants_invariant_under_partition_count(spark):
+    """The convergence-terminated LPA/PageRank production variants must
+    reach the SAME fixpoint (and in the same number of iterations) at any
+    shuffle width — the per-iteration convergence aggregates are exact
+    integer/label comparisons, so parallelism cannot perturb the loop."""
+    from detector_network_processor_spark.plans.muon import (
+        station_communities_converged,
+        station_pagerank_converged,
+    )
+
+    def run_both():
+        lpa, lpa_iters = station_communities_converged(spark, SF_DIR_SMALL)
+        pr, pr_iters = station_pagerank_converged(spark, SF_DIR_SMALL)
+        return (
+            sorted(map(tuple, lpa.collect())),
+            lpa_iters,
+            sorted(map(tuple, pr.collect())),
+            pr_iters,
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        base = run_both()
+        spark.conf.set("spark.sql.shuffle.partitions", "257")
+        wide = run_both()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == wide
