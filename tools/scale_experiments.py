@@ -65,7 +65,7 @@ def _timeit(fn, runs: int = 2) -> float:
     return round(best, 3)
 
 
-def cmd_crossover() -> dict:
+def cmd_crossover(factor: int = 10, docs_mode: str = "clone") -> dict:
     from detector_network_processor_spark.operators.dedup import (
         band_rows,
         minhash_lsh_pairs,
@@ -75,8 +75,12 @@ def cmd_crossover() -> dict:
         process_neardup_increment,
     )
 
+    # clone mode at K<=10 keeps the one-shot side runnable (the measured
+    # baseline); at K>=30 the one-shot's within-bucket pairing is the
+    # quadratic clone regime (see clone-regime sweep) and would never
+    # finish, so bigger-history crossovers use the salted growth corpus.
     spark = get_spark(app_name="dnp-crossover")
-    hist_dir = _scaled_dir(spark, 10, "clone")
+    hist_dir = _scaled_dir(spark, factor, docs_mode)
     hist = load_table(spark, hist_dir, "documents").select("doc_id", "text")
     n_hist = hist.count()
     # the new increment: a 0.1x batch of fresh near-dup clones (collides
@@ -122,6 +126,8 @@ def cmd_crossover() -> dict:
     shutil.rmtree(root, ignore_errors=True)
     return {
         "experiment": "incremental_neardup_crossover",
+        "factor": factor,
+        "docs_mode": docs_mode,
         "n_history_docs": n_hist,
         "n_batch_docs": n_batch,
         "t_index_build_sec": t_index_build,
@@ -574,7 +580,10 @@ def cmd_thousand(factor: int = 1000) -> dict:
 def main() -> int:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "crossover"
     if cmd == "crossover":
-        res = cmd_crossover()
+        res = cmd_crossover(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+            sys.argv[3] if len(sys.argv) > 3 else "clone",
+        )
     elif cmd == "bucketed":
         res = cmd_bucketed(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     elif cmd == "clone-regime":
