@@ -196,7 +196,7 @@ def main() -> None:
     for name in EXTENDED:
         _release_cached(spark)
         try:
-            runs = timed_runs(name, 2)
+            runs = timed_runs(name, 2, escalate=True)
             extended[name] = round(min(runs), 3)
             extended_spread[name] = round(max(runs) - min(runs), 3)
         except Exception as e:  # pragma: no cover — never fail the bench
