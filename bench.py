@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from detector_network_processor_spark.plans import all_queries
+from detector_network_processor_spark.plans.inspect import plan_fingerprint
 from detector_network_processor_spark.session import get_spark
 
 # Non-headline spotlight ops (one timed pass each, appended to the JSON as
@@ -171,14 +172,12 @@ def main() -> None:
     plan_exchanges: dict[str, dict[str, int | bool]] = {}
     for name in HEADLINE:
         try:
-            plan = specs[name].fn(spark, plan_dir)._jdf.queryExecution().executedPlan().toString()
+            fp = plan_fingerprint(specs[name].fn(spark, plan_dir))
             entry: dict[str, int | bool] = {
-                "shuffle": len(
-                    re.findall(r"\bExchange (?:hash|range|Single|RoundRobin)", plan)
-                ),
-                "broadcast": plan.count("BroadcastExchange"),
+                "shuffle": fp["shuffle"],
+                "broadcast": fp["broadcast"],
             }
-            if "Scan ExistingRDD" in plan:
+            if fp.get("truncated"):
                 entry["truncated"] = True  # checkpoint hides upstream stages
             plan_exchanges[name] = entry
         except Exception as e:  # pragma: no cover — never fail the bench
