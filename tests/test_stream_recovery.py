@@ -111,3 +111,75 @@ def test_restart_from_checkpoint_matches_single_pass_batch(spark):
     cs = _canon(got, sentinel_start)
     assert len(cs) == len(cb), f"group counts differ: batch={len(cb)} recovered-stream={len(cs)}"
     assert cs == cb
+
+
+def test_incremental_batch_replay_is_idempotent(spark):
+    """The SCALE streaming path (incremental micro-batch engine) documents
+    replay safety: foreachBatch redelivers a crashed batch's id unchanged,
+    batch N re-reads exactly the pre-N state version and OVERWRITES both
+    its output directory and its state version
+    (streaming/incremental.py module docstring). Exercise the actual crash
+    schedule: process batches 0,1, replay batch 1 (crash-redelivery), then
+    continue 2,3 + flush — the final corpus must equal the single-pass
+    batch result with zero duplicated groups."""
+    import os
+
+    from detector_network_processor_spark.streaming.incremental import (
+        flush_incremental_state,
+        process_increment,
+    )
+
+    events = make_events(n_base=600, seed=37)
+    stations = {s[0]: s for s in STATIONS}
+    enriched = [
+        {**e, "lat": stations[e["hash"]][1], "lon": stations[e["hash"]][2], "h": stations[e["hash"]][3]}
+        for e in events
+    ]
+    ev_df = spark.createDataFrame(enriched)
+    batch_ref = cluster_coincidences(ev_df, stations=None, criterion="physics").collect()
+    schema = ev_df.schema
+
+    tmp = tempfile.mkdtemp(prefix="dnp_replay_")
+    try:
+        enriched.sort(key=lambda e: e["start"])
+        n = len(enriched)
+        q = n // 4
+        chunks = [enriched[:q], enriched[q : 2 * q], enriched[2 * q : 3 * q], enriched[3 * q :]]
+        out, state = f"{tmp}/out", f"{tmp}/state"
+
+        def run(bid: int) -> None:
+            process_increment(
+                spark, spark.createDataFrame(chunks[bid], schema), state, out, batch_id=bid,
+                criterion="physics",
+            )
+
+        def emitted():
+            return _canon(spark.read.parquet(out).collect(), float("inf"))
+
+        run(0)
+        run(1)
+        after_first = emitted()
+        state_v1 = spark.read.parquet(f"{state}/v{1:012d}").collect()
+
+        # crash redelivery: batch 1 runs AGAIN with the same id. The prune
+        # policy must have kept v0 (the version batch 1 reads), and both
+        # writes must overwrite, not append.
+        assert os.path.isdir(f"{state}/v{0:012d}"), "pre-replay state version was pruned"
+        run(1)
+        assert emitted() == after_first, "replayed batch changed the emitted output"
+        assert sorted(map(str, spark.read.parquet(f"{state}/v{1:012d}").collect())) == sorted(
+            map(str, state_v1)
+        ), "replayed batch changed the carried state"
+
+        run(2)
+        run(3)
+        flush_incremental_state(spark, state, out, criterion="physics")
+        got = spark.read.parquet(out).drop("batch_id").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    sentinel = float("inf")
+    cb = _canon(batch_ref, sentinel)
+    cs = _canon(got, sentinel)  # _canon also asserts no duplicate groups
+    assert len(cs) == len(cb), f"group counts differ: batch={len(cb)} replayed-stream={len(cs)}"
+    assert cs == cb
