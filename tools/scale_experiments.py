@@ -435,6 +435,96 @@ def cmd_streaming(factor: int = 10, n_chunks: int = 10) -> dict:
     }
 
 
+def cmd_recovery(factor: int = 10, n_chunks: int = 10, crash_after: int = 7) -> dict:
+    """Restart-cost measurement for the streaming SCALE path: process the
+    first ``crash_after`` of ``n_chunks`` micro-batch files, stop the query
+    (deploy rollover / crash), then restart from the SAME checkpoint with
+    the remaining chunks present. The production claim: restart wall is
+    the cost of the UNPROCESSED TAIL plus an O(open-tail) state read —
+    never a function of how much history the stream already absorbed.
+    Reported against a one-shot cold run over all chunks on fresh dirs.
+
+    Correctness of the recovered output (equals the single-pass batch
+    result, no duplicates) is pinned by tests/test_stream_recovery.py;
+    this command records the COST side at scale."""
+    from detector_network_processor_spark.plans.muon import muonize_events
+    from detector_network_processor_spark.streaming.coincidence import (
+        stream_cluster_coincidences_scaled,
+    )
+    from detector_network_processor_spark.streaming.incremental import (
+        flush_incremental_state,
+    )
+    from pyspark.sql import Window as W
+
+    spark = get_spark(app_name="dnp-recovery-cost")
+    sf_dir = _scaled_dir(spark, factor, "clone")
+    hits = muonize_events(spark, sf_dir)
+    n_hits = hits.count()
+    schema = hits.schema
+
+    root = "/tmp/dnp_recovery"
+    shutil.rmtree(root, ignore_errors=True)
+    chunked = hits.withColumn("_c", F.ntile(n_chunks).over(W.orderBy("start")))
+    for i in range(1, n_chunks + 1):
+        chunked.filter(F.col("_c") == i).drop("_c").coalesce(4).write.parquet(
+            f"{root}/chunks/f{i:03d}"
+        )
+
+    def run_pass(tag: str, upto: int, already: int = 0) -> float:
+        # materialize chunk files 1..upto into this pass's source dir
+        for i in range(already + 1, upto + 1):
+            shutil.copytree(f"{root}/chunks/f{i:03d}", f"{root}/{tag}/in/f{i:03d}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{root}/{tag}/in/f*")
+        )
+        t0 = time.perf_counter()
+        q = (
+            stream_cluster_coincidences_scaled(
+                stream, f"{root}/{tag}/out", f"{root}/{tag}/state", f"{root}/{tag}/ckpt"
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(3000)
+        return round(time.perf_counter() - t0, 3)
+
+    # one-shot cold reference: all chunks, fresh dirs
+    wall_oneshot = run_pass("oneshot", n_chunks)
+    flush_incremental_state(spark, f"{root}/oneshot/state", f"{root}/oneshot/out")
+    n_groups_oneshot = spark.read.parquet(f"{root}/oneshot/out").count()
+
+    # crash schedule: phase 1 sees only the first crash_after chunks
+    wall_pre = run_pass("cr", crash_after)
+    state_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(f"{root}/cr/state")
+        for f in fs
+    )
+    # the query is down; the tail lands; restart on the same checkpoint
+    wall_restart = run_pass("cr", n_chunks, already=crash_after)
+    flush_incremental_state(spark, f"{root}/cr/state", f"{root}/cr/out")
+    n_groups_recovered = spark.read.parquet(f"{root}/cr/out").count()
+    shutil.rmtree(root, ignore_errors=True)
+
+    return {
+        "experiment": "recovery_cost",
+        "factor": factor,
+        "n_hits": n_hits,
+        "n_micro_batches": n_chunks,
+        "crash_after": crash_after,
+        "wall_oneshot_sec": wall_oneshot,
+        "wall_pre_crash_sec": wall_pre,
+        "wall_restart_sec": wall_restart,
+        "restart_vs_oneshot": round(wall_restart / wall_oneshot, 3),
+        "tail_fraction": round((n_chunks - crash_after) / n_chunks, 3),
+        "carried_state_bytes_at_crash": state_bytes,
+        "l1_groups_oneshot": n_groups_oneshot,
+        "l1_groups_recovered": n_groups_recovered,
+    }
+
+
 def cmd_skew(factor: int = 100) -> dict:
     """Measure the two skew stories honestly on a hot-key table (50% of
     rows under ONE key):
@@ -598,6 +688,8 @@ def main() -> int:
         res = cmd_skew(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
     elif cmd == "thousand":
         res = cmd_thousand(int(sys.argv[2]) if len(sys.argv) > 2 else 1000)
+    elif cmd == "recovery":
+        res = cmd_recovery(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     else:
         print(f"unknown subcommand {cmd!r}", file=sys.stderr)
         return 2
