@@ -43,6 +43,16 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int | bool]:
         "broadcast": plan.count("BroadcastExchange"),
         "cartesian": plan.count("CartesianProduct"),
         "scans": len(re.findall(r"Scan parquet", plan)),
+        # row-at-a-time Python UDF stages — the 10-100x-slower-than-Arrow
+        # path; pinned to ZERO registry-wide by test_plan_fingerprints
+        "python_row": plan.count("BatchEvalPython"),
+        # Arrow-batched Python stages (pandas_udf / mapInPandas /
+        # applyInPandas) — the sanctioned Python escape hatch; counted so
+        # a plan quietly growing a new Python stage is visible
+        "python_arrow": sum(
+            plan.count(op)
+            for op in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        ),
     }
     if "Scan ExistingRDD" in plan:
         fp["truncated"] = True

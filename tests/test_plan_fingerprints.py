@@ -70,3 +70,14 @@ def test_no_cartesian_products_anywhere():
     snapshot = json.loads(SNAPSHOT.read_text())
     offenders = {n: fp for n, fp in snapshot.items() if fp.get("cartesian", 0)}
     assert not offenders, f"cartesian products in committed plans: {offenders}"
+
+
+def test_no_row_at_a_time_python_anywhere():
+    """No registered plan may contain BatchEvalPython: every Python stage
+    in the engine is Arrow-batched (pandas_udf / mapInPandas /
+    applyInPandas — visible as python_arrow in the fingerprints). A
+    row-at-a-time UDF sneaking into a hot path is a 10-100x regression at
+    scale; pin it to zero across the whole registry."""
+    snapshot = json.loads(SNAPSHOT.read_text())
+    offenders = {n: fp for n, fp in snapshot.items() if fp.get("python_row", 0)}
+    assert not offenders, f"row-at-a-time Python UDF stages in committed plans: {offenders}"
