@@ -1,0 +1,136 @@
+"""Distributed exact ranking: ``ntile`` semantics without a per-group
+single-task sort window.
+
+``ntile(B) OVER (PARTITION BY g ORDER BY k)`` is the one remaining
+global-sort shape in the engine's exact paths (ccnet_ppl_buckets): Spark
+executes it as ONE task per group value, which serializes a 100 TB
+language partition through a single sort. The distributed equivalent is
+the same boundary-statistics trick the sessionizer uses
+(operators/sessionize.py):
+
+1. range-partition by the TOTAL sort key ``(g, k...)`` — Spark's range
+   exchange gives globally ordered, non-overlapping partitions;
+2. one cheap counting pass: rows per ``(physical partition, g)`` — an
+   O(P x G) table the driver prefix-sums into per-partition starting
+   offsets (kilobytes at thousands of partitions);
+3. one Arrow pass with partition-local running counters: global rank =
+   partition offset + local rank, and the bucket falls out of the
+   closed-form ntile formula (first ``n mod B`` buckets get one extra
+   row) — bit-identical to the window ``ntile`` for any total order.
+
+The sort key must be TOTAL (include a unique tiebreaker such as doc_id);
+with ties across a partition boundary the per-engine orders could
+otherwise diverge. Both passes are distributed; nothing anywhere sorts a
+whole group on one task. Ref parity: CCNet's per-language perplexity
+tertiles (Wenzek et al. 2020) at hypertable scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType, StructField
+
+
+def exact_ntile(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    bucket_names: list[str] | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``bucket_col`` holding the exact ``ntile(n_buckets)`` bucket
+    of each row within its ``group_col`` group under ``order_cols``
+    (which, with ``group_col`` prepended, must be a total order).
+
+    ``bucket_names[i]`` labels bucket i+1 (default: the bucket number as
+    a string). Output rows and all input columns are preserved.
+    """
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if bucket_names is None:
+        bucket_names = [str(i + 1) for i in range(n_buckets)]
+    assert len(bucket_names) == n_buckets
+
+    key = [group_col, *order_cols]
+    # one range exchange gives global order; sortWithinPartitions makes
+    # each physical partition locally sorted so ranks are cumulative counts
+    data = df.repartitionByRange(n_partitions, *key).sortWithinPartitions(*key)
+    data = data.persist()  # pin the partitioning for the two passes
+
+    # pass 1: O(P x G) boundary statistics -> per-(partition, group)
+    # starting offsets and per-group totals, prefix-summed on the driver
+    counts = (
+        data.select(F.spark_partition_id().alias("_pid"), F.col(group_col))
+        .groupBy("_pid", group_col)
+        .count()
+        .collect()
+    )
+    totals: dict = {}
+    for row in counts:
+        totals[row[group_col]] = totals.get(row[group_col], 0) + row["count"]
+    offsets: dict = {}
+    running: dict = {}
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        g = row[group_col]
+        offsets[(row["_pid"], g)] = running.get(g, 0)
+        running[g] = running.get(g, 0) + row["count"]
+
+    sc = spark.sparkContext
+    offsets_b = sc.broadcast(offsets)
+    totals_b = sc.broadcast(totals)
+
+    # fresh StructType — StructType.add MUTATES, and DataFrame.schema is a
+    # cached object, so adding to it in place corrupts the input's schema
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        list(data.schema.fields) + [StructField(bucket_col, StringType(), False)]
+    )
+    names = list(bucket_names)
+    nb = n_buckets
+
+    def assign(iterator):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen: dict = {}
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            groups = pdf[group_col].to_numpy()
+            # partition-local rank with carry across Arrow batches: rows
+            # arrive sorted by (group, order), so cumcount per group is
+            # the local rank within this batch
+            local = pdf.groupby(group_col, sort=False).cumcount().to_numpy()
+            base = np.array([seen.get(g, 0) for g in groups], dtype="int64")
+            rank = np.array(
+                [offsets_b.value[(pid, g)] for g in groups], dtype="int64"
+            ) + base + local + 1  # 1-based global rank within the group
+            n = np.array([totals_b.value[g] for g in groups], dtype="int64")
+            # closed-form ntile: q = n div B, rem = n mod B; the first rem
+            # buckets hold q+1 rows
+            q, rem = n // nb, n % nb
+            fat = rem * (q + 1)  # rows covered by the q+1-sized buckets
+            in_fat = rank <= fat
+            b = np.where(
+                in_fat,
+                (rank - 1) // np.maximum(q + 1, 1),
+                rem + (rank - fat - 1) // np.maximum(q, 1),
+            ).astype("int64")  # 0-based bucket
+            out = pdf.copy()
+            out[bucket_col] = np.array(names, dtype=object)[b]
+            # advance the carry for the groups seen in this batch
+            for g, c in pdf.groupby(group_col, sort=False).size().items():
+                seen[g] = seen.get(g, 0) + int(c)
+            yield out
+
+    result = data.mapInPandas(assign, out_schema)
+    # note: the persist is released by the caller's session-level cache
+    # cleanup (bench/tests call clearCache between queries); eager
+    # unpersist here would recompute `data` for downstream actions
+    return result

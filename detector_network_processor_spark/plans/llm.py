@@ -2027,17 +2027,27 @@ SELECT doc_id, lang, cross_entropy,
        CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM b ORDER BY doc_id
 """,
-    doc="CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per language, tertile-split documents by char-bigram LM cross-entropy — downstream mixtures sample mostly from 'head'. Exact mode (registered) uses per-lang ntile windows over the hash-proven round-6 scores; the scale path (exact=False) computes two approx_percentile thresholds per language instead — no sorting window touches the doc dimension, the bucketing becomes a broadcast comparison (same trade as dsir_importance, plan-asserted in tests).",
+    doc="CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per language, tertile-split documents by char-bigram LM cross-entropy — downstream mixtures sample mostly from 'head'. Exact mode (registered) computes the ntile DISTRIBUTED (operators/rank.py::exact_ntile: range partition on the total sort key, O(PxG) boundary offsets, closed-form bucket — bit-identical to the window ntile, proven by test, with no one-task-per-language sort anywhere); the scale path (exact=False) trades exactness for two approx_percentile thresholds per language — a broadcast comparison (same trade as dsir_importance, plan-asserted in tests).",
 )
 def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_ppl_buckets_plan(spark, sf_dir, exact=True)
 
 
 def ccnet_ppl_buckets_plan(
-    spark: SparkSession, sf_dir: str, exact: bool = True
+    spark: SparkSession, sf_dir: str, exact: bool = True, exact_impl: str = "distributed"
 ) -> DataFrame:
     lm = lm_quality_scores(spark, sf_dir).select("doc_id", "lang", "cross_entropy")
-    if exact:
+    if exact and exact_impl == "distributed":
+        from ..operators.rank import exact_ntile
+
+        return exact_ntile(
+            lm,
+            "lang",
+            ["cross_entropy", "doc_id"],
+            n_buckets=3,
+            bucket_names=["head", "middle", "tail"],
+        ).select("doc_id", "lang", "cross_entropy", "bucket").orderBy("doc_id")
+    if exact:  # exact_impl == "window": the single-task-per-lang reference
         nt = F.ntile(3).over(
             Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
         )
