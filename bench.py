@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from detector_network_processor_spark.plans import all_queries
 from detector_network_processor_spark.plans.inspect import plan_fingerprint
-from detector_network_processor_spark.session import get_spark
+from detector_network_processor_spark.session import get_spark, release_cached
 
 # Non-headline spotlight ops (one timed pass each, appended to the JSON as
 # "extended"): the round-4 additions a reviewer would want numbers for.
@@ -62,24 +62,12 @@ HEADLINE = [
 
 
 def _release_cached(spark) -> None:
-    """Unpersist everything cached by earlier queries. Operators persist
-    intermediates (sessionize output, checkpointed shingle tables) and each
-    plan-build call creates a NEW entry; without this, a min-of-N loop over
-    12 queries accumulates dozens of cached RDDs, and late queries run under
-    executor memory pressure + GC (measured: cosine_topk 0.9 s isolated vs
-    2.9 s late in a 3-run session). Per-query isolation is what the
-    round-over-round tracking table compares, so release between queries."""
-    spark.catalog.clearCache()
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
-    # ContextCleaner reclaims dead broadcast/shuffle blocks only when a JVM
-    # GC notices they are unreachable; a busy short-lived session may never
-    # GC, so blocks pile up and late queries run under memory pressure.
-    spark.sparkContext._jvm.System.gc()
-    # settle: let the GC/ContextCleaner callbacks finish before the timed
-    # run starts — otherwise block-manager removals land inside the
-    # measurement window (quiet-host protocol, BASELINE.md r3 notes).
-    time.sleep(0.2)
+    """Per-query isolation is what the round-over-round tracking table
+    compares (measured: cosine_topk 0.9 s isolated vs 2.9 s late in a
+    3-run session), so release caches between queries with the GC hint +
+    settle so block-manager removals land outside the timed window
+    (quiet-host protocol, BASELINE.md r3 notes)."""
+    release_cached(spark, jvm_gc=True, settle_sec=0.2)
 
 
 def main() -> None:
@@ -201,6 +189,7 @@ def main() -> None:
         except Exception as e:  # pragma: no cover — never fail the bench
             print(f"# extended {name} failed: {e}", file=sys.stderr)
             extended[name] = -1.0
+            extended_spread[name] = -1.0  # keep the two maps keyed identically
     ext_calib_end = calibrate()
 
     calibration = {
@@ -224,6 +213,10 @@ def main() -> None:
         "runs_per_query": n_runs,
         "runs_noisy_max": n_runs_noisy,
         "plan_exchanges": plan_exchanges,
+        # extended walls live HERE too: the summary line sheds its
+        # "extended" block first when the line grows past the tail budget,
+        # and the measurements must survive that degraded mode
+        "extended": extended,
         "extended_spread": extended_spread,
         "calibration": calibration,
     }

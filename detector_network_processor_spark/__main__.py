@@ -372,7 +372,7 @@ def _cmd_compact(args) -> int:
 
 def _cmd_verify(args) -> int:
     from .plans import all_queries
-    from .session import get_spark
+    from .session import get_spark, release_cached
     from .testing import compare_spark_vs_oracle, duckdb_connect
 
     qs = all_queries()
@@ -384,7 +384,7 @@ def _cmd_verify(args) -> int:
     spark = get_spark(app_name="dnp-verify", cpus=args.cpus)
     con = duckdb_connect(args.sf_dir)
     failures = 0
-    for name in names:
+    for i, name in enumerate(names):
         spec = qs[name]
         if spec.oracle is None:
             print(f"{name}: SKIP (no oracle)")
@@ -392,6 +392,11 @@ def _cmd_verify(args) -> int:
         ok, msg = compare_spark_vs_oracle(spec.fn(spark, args.sf_dir), con, spec.oracle)
         print(f"{name}: {'OK' if ok else 'FAIL — ' + msg}")
         failures += 0 if ok else 1
+        if (i + 1) % 20 == 0:
+            # operators persist intermediates per plan-build; a 155-query
+            # session accumulates them and late queries run under memory
+            # pressure (same leak bench.py's per-query release fixes)
+            release_cached(spark)
     print(f"\n{len(names) - failures}/{len(names)} OK at {args.sf_dir}")
     return 1 if failures else 0
 

@@ -102,16 +102,22 @@ def exact_ntile(
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
-            groups = pdf[group_col].to_numpy()
-            # partition-local rank with carry across Arrow batches: rows
-            # arrive sorted by (group, order), so cumcount per group is
-            # the local rank within this batch
-            local = pdf.groupby(group_col, sort=False).cumcount().to_numpy()
-            base = np.array([seen.get(g, 0) for g in groups], dtype="int64")
-            rank = np.array(
-                [offsets_b.value[(pid, g)] for g in groups], dtype="int64"
-            ) + base + local + 1  # 1-based global rank within the group
-            n = np.array([totals_b.value[g] for g in groups], dtype="int64")
+            # rows arrive sorted by (group, order), so groups are CONTIGUOUS
+            # runs — everything per-row derives from one per-GROUP lookup +
+            # np.repeat, keeping Python dict access at O(unique groups)
+            sizes = pdf.groupby(group_col, sort=False).size()
+            gnames = sizes.index.to_numpy()
+            counts = sizes.to_numpy()
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            local = np.arange(len(pdf), dtype="int64") - np.repeat(starts, counts)
+            group_base = np.array(
+                [offsets_b.value[(pid, g)] + seen.get(g, 0) for g in gnames],
+                dtype="int64",
+            )
+            rank = np.repeat(group_base, counts) + local + 1  # 1-based global rank
+            n = np.repeat(
+                np.array([totals_b.value[g] for g in gnames], dtype="int64"), counts
+            )
             # closed-form ntile: q = n div B, rem = n mod B; the first rem
             # buckets hold q+1 rows
             q, rem = n // nb, n % nb
@@ -125,12 +131,14 @@ def exact_ntile(
             out = pdf.copy()
             out[bucket_col] = np.array(names, dtype=object)[b]
             # advance the carry for the groups seen in this batch
-            for g, c in pdf.groupby(group_col, sort=False).size().items():
+            for g, c in zip(gnames, counts):
                 seen[g] = seen.get(g, 0) + int(c)
             yield out
 
     result = data.mapInPandas(assign, out_schema)
     # note: the persist is released by the caller's session-level cache
-    # cleanup (bench/tests call clearCache between queries); eager
-    # unpersist here would recompute `data` for downstream actions
+    # cleanup (bench, the oracle-parity tests, and the verify CLI all call
+    # session.release_cached periodically); eager unpersist here would
+    # recompute `data` — including a second nondeterministic-free but
+    # expensive range exchange — for every downstream action
     return result

@@ -1465,6 +1465,26 @@ def stations_within_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_ITERS = 3
 _PR_SCALE = 10**12
+# 0.15 * _PR_SCALE: the undamped teleport mass in the 1e12 integer scale
+_PR_BASE_MASS = (_PR_SCALE * 15) // 100
+
+
+def _station_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetrized station coincidence-adjacency edge list (u, v, w)
+    shared by every graph analytic here (pagerank/LPA, registered and
+    converged variants) — one definition so the 'production' converged
+    variants can never silently diverge from the oracle-pinned registered
+    ones. Eagerly checkpointed: it is re-joined every iteration."""
+    from ..operators.histogram import pair_totals
+
+    pt = pair_totals(_pair_hist_df(spark, sf_dir)).localCheckpoint(eager=True)
+    return pt.select(
+        F.col("hash_lo").alias("u"), F.col("hash_hi").alias("v"), F.col("total").alias("w")
+    ).unionByName(
+        pt.select(
+            F.col("hash_hi").alias("u"), F.col("hash_lo").alias("v"), F.col("total").alias("w")
+        )
+    ).localCheckpoint(eager=True)
 
 
 def _pr_spread_sql(prev: str) -> str:
@@ -1503,19 +1523,10 @@ ORDER BY hash
     doc=f"Weighted PageRank ({_PR_ITERS} power iterations, damping 0.85) over the station coincidence-adjacency graph (A8 pair totals) — the 'which stations anchor the network' analytic. Integer fixed-point at 1e12 scale with floored per-edge contributions: bit-exact under any summation order, hash-adjudicated. Per iteration one broadcast-sized edge join + one agg; state is O(stations). The same loop at 100 TB ranks a billion-node graph with rank/degree tables sharded by node id.",
 )
 def station_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.histogram import pair_totals
-
-    pt = pair_totals(_pair_hist_df(spark, sf_dir)).localCheckpoint(eager=True)
-    edges = pt.select(
-        F.col("hash_lo").alias("u"), F.col("hash_hi").alias("v"), F.col("total").alias("w")
-    ).unionByName(
-        pt.select(
-            F.col("hash_hi").alias("u"), F.col("hash_lo").alias("v"), F.col("total").alias("w")
-        )
-    ).localCheckpoint(eager=True)
+    edges = _station_edges(spark, sf_dir)
     deg = edges.groupBy("u").agg(F.sum("w").cast("long").alias("wsum"))
     n = deg.count()  # O(1) driver scalar — station dimension
-    base = 150_000_000_000 // n
+    base = _PR_BASE_MASS // n
     ranks = deg.select(F.col("u").alias("v"), F.lit(_PR_SCALE // n).cast("long").alias("r"))
     ew = edges.join(F.broadcast(deg), "u").localCheckpoint(eager=True)
     for _ in range(_PR_ITERS):
@@ -1581,16 +1592,7 @@ ORDER BY hash
     doc=f"Weighted label propagation ({_LPA_ITERS} synchronous iterations) over the station coincidence adjacency — which stations cluster into coincidence communities. Each node adopts the label carrying the max total edge weight among its neighbours (min label on ties), so every step is deterministic and the unrolled oracle replays it exactly. Scale shape: per iteration ONE broadcast label join (labels are O(stations)) + one (v,lbl) agg + a per-node window — the textbook distributed LPA; at 1e9 nodes labels shard by node id and the same plan holds.",
 )
 def station_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.histogram import pair_totals
-
-    pt = pair_totals(_pair_hist_df(spark, sf_dir)).localCheckpoint(eager=True)
-    edges = pt.select(
-        F.col("hash_lo").alias("u"), F.col("hash_hi").alias("v"), F.col("total").alias("w")
-    ).unionByName(
-        pt.select(
-            F.col("hash_hi").alias("u"), F.col("hash_lo").alias("v"), F.col("total").alias("w")
-        )
-    ).localCheckpoint(eager=True)
+    edges = _station_edges(spark, sf_dir)
     labels = edges.select(F.col("u").alias("v")).distinct().withColumn("lbl", F.col("v"))
     w_pick = Window.partitionBy("v").orderBy(F.col("wt").desc(), F.col("lbl"))
     for _ in range(_LPA_ITERS):
@@ -1633,21 +1635,12 @@ def station_communities_converged(
     Returns (result DataFrame, iterations actually run). ``max_iters`` caps
     the loop: synchronous LPA can 2-cycle on bipartite-ish subgraphs, and a
     production job needs a bound regardless."""
-    from ..operators.histogram import pair_totals
-
-    pt = pair_totals(_pair_hist_df(spark, sf_dir)).localCheckpoint(eager=True)
-    edges = pt.select(
-        F.col("hash_lo").alias("u"), F.col("hash_hi").alias("v"), F.col("total").alias("w")
-    ).unionByName(
-        pt.select(
-            F.col("hash_hi").alias("u"), F.col("hash_lo").alias("v"), F.col("total").alias("w")
-        )
-    ).localCheckpoint(eager=True)
+    edges = _station_edges(spark, sf_dir)
     labels = (
         edges.select(F.col("u").alias("v"))
         .distinct()
         .withColumn("lbl", F.col("v"))
-        .localCheckpoint(eager=True)
+        .persist()  # released by iteration 1's labels.unpersist()
     )
     w_pick = Window.partitionBy("v").orderBy(F.col("wt").desc(), F.col("lbl"))
     iters = 0
@@ -1659,17 +1652,29 @@ def station_communities_converged(
             .withColumn("rn", F.row_number().over(w_pick))
             .filter(F.col("rn") == 1)
             .select("v", "lbl")
-            .localCheckpoint(eager=True)
+            .persist()  # cache-managed so the PREVIOUS iteration actually releases
         )
         iters += 1
-        # O(1)-row convergence aggregate: count of nodes whose label moved
+        # O(1)-row convergence aggregate: count of nodes whose label moved.
+        # Reading it also materializes nxt's cache.
         changed = (
             nxt.alias("n")
             .join(labels.alias("p"), "v")
             .filter(F.col("n.lbl") != F.col("p.lbl"))
             .count()
         )
+        # the count above was the last read of the previous labels — release
+        # them, or a max_iters run holds every iteration's O(nodes) state
+        # live at once (DataFrame.unpersist only releases cache-managed
+        # storage, which is why the loop persists instead of checkpointing)
+        labels.unpersist()
         labels = nxt
+        if iters % 10 == 0:
+            # bound the nested logical-plan depth: truncate lineage every
+            # 10th iteration (these few checkpoints stay live — O(iters/10))
+            ckpt = labels.localCheckpoint(eager=True)
+            labels.unpersist()  # the checkpoint now holds the data
+            labels = ckpt
         if changed == 0:
             break
     w_size = Window.partitionBy("lbl")
@@ -1693,22 +1698,13 @@ def station_pagerank_converged(
 
     Returns (result DataFrame, iterations actually run). Same bit-exact
     integer arithmetic as the registered 3-iteration mode."""
-    from ..operators.histogram import pair_totals
-
-    pt = pair_totals(_pair_hist_df(spark, sf_dir)).localCheckpoint(eager=True)
-    edges = pt.select(
-        F.col("hash_lo").alias("u"), F.col("hash_hi").alias("v"), F.col("total").alias("w")
-    ).unionByName(
-        pt.select(
-            F.col("hash_hi").alias("u"), F.col("hash_lo").alias("v"), F.col("total").alias("w")
-        )
-    ).localCheckpoint(eager=True)
+    edges = _station_edges(spark, sf_dir)
     deg = edges.groupBy("u").agg(F.sum("w").cast("long").alias("wsum"))
     n = deg.count()  # O(1) driver scalar — station dimension
-    base = 150_000_000_000 // n
+    base = _PR_BASE_MASS // n
     ranks = deg.select(
         F.col("u").alias("v"), F.lit(_PR_SCALE // n).cast("long").alias("r")
-    ).localCheckpoint(eager=True)
+    ).persist()  # released by iteration 1's ranks.unpersist()
     ew = edges.join(F.broadcast(deg), "u").localCheckpoint(eager=True)
     iters = 0
     for _ in range(max_iters):
@@ -1719,17 +1715,28 @@ def station_pagerank_converged(
             .agg(
                 (F.lit(base) + F.expr("(sum(contrib) * 17) div 20")).cast("long").alias("r")
             )
-            .localCheckpoint(eager=True)
+            .persist()  # cache-managed so the PREVIOUS iteration actually releases
         )
         iters += 1
-        # O(1)-row convergence aggregate: max absolute rank movement
+        # O(1)-row convergence aggregate: max absolute rank movement.
+        # Reading it also materializes nxt's cache.
         delta = (
             nxt.alias("n")
             .join(ranks.alias("p"), "v")
             .agg(F.max(F.abs(F.col("n.r") - F.col("p.r"))).alias("d"))
             .collect()[0]["d"]
         )
+        # the delta read above was the last use of the previous ranks —
+        # release them so only two iterations' state is ever live
+        # (DataFrame.unpersist only releases cache-managed storage, which
+        # is why the loop persists instead of checkpointing)
+        ranks.unpersist()
         ranks = nxt
+        if iters % 10 == 0:
+            # bound the nested logical-plan depth (see the LPA loop)
+            ckpt = ranks.localCheckpoint(eager=True)
+            ranks.unpersist()  # the checkpoint now holds the data
+            ranks = ckpt
         if delta is not None and delta <= tol12:
             break
     out = ranks.select(

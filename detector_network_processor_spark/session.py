@@ -12,6 +12,31 @@ import os
 from pyspark.sql import SparkSession
 
 
+def release_cached(
+    spark: SparkSession, jvm_gc: bool = False, settle_sec: float = 0.0, blocking: bool = False
+) -> None:
+    """Release everything cached in the session: catalog cache + every
+    persisted RDD (operators persist intermediates per plan-build, so any
+    loop over many queries accumulates cached copies and late queries run
+    under executor memory pressure — measured in bench.py's protocol notes).
+
+    ``jvm_gc=True`` additionally hints a JVM GC and sleeps ``settle_sec``:
+    ContextCleaner reclaims dead broadcast/shuffle blocks only when a GC
+    notices they are unreachable, and a busy short-lived session may never
+    GC on its own; the settle lets the block-manager removals land OUTSIDE
+    a subsequent measurement window (quiet-host protocol, BASELINE.md).
+    ``blocking=True`` waits for each unpersist to complete."""
+    import time
+
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(blocking)
+    if jvm_gc:
+        spark.sparkContext._jvm.System.gc()
+    if settle_sec:
+        time.sleep(settle_sec)
+
+
 def get_spark(
     app_name: str = "detector-network-processor-spark",
     cpus: int | str | None = None,

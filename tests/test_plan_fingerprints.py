@@ -28,10 +28,7 @@ from conftest import SF_DIR_SMALL
 SNAPSHOT = Path(__file__).resolve().parents[1] / "PLAN_FINGERPRINTS.json"
 
 
-def _release_cached(spark) -> None:
-    spark.catalog.clearCache()
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
+from detector_network_processor_spark.session import release_cached as _release_cached
 
 
 def test_all_plans_match_committed_fingerprints(spark):

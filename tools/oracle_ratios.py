@@ -38,11 +38,7 @@ DEFAULT = [
 
 def _release_cached(spark) -> None:
     # same per-query isolation protocol as bench.py
-    spark.catalog.clearCache()
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(0.2)
+    release_cached(spark, jvm_gc=True, settle_sec=0.2)
 
 
 def main() -> int:

@@ -26,17 +26,9 @@ sys.path.insert(0, str(REPO))
 
 from detector_network_processor_spark.plans import all_queries  # noqa: E402
 from detector_network_processor_spark.plans.inspect import plan_fingerprint  # noqa: E402
-from detector_network_processor_spark.session import get_spark  # noqa: E402
+from detector_network_processor_spark.session import get_spark, release_cached  # noqa: E402
 
 OUT = REPO / "PLAN_FINGERPRINTS.json"
-
-
-def _release_cached(spark) -> None:
-    # some plan builds eagerly localCheckpoint (near_dup_jaccard family);
-    # drop the cached blocks so 155 builds don't accumulate executor memory
-    spark.catalog.clearCache()
-    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        rdd.unpersist()
 
 
 def main() -> int:
@@ -67,7 +59,9 @@ def main() -> int:
                 print(f"# {name}: FAILED to build plan: {e}", file=sys.stderr)
                 snapshot[name] = {"error": str(e)[:200]}
             if (i + 1) % 20 == 0:
-                _release_cached(spark)
+                # some plan builds eagerly localCheckpoint (near_dup_jaccard
+                # family); drop cached blocks so 155 builds don't accumulate
+                release_cached(spark)
                 print(f"# {i + 1}/{len(names)}", file=sys.stderr)
     finally:
         spark.stop()

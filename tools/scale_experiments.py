@@ -40,7 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F  # noqa: E402
 
 from detector_network_processor_spark.io import load_table  # noqa: E402
-from detector_network_processor_spark.session import get_spark  # noqa: E402
+from detector_network_processor_spark.session import get_spark, release_cached  # noqa: E402
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -50,7 +50,9 @@ def _scaled_dir(spark, factor: int, docs_mode: str = "clone") -> str:
 
     suffix = "_salted" if docs_mode == "salted" else ""
     out_dir = f"/tmp/dnp_scaled_x{factor}{suffix}"
-    if not os.path.exists(os.path.join(out_dir, "events.parquet")):
+    # reuse only a COMPLETE prior build (see docs_only_dir in cmd_thousand)
+    if not os.path.exists(os.path.join(out_dir, "events.parquet", "_SUCCESS")):
+        shutil.rmtree(out_dir, ignore_errors=True)
         scale_bench.build_scaled(spark, factor, out_dir, docs_mode=docs_mode)
     return out_dir
 
@@ -273,9 +275,7 @@ def cmd_clone_regime(factors: list[int]) -> dict:
         for name in timed:
             fn = qs[name].fn
             entry[name + "_sec"] = _timeit(lambda: fn(spark, sf_dir).count())
-            spark.catalog.clearCache()
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist()
+            release_cached(spark)
         out["factors"][str(k)] = entry
         print(f"# x{k}: {json.dumps(entry)}", file=sys.stderr)
     return out
@@ -357,9 +357,7 @@ def cmd_boilerplate_regime(factors: list[int]) -> dict:
             entry["uncapped_skipped"] = (
                 f"candidate volume {entry['analytic']['jaccard_candidates_uncapped']:,} rows"
             )
-        spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+        release_cached(spark)
         out["factors"][str(k)] = entry
         print(f"# boiler x{k}: {json.dumps(entry)}", file=sys.stderr)
     return out
@@ -411,7 +409,8 @@ def cmd_streaming(factor: int = 10, n_chunks: int = 10) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(3000)
+    finished = q.awaitTermination(3000)
+    assert finished, "streaming pass outlived its 3000 s timeout — wall would be truncated"
     wall = round(time.perf_counter() - t0, 3)
     # carried-state footprint BEFORE the final flush — the steady-state
     # open-tail size the incremental clusterer holds between batches
@@ -487,7 +486,10 @@ def cmd_recovery(factor: int = 10, n_chunks: int = 10, crash_after: int = 7) -> 
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(3000)
+        finished = q.awaitTermination(3000)
+        # a pass outliving the timeout would leave the query live and race
+        # the subsequent flush/reads against its writes — fail loudly
+        assert finished, f"{tag} pass outlived its 3000 s timeout"
         return round(time.perf_counter() - t0, 3)
 
     # one-shot cold reference: all chunks, fresh dirs
@@ -628,7 +630,11 @@ def cmd_thousand(factor: int = 1000) -> dict:
 
     def docs_only_dir(mode: str) -> str:
         out_dir = f"/tmp/dnp_docs_x{factor}_{mode}"
-        if not os.path.exists(os.path.join(out_dir, "documents.parquet")):
+        # reuse only a COMPLETE prior build: a crashed build leaves a
+        # partial parquet dir without _SUCCESS, and measuring against a
+        # truncated corpus publishes silently-wrong ratios
+        if not os.path.exists(os.path.join(out_dir, "documents.parquet", "_SUCCESS")):
+            shutil.rmtree(out_dir, ignore_errors=True)
             scale_bench.build_scaled(
                 spark, factor, out_dir, docs_mode=mode, tables=("documents",)
             )
@@ -646,9 +652,7 @@ def cmd_thousand(factor: int = 1000) -> dict:
         fn = qs[name].fn
 
         def release():
-            spark.catalog.clearCache()
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist()
+            release_cached(spark)  # per-measurement isolation
 
         release()
         t1 = _timeit(lambda: fn(spark, BASE_SF).count(), runs=2)
