@@ -61,6 +61,24 @@ HEADLINE = [
 ]
 
 
+def detail_path() -> str:
+    """Per-ROUND detail artifact: ``BENCH_DETAIL_r{N}.json`` where N is the
+    round in progress (1 + the newest committed ``CORRECTNESS_r*.json``).
+    Re-runs within a round overwrite the same current-round file; a new
+    round writes a NEW file — so a measurement run never mutates a
+    previously-committed round's evidence (the r7 verdict's dirty-tree
+    finding against the old single ``BENCH_DETAIL.json``)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        from detector_network_processor_spark.evidence import correctness_files
+
+        rounds = [rnd for rnd, _ in correctness_files()]
+        n = (max(rounds) + 1) if rounds else 1
+    except Exception:  # pragma: no cover — never fail the bench over naming
+        n = 0
+    return os.path.join(root, f"BENCH_DETAIL_r{n:02d}.json")
+
+
 def _release_cached(spark) -> None:
     """Per-query isolation is what the round-over-round tracking table
     compares (measured: cosine_topk 0.9 s isolated vs 2.9 s late in a
@@ -180,16 +198,22 @@ def main() -> None:
     ext_calib_start = calibrate()
     extended: dict[str, float] = {}
     extended_spread: dict[str, float] = {}
+    extended_runs: dict[str, list[float]] = {}
     for name in EXTENDED:
         _release_cached(spark)
         try:
             runs = timed_runs(name, 2, escalate=True)
             extended[name] = round(min(runs), 3)
             extended_spread[name] = round(max(runs) - min(runs), 3)
+            # per-run walls, so post-escalation sample counts are visible
+            # and extended noise adjudication is as mechanical as the
+            # headline's (r7 verdict stretch item)
+            extended_runs[name] = [round(r, 3) for r in runs]
         except Exception as e:  # pragma: no cover — never fail the bench
             print(f"# extended {name} failed: {e}", file=sys.stderr)
             extended[name] = -1.0
             extended_spread[name] = -1.0  # keep the two maps keyed identically
+            extended_runs[name] = []
     ext_calib_end = calibrate()
 
     calibration = {
@@ -218,17 +242,15 @@ def main() -> None:
         # and the measurements must survive that degraded mode
         "extended": extended,
         "extended_spread": extended_spread,
+        "extended_runs": extended_runs,
         "calibration": calibration,
     }
     print(json.dumps(detail))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-            "w",
-        ) as f:
+        with open(detail_path(), "w") as f:
             json.dump(detail, f, indent=1)
     except OSError as e:  # pragma: no cover
-        print(f"# BENCH_DETAIL.json write failed: {e}", file=sys.stderr)
+        print(f"# {os.path.basename(detail_path())} write failed: {e}", file=sys.stderr)
 
     # FINAL stdout line: the compact driver-parseable headline summary.
     print(summary_line(total, timings, sf, spreads, calibration, extended))

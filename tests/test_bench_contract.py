@@ -38,6 +38,21 @@ def test_summary_line_fits_tail_window_and_parses():
     assert set(parsed["extended"]) == set(bench.EXTENDED)
 
 
+def test_detail_artifact_is_per_round():
+    """The noise-evidence detail must land in a round-suffixed file (one
+    per round, never mutating a previously-committed round's artifact)."""
+    import os
+    import re
+
+    from detector_network_processor_spark.evidence import correctness_files
+
+    name = os.path.basename(bench.detail_path())
+    m = re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", name)
+    assert m, name
+    rounds = [rnd for rnd, _ in correctness_files()]
+    assert int(m.group(1)) == (max(rounds) + 1 if rounds else 1)
+
+
 def test_summary_line_degrades_instead_of_overflowing():
     timings, spreads, extended, calibration = _fake_inputs()
     # a future registry 10x the extended list must shed detail, not overflow

@@ -40,6 +40,12 @@ def test_all_plans_match_committed_fingerprints(spark):
         f"queries with no committed fingerprint (run tools/plan_fingerprints.py "
         f"{' '.join(missing)}): {missing}"
     )
+    stale = sorted(set(snapshot) - set(specs))
+    assert not stale, (
+        "committed fingerprints for queries no longer in the registry — they "
+        "would silently keep feeding the cartesian/python_row gates; "
+        f"regenerate the snapshot (python tools/plan_fingerprints.py): {stale}"
+    )
 
     diffs: list[str] = []
     for i, (name, spec) in enumerate(sorted(specs.items())):

@@ -22,7 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from detector_network_processor_spark.plans import all_queries  # noqa: E402
-from detector_network_processor_spark.session import get_spark  # noqa: E402
+from detector_network_processor_spark.session import get_spark, release_cached  # noqa: E402
 from detector_network_processor_spark.testing import duckdb_connect  # noqa: E402
 
 DEFAULT = [

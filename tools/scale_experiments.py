@@ -57,6 +57,23 @@ def _scaled_dir(spark, factor: int, docs_mode: str = "clone") -> str:
     return out_dir
 
 
+def _time_chunks(df, col: str, n_chunks: int):
+    """Append ``_c`` in 1..n_chunks splitting ``df`` into contiguous
+    time ranges of ~equal size — the harness-side replacement for
+    ``ntile(n) OVER (ORDER BY col)``, whose un-partitioned window would
+    serialize the whole scaled table through one sort task (the exact
+    shape the engine's own plans forbid). One percentile aggregate gives
+    the boundaries; assignment is a broadcast CASE expression. Chunk
+    sizes are approximate (ties share a chunk), which is all the
+    micro-batch drivers need."""
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = df.select(F.percentile_approx(col, qs, 10000).alias("b")).first()["b"]
+    expr = F.lit(n_chunks)
+    for i in range(n_chunks - 1, 0, -1):
+        expr = F.when(F.col(col) <= F.lit(bounds[i - 1]), F.lit(i)).otherwise(expr)
+    return df.withColumn("_c", expr)
+
+
 def _timeit(fn, runs: int = 2) -> float:
     best = None
     for _ in range(runs):
@@ -386,12 +403,9 @@ def cmd_streaming(factor: int = 10, n_chunks: int = 10) -> dict:
 
     root = "/tmp/dnp_stream_tp"
     shutil.rmtree(root, ignore_errors=True)
-    # time-ordered chunks = arrival order; ntile keeps chunk sizes equal
-    from pyspark.sql import Window as W
-
-    chunked = hits.withColumn(
-        "_c", F.ntile(n_chunks).over(W.orderBy("start"))
-    )
+    # time-ordered chunks = arrival order; percentile-range bucketing keeps
+    # chunk sizes ~equal without an un-partitioned sort window
+    chunked = _time_chunks(hits, "start", n_chunks)
     for i in range(1, n_chunks + 1):
         chunked.filter(F.col("_c") == i).drop("_c").coalesce(4).write.parquet(
             f"{root}/in/f{i:03d}"
@@ -453,7 +467,6 @@ def cmd_recovery(factor: int = 10, n_chunks: int = 10, crash_after: int = 7) -> 
     from detector_network_processor_spark.streaming.incremental import (
         flush_incremental_state,
     )
-    from pyspark.sql import Window as W
 
     spark = get_spark(app_name="dnp-recovery-cost")
     sf_dir = _scaled_dir(spark, factor, "clone")
@@ -463,7 +476,7 @@ def cmd_recovery(factor: int = 10, n_chunks: int = 10, crash_after: int = 7) -> 
 
     root = "/tmp/dnp_recovery"
     shutil.rmtree(root, ignore_errors=True)
-    chunked = hits.withColumn("_c", F.ntile(n_chunks).over(W.orderBy("start")))
+    chunked = _time_chunks(hits, "start", n_chunks)
     for i in range(1, n_chunks + 1):
         chunked.filter(F.col("_c") == i).drop("_c").coalesce(4).write.parquet(
             f"{root}/chunks/f{i:03d}"
@@ -624,6 +637,12 @@ def cmd_thousand(factor: int = 1000) -> dict:
     import scale_bench
 
     spark = get_spark(app_name="dnp-thousand")
+    # local mode conflates driver and executor heap: send the O(corpus)
+    # working-set pins (shingle arrays, kept postings) straight to disk so
+    # the sweep completes under the DEFAULT 8 GB session instead of
+    # needing a 64 GB driver (r7 finding). Results are storage-level
+    # independent — only where the pinned blocks live changes.
+    spark.conf.set("spark.dnp.pinStorage", "DISK_ONLY")
     qs = __import__(
         "detector_network_processor_spark.plans", fromlist=["all_queries"]
     ).all_queries()
@@ -671,6 +690,44 @@ def cmd_thousand(factor: int = 1000) -> dict:
     return out
 
 
+def cmd_muon_thousand(factor: int = 1000) -> dict:
+    """Complete the muon flagships' measured decade: l1_coincidence and
+    station_lifecycle at ``factor``x (default 1000x = 100M events) on an
+    events-ONLY scaled corpus (these plans read nothing else; scaling
+    documents/embeddings alongside would just burn build time). The 100x
+    points were 6.4x and 5.3x wall (SCALING.md) — this records whether the
+    flattening trend holds a decade further. 1x reference min-of-2; the
+    big factor runs once (multi-minute walls don't need a second sample)."""
+    import scale_bench
+
+    spark = get_spark(app_name="dnp-muon-thousand")
+    out_dir = f"/tmp/dnp_events_x{factor}"
+    if not os.path.exists(os.path.join(out_dir, "events.parquet", "_SUCCESS")):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        scale_bench.build_scaled(spark, factor, out_dir, tables=("events",))
+    qs = __import__(
+        "detector_network_processor_spark.plans", fromlist=["all_queries"]
+    ).all_queries()
+    out: dict = {"experiment": "muon_thousand", "factor": factor, "queries": {}}
+    for name in ("l1_coincidence", "station_lifecycle"):
+        fn = qs[name].fn
+        release_cached(spark)
+        t1 = _timeit(lambda: fn(spark, BASE_SF).count(), runs=2)
+        release_cached(spark)
+        t0 = time.perf_counter()
+        rows = fn(spark, out_dir).count()
+        tk = round(time.perf_counter() - t0, 3)
+        release_cached(spark)
+        out["queries"][name] = {
+            "t1_sec": t1,
+            f"t{factor}_sec": tk,
+            "wall_ratio": round(tk / t1, 1),
+            "rows_at_factor": rows,
+        }
+        print(f"# {name}: 1x {t1}s -> {factor}x {tk}s ({rows} rows)", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "crossover"
     if cmd == "crossover":
@@ -692,6 +749,8 @@ def main() -> int:
         res = cmd_skew(int(sys.argv[2]) if len(sys.argv) > 2 else 100)
     elif cmd == "thousand":
         res = cmd_thousand(int(sys.argv[2]) if len(sys.argv) > 2 else 1000)
+    elif cmd == "muon-thousand":
+        res = cmd_muon_thousand(int(sys.argv[2]) if len(sys.argv) > 2 else 1000)
     elif cmd == "recovery":
         res = cmd_recovery(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     else:
