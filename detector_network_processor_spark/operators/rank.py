@@ -57,12 +57,19 @@ def exact_ntile(
 
     key = [group_col, *order_cols]
     # one range exchange gives global order; sortWithinPartitions makes
-    # each physical partition locally sorted so ranks are cumulative counts
+    # each physical partition locally sorted so ranks are cumulative counts.
+    # persist (lazy): the counting pass below is the FIRST action, so one
+    # job both materializes the cache and produces the boundary statistics
+    # — an eager checkpoint here would split that into two jobs. The
+    # recompute hazard (evicted cache re-executed with reservoir-resampled
+    # range boundaries, silently shifting rows across pids) is covered by
+    # the fail-loud per-(pid, group) count validation in assign() below.
     data = df.repartitionByRange(n_partitions, *key).sortWithinPartitions(*key)
-    data = data.persist()  # pin the partitioning for the two passes
+    data = data.persist()
 
     # pass 1: O(P x G) boundary statistics -> per-(partition, group)
     # starting offsets and per-group totals, prefix-summed on the driver
+    # (this action also populates the persisted cache)
     counts = (
         data.select(F.spark_partition_id().alias("_pid"), F.col(group_col))
         .groupBy("_pid", group_col)
@@ -78,10 +85,12 @@ def exact_ntile(
         g = row[group_col]
         offsets[(row["_pid"], g)] = running.get(g, 0)
         running[g] = running.get(g, 0) + row["count"]
+    pid_counts = {(row["_pid"], row[group_col]): row["count"] for row in counts}
 
     sc = spark.sparkContext
     offsets_b = sc.broadcast(offsets)
     totals_b = sc.broadcast(totals)
+    pid_counts_b = sc.broadcast(pid_counts)
 
     # fresh StructType — StructType.add MUTATES, and DataFrame.schema is a
     # cached object, so adding to it in place corrupts the input's schema
@@ -95,7 +104,13 @@ def exact_ntile(
 
     def assign(iterator):
         import numpy as np
+        import pandas as _pd
         from pyspark import TaskContext
+
+        def norm(g):
+            # pass 1's Spark rows carry None for a null group; pandas may
+            # surface the same group as NaN/NaT — normalize for dict lookups
+            return None if g is None or _pd.isna(g) else g
 
         pid = TaskContext.get().partitionId()
         seen: dict = {}
@@ -104,9 +119,11 @@ def exact_ntile(
                 continue
             # rows arrive sorted by (group, order), so groups are CONTIGUOUS
             # runs — everything per-row derives from one per-GROUP lookup +
-            # np.repeat, keeping Python dict access at O(unique groups)
-            sizes = pdf.groupby(group_col, sort=False).size()
-            gnames = sizes.index.to_numpy()
+            # np.repeat, keeping Python dict access at O(unique groups).
+            # dropna=False: pass 1 counts null groups, so dropping them here
+            # would misalign np.repeat lengths against len(pdf)
+            sizes = pdf.groupby(group_col, sort=False, dropna=False).size()
+            gnames = [norm(g) for g in sizes.index]
             counts = sizes.to_numpy()
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             local = np.arange(len(pdf), dtype="int64") - np.repeat(starts, counts)
@@ -134,11 +151,21 @@ def exact_ntile(
             for g, c in zip(gnames, counts):
                 seen[g] = seen.get(g, 0) + int(c)
             yield out
+        # fail LOUDLY if this pid's rows disagree with the pass-1 counts —
+        # any drift (block recomputation, boundary resample) would
+        # otherwise mis-bucket silently
+        expect = {g: int(c) for (p, g), c in pid_counts_b.value.items() if p == pid}
+        if seen != expect:
+            raise RuntimeError(
+                f"exact_ntile: partition {pid} rows diverged from the pass-1 "
+                f"counts (saw {seen}, expected {expect}) — the range exchange "
+                f"was recomputed with different boundaries"
+            )
 
     result = data.mapInPandas(assign, out_schema)
     # note: the persist is released by the caller's session-level cache
     # cleanup (bench, the oracle-parity tests, and the verify CLI all call
     # session.release_cached periodically); eager unpersist here would
-    # recompute `data` — including a second nondeterministic-free but
-    # expensive range exchange — for every downstream action
+    # recompute `data` for every downstream action — and any such
+    # recompute is caught loudly by assign()'s count validation
     return result

@@ -571,10 +571,9 @@ _DSIR_HASH_DUCK = (
 )
 
 
-@register(
-    "dsir_importance",
-    oracle=f"""
-WITH words AS (
+# the shared model-build + scoring CTE chain (through `scored`), used by
+# both the exact-rank oracle and the approx-threshold oracle
+_DSIR_SCORED_CTES = f"""words AS (
   SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
 ),
 feats AS (
@@ -606,7 +605,13 @@ scored AS (
          CAST(sum(d.dc * lr.lr6) AS BIGINT) AS w6
   FROM docfeat d JOIN lr ON d.b = lr.b
   GROUP BY d.doc_id
-),
+)"""
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+WITH {_DSIR_SCORED_CTES},
 ranked AS (
   SELECT doc_id, n_words,
          round(w6 * 1.0 / {_DSIR_SCALE}, 6) AS log_weight,
@@ -716,6 +721,27 @@ def dsir_importance_plan(
         .withColumn("selected", F.col("rank") <= (n_docs * _DSIR_KEEP_PCT) // 100)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dsir_importance_approx",
+    oracle=f"""
+WITH {_DSIR_SCORED_CTES},
+thr AS (
+  SELECT max(CASE WHEN rn = CAST(ceil({1.0 - _DSIR_KEEP_PCT / 100.0} * n) AS BIGINT)
+             THEN w6 END) AS t
+  FROM (SELECT w6, row_number() OVER (ORDER BY w6) AS rn, count(*) OVER () AS n
+        FROM scored)
+)
+SELECT doc_id, n_words, round(w6 * 1.0 / {_DSIR_SCALE}, 6) AS log_weight,
+       CAST(w6 >= (SELECT t FROM thr) AS BOOLEAN) AS selected
+FROM scored
+ORDER BY doc_id
+""",
+    doc=f"The 100 TB DSIR selection path, driver-adjudicated on its own: the selection threshold is ONE approx_percentile(w6, {1.0 - _DSIR_KEEP_PCT / 100.0}, 10000) scalar (map-side-combinable sketch) and `selected` is a plain filterable comparison — no global rank Window anywhere (the exact-rank mode stays registered as dsir_importance for the rank column). Oracle: in the sketch's exact regime (n_docs below the 10000 accuracy at every fixture SF) Spark's approx_percentile returns the w6 value at 1-based rank ceil(q*n) — replayed in DuckDB as an exact rank pick with identical IEEE ceil(q*n) arithmetic, exact-by-construction at adjudication scale.",
+)
+def dsir_importance_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_importance_plan(spark, sf_dir, exact_rank=False)
 
 
 # --------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..io import load_table
 from . import register
 from ..config import python_stage_partitions
+from ..session import pin_storage_level
 
 _STOPWORDS = ("the", "a", "of", "and")
 
@@ -315,9 +316,13 @@ def near_dup_jaccard_plan(
     # materialized by the two concurrent broadcast-collection jobs below,
     # which each recompute the full lineage (measured 2x wall cost). At
     # cluster scale this is a persist()-class materialization of an
-    # O(corpus tokens) intermediate — bounded and local to executors.
-    shingles = (
-        staged.select("doc_id", shingle.alias("sh")).localCheckpoint(eager=True)
+    # O(corpus tokens) intermediate — bounded and local to executors. The
+    # storage level of this and the other O(corpus) pins below is
+    # session-tunable (session.pin_storage_level): DISK_ONLY removes the
+    # 64 GB-driver cliff in memory-constrained local sweeps.
+    _pin = pin_storage_level(spark)
+    shingles = staged.select("doc_id", shingle.alias("sh")).localCheckpoint(
+        eager=True, storageLevel=_pin
     )
     sizes = shingles.select("doc_id", F.size("sh").alias("n_sh"))
     posting = shingles.select("doc_id", F.explode("sh").alias("shash"))
@@ -378,7 +383,7 @@ def near_dup_jaccard_plan(
     # shingles_per_doc / CAP_FRAC rows INDEPENDENT of corpus size — unlike
     # the O(n_docs) per-doc tables below, which carry no hint.
     kept = posting.join(F.broadcast(hot), "shash", "left_anti").localCheckpoint(
-        eager=True
+        eager=True, storageLevel=_pin
     )
     ka = kept.select(F.col("doc_id").alias("doc_a"), "shash")
     kb = kept.select(F.col("doc_id").alias("doc_b"), "shash")
@@ -419,7 +424,7 @@ def near_dup_jaccard_plan(
         .filter(ub * _JACCARD_DEN > ub_union * _JACCARD_NUM)
         .select("doc_a", "doc_b")
         # feeds the surviving-doc semi-filter AND the rescore join
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_pin)
     )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
@@ -1954,6 +1959,15 @@ ORDER BY doc_id
     doc=f"CCNet-style LM quality scoring, fully distributed: 'train' an add-1-smoothed char-bigram language model per language over the corpus (one map-side-combined count shuffle), then score every document's mean cross-entropy under its language's model (broadcast model join, one agg keyed by doc). High-entropy docs are gibberish/boilerplate candidates. Log-probs are integer-scaled (x{_LM_SCALE}, floored) before summation so the aggregate is ORDER-FREE — distributed float summation would be nondeterministic across partitionings and could not hash-match an oracle.",
 )
 def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_scores_unordered(spark, sf_dir).orderBy("doc_id")
+
+
+def lm_scores_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lm_quality_scores WITHOUT the presentation orderBy — the form the
+    ccnet bucketing plans consume: both immediately re-exchange (range
+    partition for the distributed ntile / threshold join for the approx
+    path), so an upstream global sort is one full-table range exchange of
+    pure waste."""
     docs = load_table(spark, sf_dir, "documents").repartition(
         python_stage_partitions(spark)
     )
@@ -2002,7 +2016,7 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-(F.col("sum_scaled") * 1.0) / _LM_SCALE / F.col("n_bigrams"), 6).alias(
             "cross_entropy"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2036,7 +2050,7 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ccnet_ppl_buckets_plan(
     spark: SparkSession, sf_dir: str, exact: bool = True, exact_impl: str = "distributed"
 ) -> DataFrame:
-    lm = lm_quality_scores(spark, sf_dir).select("doc_id", "lang", "cross_entropy")
+    lm = lm_scores_unordered(spark, sf_dir).select("doc_id", "lang", "cross_entropy")
     if exact and exact_impl == "distributed":
         from ..operators.rank import exact_ntile
 
@@ -2075,6 +2089,35 @@ def ccnet_ppl_buckets_plan(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "ccnet_ppl_buckets_approx",
+    oracle=f"""
+WITH lm AS (SELECT * FROM ({_lm_oracle()})),
+st AS (
+  SELECT lang, cross_entropy,
+         row_number() OVER (PARTITION BY lang ORDER BY cross_entropy) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM lm
+),
+thr AS (
+  SELECT lang,
+         max(CASE WHEN rn = CAST(ceil(0.3333 * n) AS BIGINT) THEN cross_entropy END) AS t1,
+         max(CASE WHEN rn = CAST(ceil(0.6667 * n) AS BIGINT) THEN cross_entropy END) AS t2
+  FROM st GROUP BY lang
+)
+SELECT doc_id, lm.lang, cross_entropy,
+       CASE WHEN cross_entropy <= t1 THEN 'head'
+            WHEN cross_entropy <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lm JOIN thr ON lm.lang = thr.lang
+ORDER BY doc_id
+""",
+    doc="The 100 TB ccnet bucketing path, driver-adjudicated on its own: per-language head/middle/tail thresholds from ONE approx_percentile(cross_entropy, [0.3333, 0.6667]) aggregate (map-side-combinable GK sketch), bucket assignment a broadcast join + two comparisons — zero sorting windows and zero per-language serialization anywhere. Oracle: in the sketch's exact regime (per-language n below the 10000 accuracy, which holds at every fixture SF) Spark's approx_percentile returns the value at 1-based rank ceil(q*n) — replayed in DuckDB as an exact rank pick with the identical IEEE ceil(q*n) arithmetic, so the comparison is exact-by-construction at adjudication scale while the registered plan is the genuine sketch-based scale path.",
+)
+def ccnet_ppl_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ccnet_ppl_buckets_plan(spark, sf_dir, exact=False)
 
 
 _PIPE_MIN_TOKENS = 20

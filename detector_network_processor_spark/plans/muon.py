@@ -1747,6 +1747,106 @@ def station_pagerank_converged(
     return out, iters
 
 
+# Driver-adjudicated registrations of the two converged variants: the code
+# paths a real deployment runs (fixpoint/tolerance termination) get their
+# own oracles. The oracles replay the LOOP INCLUDING ITS TERMINATION RULE
+# as a DuckDB recursive CTE: each recursive row carries its previous-state
+# value, so "no label changed" / "max rank delta <= tol" is evaluable from
+# the working table alone, and the final SELECT reads the last iteration.
+# Both sides are bit-exact integer/label arithmetic, so the fixpoint — and
+# the iteration it is reached at — is identical by construction.
+
+_LPA_CONV_MAX_ITERS = 20
+_PR_CONV_MAX_ITERS = 50
+_PR_CONV_TOL12 = 1_000_000
+
+_GRAPH_EDGE_CTES = f"""pt AS (
+  SELECT hash_lo, hash_hi, CAST(sum(n) AS BIGINT) AS total
+  FROM ({_pair_tof_histogram_oracle()})
+  GROUP BY hash_lo, hash_hi
+),
+edges AS (
+  SELECT hash_lo AS u, hash_hi AS v, total AS w FROM pt
+  UNION ALL
+  SELECT hash_hi AS u, hash_lo AS v, total AS w FROM pt
+)"""
+
+
+@register(
+    "station_communities_converged",
+    oracle=f"""
+WITH RECURSIVE {_GRAPH_EDGE_CTES},
+lp AS (
+  SELECT 0 AS it, u AS v, u AS lbl, CAST(NULL AS BIGINT) AS prev_lbl
+  FROM (SELECT DISTINCT u FROM edges)
+  UNION ALL
+  SELECT nxt.it, nxt.v, nxt.lbl, nxt.prev_lbl FROM (
+    SELECT (SELECT max(it) FROM lp) + 1 AS it, x.v, x.lbl, p2.lbl AS prev_lbl
+    FROM (
+      SELECT v, lbl FROM (
+        SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY wt DESC, lbl) AS rn
+        FROM (
+          SELECT e.v AS v, p.lbl AS lbl, CAST(sum(e.w) AS BIGINT) AS wt
+          FROM edges e JOIN lp p ON e.u = p.v
+          GROUP BY e.v, p.lbl
+        )
+      ) WHERE rn = 1
+    ) x JOIN lp p2 ON p2.v = x.v
+  ) nxt
+  WHERE nxt.it <= {_LPA_CONV_MAX_ITERS}
+    AND ((SELECT max(it) FROM lp) = 0
+         OR (SELECT count(*) FROM lp WHERE lbl != prev_lbl) > 0)
+)
+SELECT v AS hash, lbl AS community,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM lp WHERE it = (SELECT max(it) FROM lp)
+ORDER BY hash
+""",
+    doc=f"The production LPA: weighted synchronous label propagation iterated to FIXPOINT (no label changed; safety cap {_LPA_CONV_MAX_ITERS}) instead of the registered 3-step unroll — per iteration one broadcast label join + one (v,lbl) agg + an O(1)-row changed-count driver aggregate, lineage truncated every 10 iterations. Oracle: a DuckDB recursive CTE that replays the loop INCLUDING its termination rule (each row carries prev_lbl, the recursive step fires only while the working iteration changed at least one label), so Spark and the oracle stop at the same iteration with bit-identical labels.",
+)
+def station_communities_converged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return station_communities_converged(
+        spark, sf_dir, max_iters=_LPA_CONV_MAX_ITERS
+    )[0]
+
+
+@register(
+    "station_pagerank_converged",
+    oracle=f"""
+WITH RECURSIVE {_GRAPH_EDGE_CTES},
+deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY u),
+n AS (SELECT count(*) AS c FROM deg),
+pr AS (
+  SELECT 0 AS it, u AS v, CAST({_PR_SCALE} // (SELECT c FROM n) AS BIGINT) AS r,
+         CAST(NULL AS BIGINT) AS prev_r
+  FROM deg
+  UNION ALL
+  SELECT nxt.it, nxt.v, nxt.r, nxt.prev_r FROM (
+    SELECT (SELECT max(it) FROM pr) + 1 AS it, s.v, s.r, p2.r AS prev_r
+    FROM (
+      SELECT e.v,
+             CAST((SELECT {_PR_BASE_MASS} // c FROM n)
+                  + (sum((p.r * e.w) // d.wsum) * 17) // 20 AS BIGINT) AS r
+      FROM edges e JOIN pr p ON e.u = p.v JOIN deg d ON e.u = d.u
+      GROUP BY e.v
+    ) s JOIN pr p2 ON p2.v = s.v
+  ) nxt
+  WHERE nxt.it <= {_PR_CONV_MAX_ITERS}
+    AND ((SELECT max(it) FROM pr) = 0
+         OR (SELECT max(abs(r - prev_r)) FROM pr) > {_PR_CONV_TOL12})
+)
+SELECT v AS hash, r AS rank12, round(r / 1000000.0 / 1000000.0, 6) AS rank
+FROM pr WHERE it = (SELECT max(it) FROM pr)
+ORDER BY hash
+""",
+    doc=f"The production PageRank: fixed-point power iteration terminated when the max per-node rank delta (1e12 integer scale) drops to {_PR_CONV_TOL12} (= 1e-6 rank units; safety cap {_PR_CONV_MAX_ITERS}) — per iteration one broadcast rank join + one agg + an O(1)-row max-delta driver aggregate, lineage truncated every 10 iterations. Same bit-exact floored fixed-point arithmetic as the registered 3-step mode, so distributed summation order cannot move a single bit. Oracle: a DuckDB recursive CTE replaying the loop INCLUDING the tolerance termination (each row carries prev_r; the recursive step fires only while max|r - prev_r| exceeds the tolerance), so both engines stop at the same iteration with identical ranks.",
+)
+def station_pagerank_converged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return station_pagerank_converged(
+        spark, sf_dir, max_iters=_PR_CONV_MAX_ITERS, tol12=_PR_CONV_TOL12
+    )[0]
+
+
 # --------------------------------------------------------------------------
 # Triangle counting over the coincidence adjacency — the standard graph
 # cohesion statistic (a station in many triangles sits in a densely

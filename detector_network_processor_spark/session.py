@@ -37,6 +37,37 @@ def release_cached(
         time.sleep(settle_sec)
 
 
+def pin_storage_level(spark: SparkSession):
+    """Storage level for BIG working-set pins — the eager localCheckpoints
+    of O(corpus)-sized intermediates (shingle arrays, kept postings).
+
+    Returns ``None`` by default, which keeps Spark's localCheckpoint
+    default (MEMORY_AND_DISK, deserialized): fastest when the pin fits, and
+    the right call on a real cluster where the working set spreads across
+    executors. Set ``spark.dnp.pinStorage=DISK_ONLY`` (session conf) or
+    ``DNP_PIN_STORAGE=DISK_ONLY`` (env) for memory-constrained runs —
+    local mode conflates driver and executor heap, and at 1000x fixture
+    scale the deserialized in-memory pins plus the aggregation working set
+    exceed the default 8 GB session unless the pins go straight to disk
+    (measured: SCALE_RESULTS_r7.json needed a 64 GB driver without this).
+    Small dimension pins (centroids, boundary offsets) deliberately do not
+    consult this knob."""
+    name = None
+    try:
+        name = spark.conf.get("spark.dnp.pinStorage", None)
+    except Exception:
+        pass
+    name = name or os.environ.get("DNP_PIN_STORAGE")
+    if not name:
+        return None
+    from pyspark import StorageLevel
+
+    level = getattr(StorageLevel, name.upper(), None)
+    if level is None:
+        raise ValueError(f"unknown spark.dnp.pinStorage level: {name!r}")
+    return level
+
+
 def get_spark(
     app_name: str = "detector-network-processor-spark",
     cpus: int | str | None = None,

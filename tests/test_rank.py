@@ -38,6 +38,19 @@ def test_matches_window_ntile_on_awkward_group_sizes(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_null_group_key_matches_window_ntile(spark):
+    """Pass 1's Spark groupBy counts a null group; the Arrow pass must see
+    the same group (pandas dropna would silently drop it and misalign the
+    np.repeat lengths)."""
+    rows = [("a", 5, 0), ("a", 1, 1), (None, 9, 2), (None, 2, 3), (None, 4, 4), ("b", 7, 5)]
+    df = spark.createDataFrame(rows, "g string, k long, id long")
+    got = exact_ntile(df, "g", ["k", "id"], 2, n_partitions=3).collect()
+    want = _window_ntile(df, "g", ["k", "id"], 2).collect()
+    assert sorted(map(lambda r: tuple("" if v is None else v for v in r), got)) == sorted(
+        map(lambda r: tuple("" if v is None else v for v in r), want)
+    )
+
+
 def test_ccnet_distributed_equals_window_impl(spark):
     d = ccnet_ppl_buckets_plan(spark, SF_DIR, exact=True).collect()
     w = ccnet_ppl_buckets_plan(spark, SF_DIR, exact=True, exact_impl="window").collect()
@@ -54,6 +67,19 @@ def test_ccnet_distributed_invariant_under_partition_count(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert sorted(map(tuple, base)) == sorted(map(tuple, wide))
+    spark.catalog.clearCache()
+
+
+def test_ccnet_approx_registered_plan_is_pure_jvm_no_window(spark):
+    """The registered scale path (ccnet_ppl_buckets_approx) must contain
+    neither a Window operator nor a Python stage: thresholds come from one
+    approx_percentile aggregate, assignment is a broadcast join + CASE."""
+    from detector_network_processor_spark.plans import all_queries
+
+    df = all_queries()["ccnet_ppl_buckets_approx"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
     spark.catalog.clearCache()
 
 

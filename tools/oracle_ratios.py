@@ -6,9 +6,11 @@ BASELINE.md tracks per round.
 Usage: python tools/oracle_ratios.py [--sf-dir DIR] [names...]
 
 Protocol matches bench.py: JVM/codegen warmup pass at sf0.001, then
-min-of-2 at the target SF with cache release between runs; DuckDB runs the
-registered oracle SQL on the same parquet (32 threads), min-of-2 after its
-own warm run. Output: one JSON line per query.
+min-of-3 at the target SF with cache release between runs (this host shows
+~±0.7 s hypervisor-noise spread on 2-3 s walls — min-of-2 lands on a noisy
+pair often enough to misread a ratio); DuckDB runs the registered oracle
+SQL on the same parquet (32 threads), min-of-3 after its own warm run.
+Output: one JSON line per query.
 """
 
 from __future__ import annotations
@@ -60,7 +62,7 @@ def main() -> int:
         spec.fn(spark, "/root/testdata/sf0.001").count()
         _release_cached(spark)
         sw = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             n = spec.fn(spark, sf_dir).count()
             sw.append(time.monotonic() - t0)
@@ -69,7 +71,7 @@ def main() -> int:
         if spec.oracle is not None:
             con.execute(spec.oracle)  # warm
             dd = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.monotonic()
                 con.execute(spec.oracle).fetchall()
                 dd.append(time.monotonic() - t0)
