@@ -636,13 +636,24 @@ def cmd_thousand(factor: int = 1000) -> dict:
     does not need a second sample."""
     import scale_bench
 
-    spark = get_spark(app_name="dnp-thousand")
-    # local mode conflates driver and executor heap: send the O(corpus)
-    # working-set pins (shingle arrays, kept postings) straight to disk so
-    # the sweep completes under the DEFAULT 8 GB session instead of
-    # needing a 64 GB driver (r7 finding). Results are storage-level
-    # independent — only where the pinned blocks live changes.
+    # The DEFAULT-8-GB-session fit at 5M docs is a three-knob sizing story
+    # (r7 ran this under a 64 GB driver; measured r8):
+    #  1. DISK_ONLY pins — the O(corpus) shingle/posting checkpoints leave
+    #     the heap (results storage-level independent);
+    #  2. 256 partitions for the big-factor run — 32 partitions put
+    #     ~156k docs (>=128 MB array batches) in one task's working set;
+    #  3. 16 task slots — 32 concurrent tasks x their execution share
+    #     exhaust the ~4.6 GB unified pool (measured UNABLE_TO_ACQUIRE at
+    #     32 slots even with 256 partitions); 16 slots => ~290 MB/slot,
+    #     which this operator fits. A real cluster provisions 2-4 GB/core,
+    #     so the constraint only binds in local mode where driver and all
+    #     executor slots share one heap.
+    spark = get_spark(
+        app_name="dnp-thousand", cpus=int(os.environ.get("DNP_THOUSAND_CPUS", "16"))
+    )
     spark.conf.set("spark.dnp.pinStorage", "DISK_ONLY")
+    big_run_partitions = int(os.environ.get("DNP_THOUSAND_PARTITIONS", "256"))
+    default_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     qs = __import__(
         "detector_network_processor_spark.plans", fromlist=["all_queries"]
     ).all_queries()
@@ -676,15 +687,22 @@ def cmd_thousand(factor: int = 1000) -> dict:
         release()
         t1 = _timeit(lambda: fn(spark, BASE_SF).count(), runs=2)
         release()
-        t0 = time.perf_counter()
-        rows = fn(spark, big_dir).count()
-        tk = round(time.perf_counter() - t0, 3)
+        spark.conf.set("spark.sql.shuffle.partitions", str(big_run_partitions))
+        spark.conf.set("spark.engine.pythonStagePartitions", str(big_run_partitions))
+        try:
+            t0 = time.perf_counter()
+            rows = fn(spark, big_dir).count()
+            tk = round(time.perf_counter() - t0, 3)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", default_shuffle)
+            spark.conf.unset("spark.engine.pythonStagePartitions")
         out["queries"][name] = {
             "regime": regime,
             "t1_sec": t1,
             f"t{factor}_sec": tk,
             "wall_ratio": round(tk / t1, 1),
             "rows_at_factor": rows,
+            "big_run_partitions": big_run_partitions,
         }
         print(f"# {name}: 1x {t1}s -> {factor}x {tk}s ({rows} rows)", file=sys.stderr)
     return out
