@@ -718,7 +718,15 @@ def cmd_muon_thousand(factor: int = 1000) -> dict:
     big factor runs once (multi-minute walls don't need a second sample)."""
     import scale_bench
 
-    spark = get_spark(app_name="dnp-muon-thousand")
+    # same default-8-GB session sizing as cmd_thousand (measured there):
+    # 16 task slots + 256-partition big run; at 100M hits, 32 partitions
+    # put ~3M-row Arrow batches in each kernel task
+    spark = get_spark(
+        app_name="dnp-muon-thousand",
+        cpus=int(os.environ.get("DNP_THOUSAND_CPUS", "16")),
+    )
+    big_run_partitions = int(os.environ.get("DNP_THOUSAND_PARTITIONS", "256"))
+    default_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     out_dir = f"/tmp/dnp_events_x{factor}"
     if not os.path.exists(os.path.join(out_dir, "events.parquet", "_SUCCESS")):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -732,15 +740,22 @@ def cmd_muon_thousand(factor: int = 1000) -> dict:
         release_cached(spark)
         t1 = _timeit(lambda: fn(spark, BASE_SF).count(), runs=2)
         release_cached(spark)
-        t0 = time.perf_counter()
-        rows = fn(spark, out_dir).count()
-        tk = round(time.perf_counter() - t0, 3)
+        spark.conf.set("spark.sql.shuffle.partitions", str(big_run_partitions))
+        spark.conf.set("spark.engine.pythonStagePartitions", str(big_run_partitions))
+        try:
+            t0 = time.perf_counter()
+            rows = fn(spark, out_dir).count()
+            tk = round(time.perf_counter() - t0, 3)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", default_shuffle)
+            spark.conf.unset("spark.engine.pythonStagePartitions")
         release_cached(spark)
         out["queries"][name] = {
             "t1_sec": t1,
             f"t{factor}_sec": tk,
             "wall_ratio": round(tk / t1, 1),
             "rows_at_factor": rows,
+            "big_run_partitions": big_run_partitions,
         }
         print(f"# {name}: 1x {t1}s -> {factor}x {tk}s ({rows} rows)", file=sys.stderr)
     return out
