@@ -43,6 +43,11 @@ EXTENDED = [
     "substring_dedup_rewrite",
     "dedup_components_lsh",
     "q18_large_volume_customer",
+    # round-8 additions: the production-mode scale paths
+    "ccnet_ppl_buckets_approx",
+    "dsir_importance_approx",
+    "station_communities_converged",
+    "station_pagerank_converged",
 ]
 
 HEADLINE = [

@@ -1760,12 +1760,17 @@ _LPA_CONV_MAX_ITERS = 20
 _PR_CONV_MAX_ITERS = 50
 _PR_CONV_TOL12 = 1_000_000
 
-_GRAPH_EDGE_CTES = f"""pt AS (
+# AS MATERIALIZED is load-bearing: inside a WITH RECURSIVE, DuckDB inlines
+# non-recursive CTEs referenced from the recursive term, which would
+# re-evaluate the expensive pair-histogram subquery on EVERY iteration
+# (measured: the sf0.1 oracle went from hours to the one-shot histogram
+# cost once pinned).
+_GRAPH_EDGE_CTES = f"""pt AS MATERIALIZED (
   SELECT hash_lo, hash_hi, CAST(sum(n) AS BIGINT) AS total
   FROM ({_pair_tof_histogram_oracle()})
   GROUP BY hash_lo, hash_hi
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT hash_lo AS u, hash_hi AS v, total AS w FROM pt
   UNION ALL
   SELECT hash_hi AS u, hash_lo AS v, total AS w FROM pt
@@ -1814,8 +1819,8 @@ def station_communities_converged_query(spark: SparkSession, sf_dir: str) -> Dat
     "station_pagerank_converged",
     oracle=f"""
 WITH RECURSIVE {_GRAPH_EDGE_CTES},
-deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY u),
-n AS (SELECT count(*) AS c FROM deg),
+deg AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY u),
+n AS MATERIALIZED (SELECT count(*) AS c FROM deg),
 pr AS (
   SELECT 0 AS it, u AS v, CAST({_PR_SCALE} // (SELECT c FROM n) AS BIGINT) AS r,
          CAST(NULL AS BIGINT) AS prev_r

@@ -83,6 +83,21 @@ def test_ccnet_approx_registered_plan_is_pure_jvm_no_window(spark):
     spark.catalog.clearCache()
 
 
+def test_converged_graph_oracles_pin_materialized_edges():
+    """The converged-graph oracles are recursive CTEs over the expensive
+    pair-histogram subquery; DuckDB INLINES non-recursive CTEs referenced
+    from a recursive term, so without AS MATERIALIZED the histogram
+    re-evaluates on every iteration (measured: hours instead of one-shot
+    cost at sf0.1). Pin the hint so an oracle edit can't silently
+    reintroduce that."""
+    from detector_network_processor_spark.plans import all_queries
+
+    qs = all_queries()
+    for name in ("station_communities_converged", "station_pagerank_converged"):
+        oracle = qs[name].oracle
+        assert oracle.count("AS MATERIALIZED") >= 2, name
+
+
 def test_ccnet_registered_plan_has_no_sort_window(spark):
     """The registered exact mode must contain NO Window operator — the
     whole point of the distributed ntile is that no per-language sort
