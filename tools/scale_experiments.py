@@ -404,16 +404,22 @@ def cmd_streaming(factor: int = 10, n_chunks: int = 10) -> dict:
     root = "/tmp/dnp_stream_tp"
     shutil.rmtree(root, ignore_errors=True)
     # time-ordered chunks = arrival order; percentile-range bucketing keeps
-    # chunk sizes ~equal without an un-partitioned sort window
+    # chunk sizes ~equal without an un-partitioned sort window. ONE file
+    # per chunk + maxFilesPerTrigger=1 makes micro-batch == chunk by
+    # construction: chunks are disjoint time ranges, so batches arrive
+    # strictly in order and the incremental clusterer's output is
+    # batching-invariant (multi-part chunks + a file budget misalign
+    # batches with chunk boundaries, injecting artificial >watermark
+    # lateness that depends on part-count parity — see cmd_recovery).
     chunked = _time_chunks(hits, "start", n_chunks)
     for i in range(1, n_chunks + 1):
-        chunked.filter(F.col("_c") == i).drop("_c").coalesce(4).write.parquet(
+        chunked.filter(F.col("_c") == i).drop("_c").coalesce(1).write.parquet(
             f"{root}/in/f{i:03d}"
         )
 
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", 1)
         .parquet(f"{root}/in/f*")
     )
     out_path, state_path = f"{root}/out", f"{root}/state"
@@ -476,9 +482,18 @@ def cmd_recovery(factor: int = 10, n_chunks: int = 10, crash_after: int = 7) -> 
 
     root = "/tmp/dnp_recovery"
     shutil.rmtree(root, ignore_errors=True)
+    # ONE file per chunk + maxFilesPerTrigger=1: micro-batch == chunk by
+    # construction, so the one-shot and crash-restart passes see the
+    # IDENTICAL batch sequence and "recovered == one-shot" is structural.
+    # (The r7 protocol used 4-part chunks and a 2-file trigger; batch
+    # boundaries then depend on the chunks' non-empty part COUNT, and a
+    # one-shot batch can span the crash seam while the restarted stream
+    # cannot — measured this round as a deterministic 675,942 vs 685,614
+    # group divergence at 10x when the parts came out odd. r7's equality
+    # was parity luck, not structure.)
     chunked = _time_chunks(hits, "start", n_chunks)
     for i in range(1, n_chunks + 1):
-        chunked.filter(F.col("_c") == i).drop("_c").coalesce(4).write.parquet(
+        chunked.filter(F.col("_c") == i).drop("_c").coalesce(1).write.parquet(
             f"{root}/chunks/f{i:03d}"
         )
 
@@ -488,7 +503,7 @@ def cmd_recovery(factor: int = 10, n_chunks: int = 10, crash_after: int = 7) -> 
             shutil.copytree(f"{root}/chunks/f{i:03d}", f"{root}/{tag}/in/f{i:03d}")
         stream = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 1)
             .parquet(f"{root}/{tag}/in/f*")
         )
         t0 = time.perf_counter()
