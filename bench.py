@@ -68,16 +68,23 @@ HEADLINE = [
 
 def detail_path() -> str:
     """Per-ROUND detail artifact: ``BENCH_DETAIL_r{N}.json`` where N is the
-    round in progress (1 + the newest committed ``CORRECTNESS_r*.json``).
-    Re-runs within a round overwrite the same current-round file; a new
-    round writes a NEW file — so a measurement run never mutates a
-    previously-committed round's evidence (the r7 verdict's dirty-tree
-    finding against the old single ``BENCH_DETAIL.json``)."""
+    round in progress (1 + the newest COMMITTED ``CORRECTNESS_r*.json`` —
+    committed, not merely on disk: during a round's judging phase the
+    current round's artifact sits on disk uncommitted, and numbering from
+    a filesystem glob wrote that judging rerun into the NEXT round's file,
+    pre-polluting it with the previous round's data — the r8 ADVICE
+    finding). ``SPARK_GRAFT_ROUND`` overrides for explicit runs. Re-runs
+    within a round overwrite the same current-round file; a new round
+    writes a NEW file — so a measurement run never mutates a
+    previously-committed round's evidence."""
     root = os.path.dirname(os.path.abspath(__file__))
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round and env_round.isdigit():
+        return os.path.join(root, f"BENCH_DETAIL_r{int(env_round):02d}.json")
     try:
         from detector_network_processor_spark.evidence import correctness_files
 
-        rounds = [rnd for rnd, _ in correctness_files()]
+        rounds = [rnd for rnd, _ in correctness_files(tracked_only=True)]
         n = (max(rounds) + 1) if rounds else 1
     except Exception:  # pragma: no cover — never fail the bench over naming
         n = 0
@@ -132,6 +139,17 @@ def main() -> None:
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
         return runs
+
+    def calibrate_heavy() -> float:
+        """Second, HEAVIER probe for the extended section (r8 verdict
+        stretch #7): a 0.2 s probe cannot see degradation modes that only
+        bite multi-second plans (executor memory pressure, GC pauses,
+        shuffle-spill slowdowns), and the extended section's largest rows
+        run 3-8 s. sessionize_events is mid-weight (~0.4 s quiet), pure
+        engine path, and already a headline query — so its in-section
+        measurement triples as a cross-check."""
+        _release_cached(spark)
+        return round(min(timed_runs("sessionize_events", 2)), 3)
 
     def calibrate() -> float:
         """Fixed probe (min-of-2 of the cheapest pure-JVM headline query):
@@ -201,6 +219,7 @@ def main() -> None:
     # machine-detectable here too (r6 driver read station_communities at
     # 9.24 s vs a true ~4.5 s on an unchanged plan — single-shot timing).
     ext_calib_start = calibrate()
+    ext_heavy_start = calibrate_heavy()
     extended: dict[str, float] = {}
     extended_spread: dict[str, float] = {}
     extended_runs: dict[str, list[float]] = {}
@@ -219,7 +238,41 @@ def main() -> None:
             extended[name] = -1.0
             extended_spread[name] = -1.0  # keep the two maps keyed identically
             extended_runs[name] = []
+    ext_heavy_end = calibrate_heavy()
     ext_calib_end = calibrate()
+
+    # Extended plan_exchanges (r8 verdict #3): the 4 most expensive
+    # registered plans (converged graph, incremental replay) are
+    # extended-only, so the bench artifact must catch their plan
+    # regressions the way it does for the headline. Same protocol: plans
+    # built at the smallest SF (converged loops and replay harnesses run
+    # their driver actions at plan-build time — at sf_dir that would be
+    # heavy untimed work), checkpoint-truncated plans flagged.
+    extended_plan_exchanges: dict[str, dict[str, int | bool]] = {}
+    for name in EXTENDED:
+        try:
+            fp = plan_fingerprint(specs[name].fn(spark, plan_dir))
+            entry = {"shuffle": fp["shuffle"], "broadcast": fp["broadcast"]}
+            if fp.get("truncated"):
+                entry["truncated"] = True
+            extended_plan_exchanges[name] = entry
+        except Exception as e:  # pragma: no cover — never fail the bench
+            print(f"# extended plan inspect {name} failed: {e}", file=sys.stderr)
+    _release_cached(spark)
+
+    # Iteration counts for the fixpoint-terminated graph queries: their
+    # wall is iteration-bound, so the detail artifact records the count
+    # (from the LAST plan build above, which runs the loop) to tell plan
+    # regressions from convergence drift (r8 verdict #6).
+    extended_meta: dict[str, dict[str, int]] = {}
+    try:
+        from detector_network_processor_spark.plans.muon import CONVERGED_ITERATIONS
+
+        extended_meta = {
+            name: {"iterations": iters} for name, iters in sorted(CONVERGED_ITERATIONS.items())
+        }
+    except Exception as e:  # pragma: no cover
+        print(f"# converged-iteration telemetry failed: {e}", file=sys.stderr)
 
     calibration = {
         "probe": "window_sliding_stats",
@@ -227,6 +280,11 @@ def main() -> None:
         "end": calib_end,
         "extended_start": ext_calib_start,
         "extended_end": ext_calib_end,
+        # heavier second probe bracketing the extended section: catches
+        # degradation modes a 0.2 s probe can't see at multi-second scale
+        "heavy_probe": "sessionize_events",
+        "extended_heavy_start": ext_heavy_start,
+        "extended_heavy_end": ext_heavy_end,
     }
     # Noise-evidence detail (per-run walls, start offsets, plan Exchange
     # counts, extended timings): printed FIRST and also written to
@@ -234,7 +292,51 @@ def main() -> None:
     # stdout and parses the final line — round 6's single fat JSON line
     # exceeded that window and parsed as null, so the headline summary MUST
     # be the final line and MUST stay compact (well under 1500 chars).
-    detail = {
+    detail = detail_payload(
+        all_runs,
+        started_at,
+        spreads,
+        n_runs,
+        n_runs_noisy,
+        plan_exchanges,
+        extended,
+        extended_spread,
+        extended_runs,
+        extended_plan_exchanges,
+        extended_meta,
+        calibration,
+    )
+    print(json.dumps(detail))
+    try:
+        with open(detail_path(), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as e:  # pragma: no cover
+        print(f"# {os.path.basename(detail_path())} write failed: {e}", file=sys.stderr)
+
+    # FINAL stdout line: the compact driver-parseable headline summary.
+    print(summary_line(total, timings, sf, spreads, calibration, extended))
+    spark.stop()
+
+
+def detail_payload(
+    all_runs: dict,
+    started_at: dict,
+    spreads: dict,
+    n_runs: int,
+    n_runs_noisy: int,
+    plan_exchanges: dict,
+    extended: dict,
+    extended_spread: dict,
+    extended_runs: dict,
+    extended_plan_exchanges: dict,
+    extended_meta: dict,
+    calibration: dict,
+) -> dict:
+    """The BENCH_DETAIL_r{N}.json payload. A pure dict builder so
+    tests/test_bench_contract.py can pin the key set (including the
+    extended plan_exchanges + converged-iteration meta added in r9)
+    without running Spark."""
+    return {
         "metric": "bench_detail",
         "runs": all_runs,
         "query_start_offsets_sec": started_at,
@@ -248,18 +350,10 @@ def main() -> None:
         "extended": extended,
         "extended_spread": extended_spread,
         "extended_runs": extended_runs,
+        "extended_plan_exchanges": extended_plan_exchanges,
+        "extended_meta": extended_meta,
         "calibration": calibration,
     }
-    print(json.dumps(detail))
-    try:
-        with open(detail_path(), "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError as e:  # pragma: no cover
-        print(f"# {os.path.basename(detail_path())} write failed: {e}", file=sys.stderr)
-
-    # FINAL stdout line: the compact driver-parseable headline summary.
-    print(summary_line(total, timings, sf, spreads, calibration, extended))
-    spark.stop()
 
 
 def summary_line(

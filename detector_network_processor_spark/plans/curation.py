@@ -194,7 +194,10 @@ _PACK_CAPACITY = 256
 @register(
     "sequence_packing",
     oracle=f"""
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
+  -- MATERIALIZED: the recursive pack() term joins d every iteration, and
+  -- DuckDB inlines non-recursive CTEs referenced from a recursive term
+  -- (the converged-graph oracle-cost pin, applied here in r9)
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents

@@ -24,6 +24,28 @@ from pyspark.sql import DataFrame
 # counted separately — a broadcast is the CHEAP side of a join decision and
 # regressing broadcast->shuffle shows up as a shuffle-count increase.
 _SHUFFLE_RE = re.compile(r"\bExchange (?:hash|range|Single|RoundRobin)")
+_PLAN_ID_RE = re.compile(r"\[plan_id=(\d+)\]")
+
+
+def _count_unique(plan: str, node_re: re.Pattern[str]) -> int:
+    """Count DISTINCT physical nodes matching ``node_re``: plan text
+    reprints a cached subtree under every InMemoryRelation that references
+    it, so a raw substring count over a plan with persisted intermediates
+    double-counts the same Exchange (same ``plan_id``) once per reprint —
+    the r9 ccnet fingerprint read 19 shuffles for a plan that executes 6.
+    Nodes printed without a plan_id tag are counted per occurrence (the
+    pre-r9 behavior), so this can only remove double-counting."""
+    seen: set[str] = set()
+    untagged = 0
+    for line in plan.splitlines():
+        if not node_re.search(line):
+            continue
+        m = _PLAN_ID_RE.search(line)
+        if m:
+            seen.add(m.group(1))
+        else:
+            untagged += 1
+    return len(seen) + untagged
 
 
 def plan_fingerprint(df: DataFrame) -> dict[str, int | bool]:
@@ -39,8 +61,8 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int | bool]:
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
     fp: dict[str, int | bool] = {
-        "shuffle": len(_SHUFFLE_RE.findall(plan)),
-        "broadcast": plan.count("BroadcastExchange"),
+        "shuffle": _count_unique(plan, _SHUFFLE_RE),
+        "broadcast": _count_unique(plan, re.compile(r"BroadcastExchange")),
         "cartesian": plan.count("CartesianProduct"),
         "scans": len(re.findall(r"Scan parquet", plan)),
         # row-at-a-time Python UDF stages — the 10-100x-slower-than-Arrow

@@ -274,7 +274,12 @@ lmerged AS (
          CAST({h_acc} AS DOUBLE) AS h_acc, CAST(40.0 AS DOUBLE) AS v_acc
   FROM lev WHERE event_id % 5 = 0
 ),
-srecs AS (
+srecs AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing (same pin as the converged-graph and
+  -- L1-replay oracles): the recursive step joins srecs every iteration,
+  -- and DuckDB inlines non-recursive CTEs referenced from a recursive
+  -- term — without the pin the lev/lmerged framing re-evaluates once per
+  -- replayed record position at sf0.1
   SELECT hash, CAST(count(*) AS BIGINT) AS len,
          list(struct_pack(ts := ts, is_log := is_log, time_acc := time_acc,
                           dop := dop, h_acc := h_acc, v_acc := v_acc)

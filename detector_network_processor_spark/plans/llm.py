@@ -1084,7 +1084,10 @@ def _components_oracle() -> str:
     return f"""
 WITH RECURSIVE {_minhash_pairs_ctes()},
 pairs AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.34),
-edges AS (
+edges AS MATERIALIZED (
+  -- MATERIALIZED: the recursive reach() term joins edges every iteration,
+  -- and DuckDB inlines non-recursive CTEs referenced from a recursive term
+  -- (the converged-graph oracle-cost pin, applied here in r9)
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION
   SELECT doc_b AS u, doc_a AS v FROM pairs
@@ -1146,7 +1149,10 @@ star AS (
   FROM bands b JOIN broot r ON b.band = r.band AND b.bhash = r.bhash
   WHERE r.root < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
+  -- MATERIALIZED: the recursive reach() term joins edges every iteration,
+  -- and DuckDB inlines non-recursive CTEs referenced from a recursive term
+  -- (the converged-graph oracle-cost pin, applied here in r9)
   SELECT doc_a AS u, doc_b AS v FROM star
   UNION
   SELECT doc_b AS u, doc_a AS v FROM star
@@ -1978,17 +1984,18 @@ def lm_scores_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
         ).alias("bg"),
     )
-    # Reduce to per-doc bigram counts FIRST and materialize that: both
-    # consumers (model training and doc scoring) derive from it, so the
-    # explode over the full text runs once, and the materialized rows are
-    # the map-side-combined counts — strictly smaller than the raw bigram
-    # stream. localCheckpoint, not persist: blocks auto-reclaim.
-    docbg = (
-        grams.groupBy("doc_id", "lang", "bg")
-        .agg(F.count(F.lit(1)).alias("dc"))
-        .localCheckpoint(eager=True)
-    )
-    counts = docbg.groupBy("lang", "bg").agg(F.sum("dc").alias("c"))
+    # The model side reduces the gram stream to per-(lang, bigram) counts
+    # — bounded by charset^2 x languages, so TINY — and only that is
+    # pinned. The scoring side consumes the raw gram stream directly
+    # (broadcast model join + one per-doc agg with map-side combine). The
+    # explode therefore runs twice, but a whole-stage-codegen substring
+    # explode is far cheaper than materializing the O(docs x distinct
+    # bigrams) intermediate the r8 design eagerly checkpointed — that
+    # checkpoint write was the single largest job in the ccnet exact
+    # path's wall (measured ~1.9 s of a 3.3 s total at sf0.1), and at
+    # 100 TB it is a full extra materialization of near-corpus-sized
+    # data vs. a second pass of pure CPU.
+    counts = grams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c")).persist()
     lang_tot = counts.groupBy("lang").agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
@@ -1999,14 +2006,14 @@ def lm_scores_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))) * _LM_SCALE
         ).cast("long").alias("logp_scaled"),
     )
-    # sum over occurrences == sum over distinct bigrams of count*logp —
-    # integer-exact, so the result is bit-identical to the per-row sum.
+    # integer-scaled log-probs summed per occurrence: order-free, so the
+    # distributed sum is bit-identical to any other grouping of the terms
     scored = (
-        docbg.join(F.broadcast(model), ["lang", "bg"])
+        grams.join(F.broadcast(model), ["lang", "bg"])
         .groupBy("doc_id", "lang")
         .agg(
-            F.sum("dc").alias("n_bigrams"),
-            F.sum(F.col("dc") * F.col("logp_scaled")).alias("sum_scaled"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_scaled").alias("sum_scaled"),
         )
     )
     return scored.select(

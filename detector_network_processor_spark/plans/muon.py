@@ -696,7 +696,12 @@ l1sess AS (
   SELECT *, sum(b) OVER (ORDER BY start, hash ROWS UNBOUNDED PRECEDING) AS sid
   FROM l1brk
 ),
-shits AS (
+shits AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing (same pin as the converged-graph
+  -- oracles): the recursive step joins shits on every iteration, and
+  -- DuckDB inlines non-recursive CTEs referenced from a recursive term,
+  -- which would re-evaluate the whole muonize/session chain once per
+  -- replayed hit position at sf0.1
   SELECT sid, CAST(count(*) AS BIGINT) AS len,
          list(struct_pack(hash := hash, start := start, e_end := e_end,
                           time_acc := time_acc, x := x, y := y, z := z)
@@ -1626,6 +1631,15 @@ def station_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # eager checkpoints keep the lineage flat, so the loop's cost is
 # iterations x (one label join + one agg), never a growing plan.
 
+# Iteration telemetry for the converged registrations: their wall time is
+# iteration-bound, so round-over-round bench comparison needs the count to
+# tell a plan regression from fixture/convergence drift (r8 verdict #6).
+# The registered wrappers run the loop eagerly at plan-build time (each
+# iteration's convergence aggregate is a driver action), so the count for
+# the LAST build is available as soon as the query fn returns; bench.py
+# copies it into BENCH_DETAIL's extended_meta.
+CONVERGED_ITERATIONS: dict[str, int] = {}
+
 
 def station_communities_converged(
     spark: SparkSession, sf_dir: str, max_iters: int = 20
@@ -1810,9 +1824,11 @@ ORDER BY hash
     doc=f"The production LPA: weighted synchronous label propagation iterated to FIXPOINT (no label changed; safety cap {_LPA_CONV_MAX_ITERS}) instead of the registered 3-step unroll — per iteration one broadcast label join + one (v,lbl) agg + an O(1)-row changed-count driver aggregate, lineage truncated every 10 iterations. Oracle: a DuckDB recursive CTE that replays the loop INCLUDING its termination rule (each row carries prev_lbl, the recursive step fires only while the working iteration changed at least one label), so Spark and the oracle stop at the same iteration with bit-identical labels.",
 )
 def station_communities_converged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return station_communities_converged(
+    out, iters = station_communities_converged(
         spark, sf_dir, max_iters=_LPA_CONV_MAX_ITERS
-    )[0]
+    )
+    CONVERGED_ITERATIONS["station_communities_converged"] = iters
+    return out
 
 
 @register(
@@ -1847,9 +1863,11 @@ ORDER BY hash
     doc=f"The production PageRank: fixed-point power iteration terminated when the max per-node rank delta (1e12 integer scale) drops to {_PR_CONV_TOL12} (= 1e-6 rank units; safety cap {_PR_CONV_MAX_ITERS}) — per iteration one broadcast rank join + one agg + an O(1)-row max-delta driver aggregate, lineage truncated every 10 iterations. Same bit-exact floored fixed-point arithmetic as the registered 3-step mode, so distributed summation order cannot move a single bit. Oracle: a DuckDB recursive CTE replaying the loop INCLUDING the tolerance termination (each row carries prev_r; the recursive step fires only while max|r - prev_r| exceeds the tolerance), so both engines stop at the same iteration with identical ranks.",
 )
 def station_pagerank_converged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return station_pagerank_converged(
+    out, iters = station_pagerank_converged(
         spark, sf_dir, max_iters=_PR_CONV_MAX_ITERS, tol12=_PR_CONV_TOL12
-    )[0]
+    )
+    CONVERGED_ITERATIONS["station_pagerank_converged"] = iters
+    return out
 
 
 # --------------------------------------------------------------------------

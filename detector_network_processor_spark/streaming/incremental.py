@@ -111,26 +111,57 @@ def process_increment(
             spark.read.parquet(_version_dir(state_path, prior[-1])).select(*HIT_COLS)
         )
     hits = hits.persist()
-    if hits.isEmpty():
-        # nothing changed — no writes, so a replay of this id is a no-op too
-        hits.unpersist()
-        return
-
     l1 = cluster_coincidences(hits, stations=None, criterion=criterion).withColumn(
         "_last", _last_start()
     )
     l1 = l1.persist()
 
     if final:
+        if hits.isEmpty():  # once per STREAM (final flush), not per batch
+            l1.unpersist()
+            hits.unpersist()
+            return
         closed, open_rows = l1, None
     else:
         # Sessions are disjoint start-time intervals, so "still growable"
-        # is a pure threshold on the latest constituent start.
-        horizon = l1.agg(F.max("_last")).collect()[0][0] - watermark_ns  # O(1) driver row
+        # is a pure threshold on the latest constituent start. ONE driver
+        # action per batch covers all three bookkeeping scalars (the r8
+        # verdict counted ~2 extra jobs per replayed micro-batch for the
+        # previous separate horizon + threshold collects, plus a per-batch
+        # isEmpty probe): group count (empty-batch no-op guard), growth
+        # horizon, and the open-tail start threshold. The threshold is
+        # conditional on the horizon — itself an aggregate — so the 1-row
+        # max(_last) aggregate is broadcast back under the conditional
+        # min; building that broadcast doubles as the job that
+        # materializes l1's cache.
+        mx = l1.agg(F.max("_last").alias("_mx"))
+        stats = (
+            l1.crossJoin(F.broadcast(mx))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.first("_mx").alias("mx"),
+                F.min(
+                    F.when(
+                        F.col("_last") + F.lit(gap_ns)
+                        >= F.col("_mx") - F.lit(watermark_ns),
+                        F.col("start"),
+                    )
+                ).alias("thr"),
+            )
+            .collect()[0]
+        )
+        if stats["cnt"] == 0:
+            # nothing changed — no writes, so a replay of this id is a no-op too
+            l1.unpersist()
+            hits.unpersist()
+            return
+        horizon = stats["mx"] - watermark_ns
         closed = l1.filter(F.col("_last") + gap_ns < horizon)
-        open_groups = l1.filter(F.col("_last") + gap_ns >= horizon)
-        thr_row = open_groups.agg(F.min("start")).collect()[0][0]  # O(1)
-        open_rows = hits.filter(F.col("start") >= thr_row) if thr_row is not None else hits.limit(0)
+        open_rows = (
+            hits.filter(F.col("start") >= stats["thr"])
+            if stats["thr"] is not None
+            else hits.limit(0)
+        )
 
     closed.drop("_last").write.mode("overwrite").parquet(
         os.path.join(out_path, f"batch_id={batch_id}")

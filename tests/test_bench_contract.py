@@ -40,7 +40,11 @@ def test_summary_line_fits_tail_window_and_parses():
 
 def test_detail_artifact_is_per_round():
     """The noise-evidence detail must land in a round-suffixed file (one
-    per round, never mutating a previously-committed round's artifact)."""
+    per round, never mutating a previously-committed round's artifact).
+    The round is 1 + the newest COMMITTED correctness artifact — numbering
+    from a filesystem glob wrote a judging-phase rerun into the NEXT
+    round's file while that round's artifact sat on disk uncommitted (the
+    r8 ADVICE pre-pollution finding)."""
     import os
     import re
 
@@ -49,8 +53,38 @@ def test_detail_artifact_is_per_round():
     name = os.path.basename(bench.detail_path())
     m = re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", name)
     assert m, name
-    rounds = [rnd for rnd, _ in correctness_files()]
+    rounds = [rnd for rnd, _ in correctness_files(tracked_only=True)]
     assert int(m.group(1)) == (max(rounds) + 1 if rounds else 1)
+    # committed-only is a (non-strict) subset of the on-disk glob
+    assert set(correctness_files(tracked_only=True)) <= set(correctness_files())
+
+
+def test_detail_round_env_override(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "42")
+    import os
+
+    assert os.path.basename(bench.detail_path()) == "BENCH_DETAIL_r42.json"
+
+
+def test_detail_payload_key_set():
+    """BENCH_DETAIL must carry plan-exchange evidence for the EXTENDED
+    section too (the most expensive registered plans are extended-only)
+    plus the converged-graph iteration counts (r8 verdict #3 and #6)."""
+    payload = bench.detail_payload(
+        {}, {}, {}, 3, 5, {"q1": {"shuffle": 1, "broadcast": 0}},
+        {}, {}, {},
+        {"station_pagerank_converged": {"shuffle": 21, "broadcast": 18}},
+        {"station_pagerank_converged": {"iterations": 12}},
+        {"probe": "window_sliding_stats"},
+    )
+    assert {
+        "metric", "runs", "query_start_offsets_sec", "spread",
+        "runs_per_query", "runs_noisy_max", "plan_exchanges",
+        "extended", "extended_spread", "extended_runs",
+        "extended_plan_exchanges", "extended_meta", "calibration",
+    } <= set(payload)
+    assert payload["extended_plan_exchanges"]["station_pagerank_converged"]["shuffle"] == 21
+    assert payload["extended_meta"]["station_pagerank_converged"]["iterations"] == 12
 
 
 def test_summary_line_degrades_instead_of_overflowing():

@@ -51,6 +51,39 @@ def test_null_group_key_matches_window_ntile(spark):
     )
 
 
+def test_recompute_after_full_unpersist_is_bit_identical(spark):
+    """Placement is a pure function of row values (broadcast boundary
+    table + hash of the logical bucket id), so evicting EVERY cached
+    block between the offset pass and the action must reproduce
+    bit-identical buckets — the r8 reservoir-sampled design aborted with
+    a RuntimeError here, which at 100 TB turns an expected executor loss
+    into a failed job."""
+    from detector_network_processor_spark.session import release_cached
+
+    rows = [("a" if i % 3 else "b", (i * 48271) % 1009, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, k long, id long")
+    result = exact_ntile(df, "g", ["k", "id"], 4, n_partitions=7)
+    first = sorted(map(tuple, result.collect()))
+    release_cached(spark, blocking=True)  # force full recompute
+    second = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, _window_ntile(df, "g", ["k", "id"], 4).collect()))
+    assert first == second == want
+
+
+def test_float_group_keys_rejected_loudly(spark):
+    """Per-row bookkeeping keys on the integer bucket id, so the r8
+    ADVICE None-vs-NaN dict mismatch is structurally gone — but Arrow's
+    pandas round-trip conflates NaN with null in float columns, which
+    would silently rewrite a genuine-NaN group VALUE to null in the
+    output rows. That failure mode is rejected loudly at plan build."""
+    import pytest
+
+    rows = [(1.5, 5, 0), (float("nan"), 9, 2), (None, 7, 5)]
+    df = spark.createDataFrame(rows, "g double, k long, id long")
+    with pytest.raises(TypeError, match="float/double group columns"):
+        exact_ntile(df, "g", ["k", "id"], 2, n_partitions=3)
+
+
 def test_ccnet_distributed_equals_window_impl(spark):
     d = ccnet_ppl_buckets_plan(spark, SF_DIR, exact=True).collect()
     w = ccnet_ppl_buckets_plan(spark, SF_DIR, exact=True, exact_impl="window").collect()
@@ -102,12 +135,18 @@ def test_ccnet_registered_plan_has_no_sort_window(spark):
     """The registered exact mode must contain NO Window operator — the
     whole point of the distributed ntile is that no per-language sort
     serializes onto one task. The rank pass is a range exchange +
-    MapInPandas; the final orderBy(doc_id) is a range sort, not a Window."""
+    MapInPandas; the final orderBy(doc_id) is a range sort, not a Window.
+    The rank exchange is a deterministic HASH exchange on the logical
+    bucket id (recompute-safe placement), not a reservoir-sampled range
+    exchange."""
     from detector_network_processor_spark.plans import all_queries
 
     df = all_queries()["ccnet_ppl_buckets"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "MapInPandas" in plan
-    assert "Exchange rangepartitioning" in plan
+    # the rank exchange keys on the deterministic logical bucket id; at
+    # fixture scale the data-sized partition count collapses it to a
+    # single partition (same placement function, width 1)
+    assert "hashpartitioning(_lpid" in plan or "Exchange SinglePartition" in plan, plan
     spark.catalog.clearCache()

@@ -45,6 +45,52 @@ from detector_network_processor_spark.session import get_spark, release_cached  
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+class PeakMemoryProbe:
+    """Per-measurement peak EXECUTION memory from the status store's
+    TaskMetrics aggregation (r8 verdict stretch #8: the ~290 MB/slot
+    working-set floor at 5M docs was derived by bisection; this makes the
+    next sizing question a lookup). ``start()`` marks the current stage
+    horizon; ``peak_mb()`` returns the max per-stage peakExecutionMemory
+    over stages submitted SINCE the mark — sort/hash/shuffle buffer
+    high-water, the number that decides slots-per-heap. Works with the UI
+    disabled (reads AppStatusStore directly); returns -1 if the py4j
+    surface drifts, never fails a measurement."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._mark = -1
+
+    def _stages(self):
+        sc = self._spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = self._spark._jvm
+        arr = sc._gateway.new_array(sc._gateway.jvm.double, 0)
+        return store.stageList(
+            jvm.java.util.ArrayList(), False, False, arr, jvm.java.util.ArrayList()
+        )
+
+    def start(self) -> None:
+        try:
+            stages = self._stages()
+            self._mark = max(
+                (stages.apply(i).stageId() for i in range(stages.size())), default=-1
+            )
+        except Exception:
+            self._mark = -1
+
+    def peak_mb(self) -> float:
+        try:
+            stages = self._stages()
+            peak = 0
+            for i in range(stages.size()):
+                s = stages.apply(i)
+                if s.stageId() > self._mark:
+                    peak = max(peak, s.peakExecutionMemory())
+            return round(peak / (1024 * 1024), 1)
+        except Exception:
+            return -1.0
+
+
 def _scaled_dir(spark, factor: int, docs_mode: str = "clone") -> str:
     import scale_bench
 
@@ -704,7 +750,9 @@ def cmd_thousand(factor: int = 1000) -> dict:
         release()
         spark.conf.set("spark.sql.shuffle.partitions", str(big_run_partitions))
         spark.conf.set("spark.engine.pythonStagePartitions", str(big_run_partitions))
+        probe = PeakMemoryProbe(spark)
         try:
+            probe.start()
             t0 = time.perf_counter()
             rows = fn(spark, big_dir).count()
             tk = round(time.perf_counter() - t0, 3)
@@ -718,6 +766,9 @@ def cmd_thousand(factor: int = 1000) -> dict:
             "wall_ratio": round(tk / t1, 1),
             "rows_at_factor": rows,
             "big_run_partitions": big_run_partitions,
+            # max per-stage peakExecutionMemory during the big run: the
+            # sort/hash/shuffle high-water that decides slots-per-heap
+            "peak_stage_execution_mb": probe.peak_mb(),
         }
         print(f"# {name}: 1x {t1}s -> {factor}x {tk}s ({rows} rows)", file=sys.stderr)
     return out
@@ -757,7 +808,9 @@ def cmd_muon_thousand(factor: int = 1000) -> dict:
         release_cached(spark)
         spark.conf.set("spark.sql.shuffle.partitions", str(big_run_partitions))
         spark.conf.set("spark.engine.pythonStagePartitions", str(big_run_partitions))
+        probe = PeakMemoryProbe(spark)
         try:
+            probe.start()
             t0 = time.perf_counter()
             rows = fn(spark, out_dir).count()
             tk = round(time.perf_counter() - t0, 3)
@@ -771,6 +824,7 @@ def cmd_muon_thousand(factor: int = 1000) -> dict:
             "wall_ratio": round(tk / t1, 1),
             "rows_at_factor": rows,
             "big_run_partitions": big_run_partitions,
+            "peak_stage_execution_mb": probe.peak_mb(),
         }
         print(f"# {name}: 1x {t1}s -> {factor}x {tk}s ({rows} rows)", file=sys.stderr)
     return out
