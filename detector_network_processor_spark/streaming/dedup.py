@@ -96,19 +96,7 @@ def process_neardup_increment(
     sigs = minhash_signatures(
         batch_docs.select(id_col, text_col), id_col=id_col, text_col=text_col, portable=portable
     ).localCheckpoint(eager=True)
-    # Write the new band rows to the index FIRST and read them back for
-    # the history join: the index write has to happen anyway, so it
-    # doubles as the materialization an eager localCheckpoint used to
-    # provide — one fewer job per ingest batch (r8 verdict: the replay's
-    # wall is dominated by per-batch job count, not data volume).
-    # band_rows over the checkpointed sigs is a cheap posexplode, so
-    # computing it once for the write is the only full evaluation.
-    had_history = _index_exists(spark, index_path)  # probe BEFORE our write
-    band_dir = os.path.join(index_path, f"ingest_batch={batch_id}")
-    band_rows(sigs, id_col=id_col, portable=portable).write.mode("overwrite").parquet(band_dir)
-    # the ingest_batch column comes from the partition DIRECTORY name at
-    # read time — writing it into the files too would collide on discovery
-    new_bands = spark.read.parquet(band_dir)
+    new_bands = band_rows(sigs, id_col=id_col, portable=portable).localCheckpoint(eager=True)
 
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     est = F.round(agree / float(MINHASH_K), 6)
@@ -119,11 +107,9 @@ def process_neardup_increment(
     )
 
     # new-vs-history: bucket equi-join against index batches OLDER than
-    # this one (replay-safe: a re-run of batch N sees the same history —
-    # the read filters ingest_batch < batch_id, so the band rows this call
-    # just wrote are never their own history)
+    # this one (replay-safe: a re-run of batch N sees the same history)
     pairs = intra
-    if had_history:
+    if _index_exists(spark, index_path):
         hist = (
             spark.read.parquet(index_path)
             .filter(F.col("ingest_batch") < batch_id)
@@ -148,6 +134,11 @@ def process_neardup_increment(
         pairs = intra.unionByName(cross)
 
     pairs.write.mode("overwrite").parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+    # the ingest_batch column comes from the partition DIRECTORY name at
+    # read time — writing it into the files too would collide on discovery
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(index_path, f"ingest_batch={batch_id}")
+    )
 
 
 def incremental_neardup_query(
