@@ -40,9 +40,12 @@ order wouldn't be monotone); group cardinality is expected to be small
 (languages) — every group costs one broadcast-table row. All per-row
 bookkeeping keys on the integer ``_lpid``, never on the group value, so
 the r8 ADVICE NaN-vs-None dict mismatch is structurally impossible.
-Nothing anywhere sorts a whole group on one task. Ref parity: CCNet's
-per-language perplexity tertiles (Wenzek et al. 2020) at hypertable
-scale.
+Nothing anywhere sorts a whole group on one task. Known Arrow caveat
+(applies to any mapInPandas operator, not this design): a genuine NaN in
+a double VALUE column does not round-trip the pandas pass (NaN and null
+conflate); the ntile itself is unaffected — NaN order keys still rank
+last via the dedicated top cell. Ref parity: CCNet's per-language
+perplexity tertiles (Wenzek et al. 2020) at hypertable scale.
 """
 
 from __future__ import annotations

@@ -84,6 +84,53 @@ def test_float_group_keys_rejected_loudly(spark):
         exact_ntile(df, "g", ["k", "id"], 2, n_partitions=3)
 
 
+def test_heavy_ties_single_cell_matches_window_ntile(spark):
+    """Every row of a group sharing ONE order value (one log-cell — the
+    unsplittable-skew case) must still tile exactly: the cell histogram
+    degrades to a single fat bucket and ranks come from the tiebreaker
+    order, bit-identical to the window ntile."""
+    rows = [("a", 7, i) for i in range(100)] + [("b", 7, 100 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, k long, id long")
+    got = exact_ntile(df, "g", ["k", "id"], 4, n_partitions=5).collect()
+    want = _window_ntile(df, "g", ["k", "id"], 4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_null_and_negative_order_values_match_window_ntile(spark):
+    """Null order keys sort FIRST (bucket from the low end), negatives
+    exercise the sign-split arm of the monotone cell map."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        k = None if i % 17 == 0 else rng.uniform(-1e6, 1e6)
+        rows.append(("g1" if i % 3 else "g2", k, i))
+    df = spark.createDataFrame(rows, "g string, k double, id long")
+    got = exact_ntile(df, "g", ["k", "id"], 3, n_partitions=4).collect()
+    want = _window_ntile(df, "g", ["k", "id"], 3).collect()
+
+    def norm(r):
+        return tuple("" if v is None else str(v) for v in r)
+
+    assert sorted(map(norm, got)) == sorted(map(norm, want))
+
+
+def test_timestamp_order_column_matches_window_ntile(spark):
+    """Timestamp order keys are range-split via the monotone double cast."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("s", base + datetime.timedelta(seconds=(i * 48271) % 1009), i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, t timestamp, id long")
+    got = exact_ntile(df, "g", ["t", "id"], 5, n_partitions=4).collect()
+    want = _window_ntile(df, "g", ["t", "id"], 5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_ccnet_distributed_equals_window_impl(spark):
     d = ccnet_ppl_buckets_plan(spark, SF_DIR, exact=True).collect()
     w = ccnet_ppl_buckets_plan(spark, SF_DIR, exact=True, exact_impl="window").collect()
