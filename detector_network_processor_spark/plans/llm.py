@@ -1984,18 +1984,22 @@ def lm_scores_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
         ).alias("bg"),
     )
-    # The model side reduces the gram stream to per-(lang, bigram) counts
-    # — bounded by charset^2 x languages, so TINY — and only that is
-    # pinned. The scoring side consumes the raw gram stream directly
-    # (broadcast model join + one per-doc agg with map-side combine). The
-    # explode therefore runs twice, but a whole-stage-codegen substring
-    # explode is far cheaper than materializing the O(docs x distinct
-    # bigrams) intermediate the r8 design eagerly checkpointed — that
-    # checkpoint write was the single largest job in the ccnet exact
-    # path's wall (measured ~1.9 s of a 3.3 s total at sf0.1), and at
-    # 100 TB it is a full extra materialization of near-corpus-sized
-    # data vs. a second pass of pure CPU.
-    counts = grams.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c")).persist()
+    # Reduce to per-doc bigram counts FIRST and materialize that: both
+    # consumers (model training and doc scoring) derive from it, so the
+    # explode over the full text runs once, and the materialized rows are
+    # the map-side-combined counts — strictly smaller than the raw bigram
+    # stream. localCheckpoint, not persist: blocks auto-reclaim. (The r9
+    # direct-gram variant — tiny (lang,bg) count pin + a second codegen
+    # explode, no big materialization — measured consistently ~0.3-0.5 s
+    # SLOWER on interleaved A/B at sf0.1: lm is consumed twice in both
+    # ccnet modes, and with the checkpoint every consumer re-derives from
+    # the compact counts instead of re-exploding the corpus.)
+    docbg = (
+        grams.groupBy("doc_id", "lang", "bg")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .localCheckpoint(eager=True)
+    )
+    counts = docbg.groupBy("lang", "bg").agg(F.sum("dc").alias("c"))
     lang_tot = counts.groupBy("lang").agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
@@ -2006,14 +2010,14 @@ def lm_scores_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))) * _LM_SCALE
         ).cast("long").alias("logp_scaled"),
     )
-    # integer-scaled log-probs summed per occurrence: order-free, so the
-    # distributed sum is bit-identical to any other grouping of the terms
+    # sum over occurrences == sum over distinct bigrams of count*logp —
+    # integer-exact, so the result is bit-identical to the per-row sum.
     scored = (
-        grams.join(F.broadcast(model), ["lang", "bg"])
+        docbg.join(F.broadcast(model), ["lang", "bg"])
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("logp_scaled").alias("sum_scaled"),
+            F.sum("dc").alias("n_bigrams"),
+            F.sum(F.col("dc") * F.col("logp_scaled")).alias("sum_scaled"),
         )
     )
     return scored.select(
@@ -2080,6 +2084,11 @@ def ccnet_ppl_buckets_plan(
         )
     # Scale path: per-lang t-digest thresholds (map-side combinable), then a
     # broadcast join + plain comparisons — zero sorting windows anywhere.
+    # lm is consumed twice (threshold aggregate, then the assignment join)
+    # but NOT pinned: both consumers re-derive from the compact docbg
+    # checkpoint, which interleaved A/B at sf0.1 measured ~0.5 s faster
+    # than persisting lm (cache write + InMemoryRelation read overhead
+    # exceeds two cheap post-checkpoint recomputes at this row width).
     thr = lm.groupBy("lang").agg(
         F.expr("approx_percentile(cross_entropy, array(0.3333, 0.6667), 10000)").alias("t")
     )
