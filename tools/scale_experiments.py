@@ -79,6 +79,10 @@ class PeakMemoryProbe:
             self._mark = -1
 
     def peak_mb(self) -> float:
+        """Max per-stage peakExecutionMemory since the mark. NOTE: Spark's
+        StageData.peakExecutionMemory is the SUM of task peaks across the
+        stage (sequential waves included), not a concurrent footprint —
+        divide by tasks (see ``peak()``) for the per-slot number."""
         try:
             stages = self._stages()
             peak = 0
@@ -89,6 +93,39 @@ class PeakMemoryProbe:
             return round(peak / (1024 * 1024), 1)
         except Exception:
             return -1.0
+
+    def peak(self) -> dict:
+        """Full sizing record for the heaviest stage since the mark:
+        ``stage_peak_sum_mb`` (Spark's task-sum), ``stage_tasks``, and
+        ``task_peak_max_mb`` (p100 of per-task execution-memory peaks via
+        taskSummary — the slots-per-heap number)."""
+        out = {"stage_peak_sum_mb": -1.0, "stage_tasks": -1, "task_peak_max_mb": -1.0}
+        try:
+            sc = self._spark.sparkContext
+            store = sc._jsc.sc().statusStore()
+            gw = sc._gateway
+            stages = self._stages()
+            best = None
+            for i in range(stages.size()):
+                s = stages.apply(i)
+                if s.stageId() > self._mark and (
+                    best is None or s.peakExecutionMemory() > best.peakExecutionMemory()
+                ):
+                    best = s
+            if best is None:
+                return out
+            out["stage_peak_sum_mb"] = round(best.peakExecutionMemory() / 2**20, 1)
+            out["stage_tasks"] = best.numCompleteTasks()
+            q = gw.new_array(gw.jvm.double, 1)
+            q[0] = 1.0
+            ts = store.taskSummary(best.stageId(), best.attemptId(), q)
+            if ts.isDefined():
+                out["task_peak_max_mb"] = round(
+                    ts.get().peakExecutionMemory().apply(0) / 2**20, 1
+                )
+        except Exception:
+            pass
+        return out
 
 
 def _scaled_dir(spark, factor: int, docs_mode: str = "clone") -> str:
@@ -766,9 +803,10 @@ def cmd_thousand(factor: int = 1000) -> dict:
             "wall_ratio": round(tk / t1, 1),
             "rows_at_factor": rows,
             "big_run_partitions": big_run_partitions,
-            # max per-stage peakExecutionMemory during the big run: the
-            # sort/hash/shuffle high-water that decides slots-per-heap
-            "peak_stage_execution_mb": probe.peak_mb(),
+            # heaviest-stage execution-memory record during the big run
+            # (task-sum, task count, and per-task p100 — the last one is
+            # the slots-per-heap sizing number)
+            "peak_execution_memory": probe.peak(),
         }
         print(f"# {name}: 1x {t1}s -> {factor}x {tk}s ({rows} rows)", file=sys.stderr)
     return out
@@ -824,7 +862,7 @@ def cmd_muon_thousand(factor: int = 1000) -> dict:
             "wall_ratio": round(tk / t1, 1),
             "rows_at_factor": rows,
             "big_run_partitions": big_run_partitions,
-            "peak_stage_execution_mb": probe.peak_mb(),
+            "peak_execution_memory": probe.peak(),
         }
         print(f"# {name}: 1x {t1}s -> {factor}x {tk}s ({rows} rows)", file=sys.stderr)
     return out
