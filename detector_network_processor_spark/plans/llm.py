@@ -1968,12 +1968,28 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_scores_unordered(spark, sf_dir).orderBy("doc_id")
 
 
-def lm_scores_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lm_scores_unordered(
+    spark: SparkSession, sf_dir: str, materialize: bool = False
+) -> DataFrame:
     """lm_quality_scores WITHOUT the presentation orderBy — the form the
     ccnet bucketing plans consume: both immediately re-exchange (range
     partition for the distributed ntile / threshold join for the approx
     path), so an upstream global sort is one full-table range exchange of
-    pure waste."""
+    pure waste.
+
+    ``materialize=True`` eagerly checkpoints the FINAL per-doc result —
+    one row per document, ~30 bytes: three orders of magnitude smaller
+    than the docbg table. Callers that consume lm more than once (both
+    ccnet modes run a statistics pass and an assignment pass) should pass
+    True: each further consumption then reads #docs rows instead of
+    re-running the model join + scoring aggregate over the million-row
+    docbg checkpoint (interleaved A/B at sf0.1: 2.08-2.14 s vs
+    2.13-2.57 s for the build + two consumptions). Single-consumption
+    callers keep the default — for them the extra materialization job is
+    pure overhead. (The r9 lm.persist() A/B that measured SLOWER pinned
+    the un-materialized plan into an InMemoryRelation, paying cache write
+    + read against consumers that each re-derived cheaply; an eager
+    checkpoint of the tiny FINAL rows is a different trade.)"""
     docs = load_table(spark, sf_dir, "documents").repartition(
         python_stage_partitions(spark)
     )
@@ -1993,11 +2009,16 @@ def lm_scores_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode, no big materialization — measured consistently ~0.3-0.5 s
     # SLOWER on interleaved A/B at sf0.1: lm is consumed twice in both
     # ccnet modes, and with the checkpoint every consumer re-derives from
-    # the compact counts instead of re-exploding the corpus.)
+    # the compact counts instead of re-exploding the corpus.) LAZY, not
+    # eager (r10): the first consumer action materializes the blocks as
+    # part of its own job — an eager checkpoint pays a whole separate
+    # job's scheduling + block-store round trip for the same compute
+    # (both ccnet modes run a statistics pass first, which fuses the
+    # corpus explode into itself this way).
     docbg = (
         grams.groupBy("doc_id", "lang", "bg")
         .agg(F.count(F.lit(1)).alias("dc"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = docbg.groupBy("lang", "bg").agg(F.sum("dc").alias("c"))
     lang_tot = counts.groupBy("lang").agg(
@@ -2020,7 +2041,7 @@ def lm_scores_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dc") * F.col("logp_scaled")).alias("sum_scaled"),
         )
     )
-    return scored.select(
+    out = scored.select(
         "doc_id",
         "lang",
         "n_bigrams",
@@ -2028,6 +2049,7 @@ def lm_scores_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_entropy"
         ),
     )
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 # --------------------------------------------------------------------------
@@ -2052,7 +2074,7 @@ SELECT doc_id, lang, cross_entropy,
        CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM b ORDER BY doc_id
 """,
-    doc="CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per language, tertile-split documents by char-bigram LM cross-entropy — downstream mixtures sample mostly from 'head'. Exact mode (registered) computes the ntile DISTRIBUTED (operators/rank.py::exact_ntile: range partition on the total sort key, O(PxG) boundary offsets, closed-form bucket — bit-identical to the window ntile, proven by test, with no one-task-per-language sort anywhere); the scale path (exact=False) trades exactness for two approx_percentile thresholds per language — a broadcast comparison (same trade as dsir_importance, plan-asserted in tests).",
+    doc="CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per language, tertile-split documents by char-bigram LM cross-entropy — downstream mixtures sample mostly from 'head'. Exact mode (registered) computes the ntile DISTRIBUTED with ZERO full-data exchange (operators/rank.py::exact_ntile, r10 redesign: one exact (lang, log-cell) histogram pass -> broadcast verdict table -> map-only bucket label for every cell inside one tertile; only the <=2 straddling cells per language shuffle, through a window keyed on (lang, CELL) — bit-identical to the window ntile, proven by test, with no one-task-per-language sort anywhere). ADJUDICATION MODE: at fixture SF its wall is floor-bound (~2.6x its oracle; see BASELINE.md r10 ccnet note) — the registered production path is ccnet_ppl_buckets_approx (~1.6x), which trades exactness for two approx_percentile thresholds per language (same trade as dsir_importance, plan-asserted in tests).",
 )
 def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_ppl_buckets_plan(spark, sf_dir, exact=True)
@@ -2061,7 +2083,12 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ccnet_ppl_buckets_plan(
     spark: SparkSession, sf_dir: str, exact: bool = True, exact_impl: str = "distributed"
 ) -> DataFrame:
-    lm = lm_scores_unordered(spark, sf_dir).select("doc_id", "lang", "cross_entropy")
+    # both modes consume lm twice (statistics/threshold pass + assignment
+    # pass) — materialize the tiny per-doc result once (see lm_scores_
+    # unordered: A/B-measured faster than re-deriving from docbg per pass)
+    lm = lm_scores_unordered(spark, sf_dir, materialize=True).select(
+        "doc_id", "lang", "cross_entropy"
+    )
     if exact and exact_impl == "distributed":
         from ..operators.rank import exact_ntile
 
@@ -2071,6 +2098,11 @@ def ccnet_ppl_buckets_plan(
             ["cross_entropy", "doc_id"],
             n_buckets=3,
             bucket_names=["head", "middle", "tail"],
+            # lm derives from the compact docbg checkpoint: recomputing it
+            # for the shuffle map side is cheaper than a cache write +
+            # InMemoryRelation read of the full scored table (same
+            # measured trade as the approx path's unpinned lm)
+            pin_input=False,
         ).select("doc_id", "lang", "cross_entropy", "bucket").orderBy("doc_id")
     if exact:  # exact_impl == "window": the single-task-per-lang reference
         nt = F.ntile(3).over(
@@ -2085,10 +2117,10 @@ def ccnet_ppl_buckets_plan(
     # Scale path: per-lang t-digest thresholds (map-side combinable), then a
     # broadcast join + plain comparisons — zero sorting windows anywhere.
     # lm is consumed twice (threshold aggregate, then the assignment join)
-    # but NOT pinned: both consumers re-derive from the compact docbg
-    # checkpoint, which interleaved A/B at sf0.1 measured ~0.5 s faster
-    # than persisting lm (cache write + InMemoryRelation read overhead
-    # exceeds two cheap post-checkpoint recomputes at this row width).
+    # and arrives here as the eager per-doc checkpoint (materialize=True
+    # above) — each consumer reads #docs rows. (r8's persist-the-lazy-lm
+    # A/B measured slower; checkpointing the final tiny rows is the
+    # winning variant, r10.)
     thr = lm.groupBy("lang").agg(
         F.expr("approx_percentile(cross_entropy, array(0.3333, 0.6667), 10000)").alias("t")
     )

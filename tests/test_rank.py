@@ -52,12 +52,12 @@ def test_null_group_key_matches_window_ntile(spark):
 
 
 def test_recompute_after_full_unpersist_is_bit_identical(spark):
-    """Placement is a pure function of row values (broadcast boundary
-    table + hash of the logical bucket id), so evicting EVERY cached
-    block between the offset pass and the action must reproduce
-    bit-identical buckets — the r8 reservoir-sampled design aborted with
-    a RuntimeError here, which at 100 TB turns an expected executor loss
-    into a failed job."""
+    """Placement is a pure function of row values (frozen broadcast
+    verdict table; straddle window keyed on (group, cell)), so evicting
+    EVERY cached block between the statistics pass and the action must
+    reproduce bit-identical buckets — the r8 reservoir-sampled design
+    aborted with a RuntimeError here, which at 100 TB turns an expected
+    executor loss into a failed job."""
     from detector_network_processor_spark.session import release_cached
 
     rows = [("a" if i % 3 else "b", (i * 48271) % 1009, i) for i in range(500)]
@@ -71,11 +71,10 @@ def test_recompute_after_full_unpersist_is_bit_identical(spark):
 
 
 def test_float_group_keys_rejected_loudly(spark):
-    """Per-row bookkeeping keys on the integer bucket id, so the r8
-    ADVICE None-vs-NaN dict mismatch is structurally gone — but Arrow's
-    pandas round-trip conflates NaN with null in float columns, which
-    would silently rewrite a genuine-NaN group VALUE to null in the
-    output rows. That failure mode is rejected loudly at plan build."""
+    """Spark normalizes NaN group keys into one group, but the driver
+    tallies the collected histogram in a Python dict where two NaN
+    instances are DISTINCT keys (hash-by-id) — a genuine-NaN group value
+    would silently split its group. Rejected loudly at plan build."""
     import pytest
 
     rows = [(1.5, 5, 0), (float("nan"), 9, 2), (None, 7, 5)]
@@ -179,21 +178,138 @@ def test_converged_graph_oracles_pin_materialized_edges():
 
 
 def test_ccnet_registered_plan_has_no_sort_window(spark):
-    """The registered exact mode must contain NO Window operator — the
-    whole point of the distributed ntile is that no per-language sort
-    serializes onto one task. The rank pass is a range exchange +
-    MapInPandas; the final orderBy(doc_id) is a range sort, not a Window.
-    The rank exchange is a deterministic HASH exchange on the logical
-    bucket id (recompute-safe placement), not a reservoir-sampled range
-    exchange."""
+    """The registered exact mode must contain NO per-language sort: no
+    MapInPandas / Python stage anywhere (the r10 redesign assigns
+    buckets via a broadcast verdict join, map-only for non-straddling
+    cells), and any Window in the plan partitions by (lang, CELL) — the
+    straddle branch — never by the group alone, so no language ever
+    serializes through one task. The final orderBy(doc_id) is a range
+    sort, not a Window."""
+    import re
+
     from detector_network_processor_spark.plans import all_queries
 
     df = all_queries()["ccnet_ppl_buckets"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan, plan
-    assert "MapInPandas" in plan
-    # the rank exchange keys on the deterministic logical bucket id; at
-    # fixture scale the data-sized partition count collapses it to a
-    # single partition (same placement function, width 1)
-    assert "hashpartitioning(_lpid" in plan or "Exchange SinglePartition" in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    for m in re.finditer(r"Window \[row_number", plan):
+        tail = plan[m.start() : m.start() + 300]
+        assert "_cell" in tail, tail
     spark.catalog.clearCache()
+
+
+def test_date_order_column_matches_window_ntile(spark):
+    """Spark 4.x rejects CAST(date AS DOUBLE); the monotone cell map must
+    route dates through unix_date instead of failing at the histogram
+    pass (r9 ADVICE)."""
+    import datetime
+
+    base = datetime.date(2020, 1, 1)
+    rows = [
+        ("s" if i % 4 else "t", base + datetime.timedelta(days=(i * 48271) % 1009), i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, d date, id long")
+    got = exact_ntile(df, "g", ["d", "id"], 5).collect()
+    want = _window_ntile(df, "g", ["d", "id"], 5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_timestamp_ntz_order_column_matches_window_ntile(spark):
+    """Spark 4.x rejects CAST(timestamp_ntz AS DOUBLE); the cell map must
+    use timezone-free epoch arithmetic, keeping sub-second resolution
+    (r9 ADVICE). Sub-day + sub-second deltas exercise the time-of-day
+    terms, pre-1970 dates the negative-days arm."""
+    import datetime
+
+    base = datetime.datetime(1969, 12, 25)
+    rows = [
+        (
+            "s",
+            base
+            + datetime.timedelta(
+                seconds=(i * 48271) % 100_000, microseconds=(i * 7919) % 1_000_000
+            ),
+            i,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, t timestamp_ntz, id long")
+    assert dict(df.dtypes)["t"] == "timestamp_ntz"
+    got = exact_ntile(df, "g", ["t", "id"], 5).collect()
+    want = _window_ntile(df, "g", ["t", "id"], 5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_histogram_cap_fails_loudly(spark, monkeypatch):
+    """A pathological groups x cells product must raise a diagnosable
+    error before materializing an unbounded driver list (r9 verdict #3).
+    The cap is monkeypatched small; real domains stay far below 4M."""
+    import pytest
+
+    from detector_network_processor_spark.operators import rank as rank_mod
+
+    rows = [(f"g{i % 40}", float(i), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, k double, id long")
+    monkeypatch.setattr(rank_mod, "_HIST_CAP", 50)
+    with pytest.raises(RuntimeError, match="histogram exceeds"):
+        exact_ntile(df, "g", ["k", "id"], 3)
+
+
+def test_map_only_assignment_no_full_shuffle(spark):
+    """The 100 TB property of the r10 redesign: bucket assignment for
+    non-straddling cells is a broadcast join — the labeled branch has NO
+    exchange of the data, no MapInPandas, no per-group Window. Any
+    window in the plan partitions by (group, CELL), so a group never
+    serializes through one task."""
+    import re
+
+    rows = [("a" if i % 3 else "b", (i * 48271) % 1009, i) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, k long, id long")
+    plan = (
+        exact_ntile(df, "g", ["k", "id"], 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    for m in re.finditer(r"Window \[row_number", plan):
+        tail = plan[m.start() : m.start() + 300]
+        assert "_cell" in tail, tail
+
+
+def test_straddle_branch_exercised_and_exact(spark):
+    """Force straddling: many rows sharing few cells, so every tile
+    boundary falls INSIDE a cell — the windowed straddle branch must
+    produce the exact window-ntile result (and the plan must contain the
+    cell-keyed Window)."""
+    rows = [("a", 7, i) for i in range(100)] + [("a", 9, 100 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, k long, id long")
+    res = exact_ntile(df, "g", ["k", "id"], 4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan  # straddle branch present
+    got = res.collect()
+    want = _window_ntile(df, "g", ["k", "id"], 4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_nondeterministic_input_fails_loudly_end_to_end(spark, tmp_path):
+    """A row surfacing in a (group, cell) the statistics pass never saw
+    must raise inside the plan (raise_error guard), not silently
+    mis-bucket: simulated by overwriting the source parquet between the
+    statistics pass (inside exact_ntile) and the action."""
+    import pytest
+
+    src = str(tmp_path / "nd_src")
+    rows = [("a", (i * 48271) % 1009, i) for i in range(200)]
+    spark.createDataFrame(rows, "g string, k long, id long").write.mode(
+        "overwrite"
+    ).parquet(src)
+    df = spark.read.parquet(src)
+    result = exact_ntile(df, "g", ["k", "id"], 3)  # stats pass reads v1
+    # rewrite with rows in cells v1 never had (huge new key magnitudes)
+    rows2 = [("a", 10**12 + i, i) for i in range(200)]
+    spark.createDataFrame(rows2, "g string, k long, id long").write.mode(
+        "overwrite"
+    ).parquet(src)
+    with pytest.raises(Exception, match="not deterministic between passes"):
+        result.collect()
