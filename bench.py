@@ -91,6 +91,53 @@ def detail_path() -> str:
     return os.path.join(root, f"BENCH_DETAIL_r{n:02d}.json")
 
 
+def prev_round_probe() -> dict | None:
+    """Calibration probe floor of the newest PREVIOUS round's committed
+    BENCH_DETAIL artifact — the denominator for machine noise
+    normalization. Returns ``{"round": N, "probe_min": s}`` (min of that
+    round's section-start/end probes) or None when no prior detail file
+    carries a usable probe."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", detail_path())
+    cur = int(m.group(1)) if m else 0
+    for n in range(cur - 1, 0, -1):
+        path = os.path.join(root, f"BENCH_DETAIL_r{n:02d}.json")
+        try:
+            with open(path) as f:
+                calib = json.load(f).get("calibration", {})
+            probes = [calib.get("start"), calib.get("end")]
+            probes = [p for p in probes if isinstance(p, (int, float)) and p > 0]
+            if probes:
+                return {"round": n, "probe_min": min(probes)}
+        except (OSError, ValueError):  # missing/corrupt detail -> keep walking
+            continue
+    return None
+
+
+def noise_normalization(calibration: dict, total: float) -> dict | None:
+    """Machine-readable round-over-round noise adjudication (r9 verdict
+    next-round #2): this round's probe floor divided by the previous
+    round's, and the headline total divided by that ratio. A
+    probe_ratio_vs_prev well above 1 with a proportionally higher raw
+    total means a slow host window, not a plan regression — r9's +25%
+    'regression' took a judge four artifacts to dismiss by doing exactly
+    this division by hand. The probe (window_sliding_stats min-of-2) is a
+    fixed pure-JVM plan, so its wall moves only with the host."""
+    prev = prev_round_probe()
+    probes = [calibration.get("start"), calibration.get("end")]
+    probes = [p for p in probes if isinstance(p, (int, float)) and p > 0]
+    if prev is None or not probes:
+        return None
+    ratio = min(probes) / prev["probe_min"]
+    return {
+        "prev_round": prev["round"],
+        "prev_probe_min": prev["probe_min"],
+        "probe_min": min(probes),
+        "probe_ratio_vs_prev": round(ratio, 3),
+        "normalized_total": round(total / ratio, 3),
+    }
+
+
 def _release_cached(spark) -> None:
     """Per-query isolation is what the round-over-round tracking table
     compares (measured: cosine_topk 0.9 s isolated vs 2.9 s late in a
@@ -292,6 +339,7 @@ def main() -> None:
     # stdout and parses the final line — round 6's single fat JSON line
     # exceeded that window and parsed as null, so the headline summary MUST
     # be the final line and MUST stay compact (well under 1500 chars).
+    normalization = noise_normalization(calibration, total)
     detail = detail_payload(
         all_runs,
         started_at,
@@ -305,6 +353,7 @@ def main() -> None:
         extended_plan_exchanges,
         extended_meta,
         calibration,
+        normalization,
     )
     print(json.dumps(detail))
     try:
@@ -314,7 +363,7 @@ def main() -> None:
         print(f"# {os.path.basename(detail_path())} write failed: {e}", file=sys.stderr)
 
     # FINAL stdout line: the compact driver-parseable headline summary.
-    print(summary_line(total, timings, sf, spreads, calibration, extended))
+    print(summary_line(total, timings, sf, spreads, calibration, extended, normalization))
     spark.stop()
 
 
@@ -331,10 +380,12 @@ def detail_payload(
     extended_plan_exchanges: dict,
     extended_meta: dict,
     calibration: dict,
+    noise_normalization: dict | None = None,
 ) -> dict:
     """The BENCH_DETAIL_r{N}.json payload. A pure dict builder so
     tests/test_bench_contract.py can pin the key set (including the
-    extended plan_exchanges + converged-iteration meta added in r9)
+    extended plan_exchanges + converged-iteration meta added in r9, and
+    the probe-normalized round-over-round block added in r10)
     without running Spark."""
     return {
         "metric": "bench_detail",
@@ -353,6 +404,9 @@ def detail_payload(
         "extended_plan_exchanges": extended_plan_exchanges,
         "extended_meta": extended_meta,
         "calibration": calibration,
+        # null when no prior round's detail artifact exists; consumers
+        # treat null as "nothing to normalize against", never an error
+        "noise_normalization": noise_normalization,
     }
 
 
@@ -363,6 +417,7 @@ def summary_line(
     spreads: dict[str, float],
     calibration: dict,
     extended: dict[str, float],
+    noise_normalization: dict | None = None,
 ) -> str:
     """The compact headline summary — MUST stay well under the consumer's
     2000-char stdout-tail window, whatever the query registry grows to
@@ -378,6 +433,11 @@ def summary_line(
         "calibration": calibration,
         "extended": extended,
     }
+    if noise_normalization:
+        # top-level so they survive the calibration/extended shedding:
+        # raw total / probe_ratio_vs_prev = host-noise-corrected total
+        summary["probe_ratio_vs_prev"] = noise_normalization["probe_ratio_vs_prev"]
+        summary["normalized_total"] = noise_normalization["normalized_total"]
     line = json.dumps(summary)
     for drop in ("extended", "calibration"):
         if len(line) <= 1900:

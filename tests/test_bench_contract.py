@@ -98,3 +98,46 @@ def test_summary_line_degrades_instead_of_overflowing():
     # headline metric/value/queries are never shed
     assert parsed["metric"] == "headline_queries_total_wall"
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
+def test_noise_normalization_against_prev_round_detail(monkeypatch):
+    """BENCH_DETAIL must carry a machine-readable probe normalization so
+    "is this total a regression or a slow host window?" no longer needs a
+    judge dividing probes by hand across four artifacts (r9 verdict
+    next-round #2). Denominator = the newest previous round's committed
+    probe floor."""
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "10")  # prev = BENCH_DETAIL_r09
+    prev = bench.prev_round_probe()
+    assert prev == {"round": 9, "probe_min": 0.219}  # min(0.349, 0.219)
+    calibration = {"start": 0.438, "end": 0.500}
+    norm = bench.noise_normalization(calibration, total=20.0)
+    assert norm["prev_round"] == 9
+    assert norm["probe_ratio_vs_prev"] == 2.0  # 0.438 / 0.219
+    assert norm["normalized_total"] == 10.0  # 20.0 / 2.0
+    # payload carries the block (null allowed only when no prior round)
+    payload = bench.detail_payload(
+        {}, {}, {}, 3, 5, {}, {}, {}, {}, {}, {}, {"probe": "x"}, norm
+    )
+    assert payload["noise_normalization"]["normalized_total"] == 10.0
+
+
+def test_noise_normalization_missing_prev_is_none(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "1")  # no round 0 artifact
+    assert bench.prev_round_probe() is None
+    assert bench.noise_normalization({"start": 0.2, "end": 0.2}, 5.0) is None
+
+
+def test_summary_line_carries_normalized_total():
+    timings, spreads, extended, calibration = _fake_inputs()
+    norm = {
+        "prev_round": 9,
+        "prev_probe_min": 0.219,
+        "probe_min": 0.438,
+        "probe_ratio_vs_prev": 2.0,
+        "normalized_total": 5.0,
+    }
+    line = bench.summary_line(10.0, timings, 0.1, spreads, calibration, extended, norm)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["normalized_total"] == 5.0
+    assert parsed["probe_ratio_vs_prev"] == 2.0
