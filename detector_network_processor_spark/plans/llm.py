@@ -2015,10 +2015,15 @@ def lm_scores_unordered(
     # job's scheduling + block-store round trip for the same compute
     # (both ccnet modes run a statistics pass first, which fuses the
     # corpus explode into itself this way).
+    # docbg is an O(corpus x distinct-bigrams) pin — at 5M docs it is
+    # ~1G rows, which under the default MEMORY_AND_DISK unroll OOMs the
+    # default 8 GB session (measured in the r10 1000x sweep); it honours
+    # the session pin knob exactly like the jaccard family's O(corpus)
+    # checkpoints (spark.dnp.pinStorage=DISK_ONLY in the scale sweeps)
     docbg = (
         grams.groupBy("doc_id", "lang", "bg")
         .agg(F.count(F.lit(1)).alias("dc"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=pin_storage_level(spark))
     )
     counts = docbg.groupBy("lang", "bg").agg(F.sum("dc").alias("c"))
     lang_tot = counts.groupBy("lang").agg(

@@ -911,6 +911,18 @@ def main() -> int:
         print(f"unknown subcommand {cmd!r}", file=sys.stderr)
         return 2
     print(json.dumps(res))
+    # multi-minute sweeps must never lose their result to a consumer's
+    # stdout window — always persist a copy ($SCALE_RESULTS_OUT overrides)
+    out_path = os.environ.get(
+        "SCALE_RESULTS_OUT",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     f"SCALE_RESULTS_LAST_{cmd.replace('-', '_')}.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(res, f, indent=1)
+    except OSError as e:
+        print(f"# result save failed: {e}", file=sys.stderr)
     return 0
 
 
