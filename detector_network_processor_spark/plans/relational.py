@@ -1115,3 +1115,44 @@ def corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
         corr("sdt", "sd", "st", "sdd", "stt").alias("corr_discount_tax"),
     ).orderBy("flag")
+
+
+@register(
+    "customer_nation_quartiles",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_nationkey,
+       CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_nationkey, c_custkey) AS VARCHAR) AS quartile
+FROM customer
+ORDER BY c_custkey
+""",
+    doc=(
+        "Exact per-segment quartiles over a HEAVY-TIES integer order key "
+        "(25 distinct nations per ~300-customer segment), computed by the "
+        "map-only distributed ntile (operators/rank.py): every quartile "
+        "boundary falls INSIDE a nation cell here, so this query drives "
+        "the operator's straddle branch — the (group, CELL)-keyed "
+        "row_number window over boundary cells only — under driver "
+        "adjudication, complementing ccnet_ppl_buckets whose continuous "
+        "keys mostly exercise the zero-exchange label branch. No "
+        "per-segment sort task anywhere; non-straddling nations get their "
+        "quartile from the broadcast verdict join."
+    ),
+)
+def customer_nation_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import exact_ntile
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    return (
+        exact_ntile(
+            cust,
+            "c_mktsegment",
+            ["c_nationkey", "c_custkey"],
+            n_buckets=4,
+            bucket_col="quartile",
+        )
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "quartile")
+        .orderBy("c_custkey")
+    )

@@ -313,3 +313,69 @@ def test_nondeterministic_input_fails_loudly_end_to_end(spark, tmp_path):
     ).parquet(src)
     with pytest.raises(Exception, match="not deterministic between passes"):
         result.collect()
+
+
+def test_property_exact_ntile_matches_window_on_adversarial_inputs(spark):
+    """Hypothesis sweep of the r10 map-only design against the window
+    ntile: mixed-magnitude doubles (subnormals, 1e308, +-inf, NaN),
+    nulls, heavy ties, null group keys, 1..6 buckets. Few examples (each
+    costs Spark jobs), maximal value diversity per example."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    POOL = [
+        None,
+        float("nan"),
+        float("inf"),
+        float("-inf"),
+        0.0,
+        -0.0,
+        5e-324,
+        -5e-324,
+        1e308,
+        -1e308,
+        1.0,
+        1.0,
+        1.0,  # repeated: tie mass
+        -7.5,
+        3.25,
+        1e-12,
+        256.0,
+        257.0,
+    ]
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            t = tuple(
+                "nan"
+                if isinstance(v, float) and math.isnan(v)
+                else ("0.0" if isinstance(v, float) and v == 0.0 else str(v))
+                for v in r
+            )
+            out.append(t)
+        return sorted(out)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        keys=st.lists(st.sampled_from(POOL), min_size=1, max_size=60),
+        groups=st.lists(st.sampled_from(["a", "b", None]), min_size=1, max_size=60),
+        b=st.integers(min_value=1, max_value=6),
+    )
+    def check(keys, groups, b):
+        rows = [
+            (groups[i % len(groups)], keys[i % len(keys)], i)
+            for i in range(max(len(keys), len(groups)))
+        ]
+        df = spark.createDataFrame(rows, "g string, k double, id long")
+        got = exact_ntile(df, "g", ["k", "id"], b).collect()
+        want = _window_ntile(df, "g", ["k", "id"], b).collect()
+        assert norm(got) == norm(want)
+
+    check()
