@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from detector_network_processor_spark.plans import all_queries
-from detector_network_processor_spark.plans.inspect import plan_fingerprint
+from detector_network_processor_spark.plans.inspect import composed_fingerprint
 from detector_network_processor_spark.session import get_spark, release_cached
 
 # Non-headline spotlight ops (one timed pass each, appended to the JSON as
@@ -76,39 +76,61 @@ def detail_path() -> str:
     finding). ``SPARK_GRAFT_ROUND`` overrides for explicit runs. Re-runs
     within a round overwrite the same current-round file; a new round
     writes a NEW file — so a measurement run never mutates a
-    previously-committed round's evidence."""
+    previously-committed round's evidence. ``BENCH_DETAIL_OUT`` redirects
+    the write entirely, so judge/CI reruns are side-effect-free (an r10
+    judge rerun overwrote the driver's uncommitted detail artifact)."""
+    env_out = os.environ.get("BENCH_DETAIL_OUT")
+    if env_out:
+        return env_out
     root = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(root, f"BENCH_DETAIL_r{current_round():02d}.json")
+
+
+def current_round() -> int:
+    """The round in progress (see detail_path); also the anchor for
+    prev_round_probe, which must keep working when BENCH_DETAIL_OUT
+    points the detail write somewhere unparseable."""
     env_round = os.environ.get("SPARK_GRAFT_ROUND")
     if env_round and env_round.isdigit():
-        return os.path.join(root, f"BENCH_DETAIL_r{int(env_round):02d}.json")
+        return int(env_round)
     try:
         from detector_network_processor_spark.evidence import correctness_files
 
         rounds = [rnd for rnd, _ in correctness_files(tracked_only=True)]
-        n = (max(rounds) + 1) if rounds else 1
+        return (max(rounds) + 1) if rounds else 1
     except Exception:  # pragma: no cover — never fail the bench over naming
-        n = 0
-    return os.path.join(root, f"BENCH_DETAIL_r{n:02d}.json")
+        return 0
+
+
+def _probe_floor(calib: dict, keys: tuple[str, str]) -> float | None:
+    probes = [calib.get(k) for k in keys]
+    probes = [p for p in probes if isinstance(p, (int, float)) and p > 0]
+    return min(probes) if probes else None
 
 
 def prev_round_probe() -> dict | None:
-    """Calibration probe floor of the newest PREVIOUS round's committed
+    """Calibration probe floors of the newest PREVIOUS round's committed
     BENCH_DETAIL artifact — the denominator for machine noise
-    normalization. Returns ``{"round": N, "probe_min": s}`` (min of that
-    round's section-start/end probes) or None when no prior detail file
+    normalization. Returns ``{"round": N, "probe_min": s, "probe": name,
+    "ext_probe_min": s|None}`` (mins of that round's section-start/end
+    probes, plus the probe's identity so a changed probe plan is never
+    silently compared — r10 ADVICE) or None when no prior detail file
     carries a usable probe."""
     root = os.path.dirname(os.path.abspath(__file__))
-    m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", detail_path())
-    cur = int(m.group(1)) if m else 0
+    cur = current_round()
     for n in range(cur - 1, 0, -1):
         path = os.path.join(root, f"BENCH_DETAIL_r{n:02d}.json")
         try:
             with open(path) as f:
                 calib = json.load(f).get("calibration", {})
-            probes = [calib.get("start"), calib.get("end")]
-            probes = [p for p in probes if isinstance(p, (int, float)) and p > 0]
-            if probes:
-                return {"round": n, "probe_min": min(probes)}
+            floor = _probe_floor(calib, ("start", "end"))
+            if floor is not None:
+                return {
+                    "round": n,
+                    "probe_min": floor,
+                    "probe": calib.get("probe"),
+                    "ext_probe_min": _probe_floor(calib, ("extended_start", "extended_end")),
+                }
         except (OSError, ValueError):  # missing/corrupt detail -> keep walking
             continue
     return None
@@ -122,19 +144,66 @@ def noise_normalization(calibration: dict, total: float) -> dict | None:
     total means a slow host window, not a plan regression — r9's +25%
     'regression' took a judge four artifacts to dismiss by doing exactly
     this division by hand. The probe (window_sliding_stats min-of-2) is a
-    fixed pure-JVM plan, so its wall moves only with the host."""
+    fixed pure-JVM plan, so its wall moves only with the host —
+    PROVIDED the probe identity matches across rounds: when the previous
+    round ran a different probe plan, the ratio would misattribute plan
+    changes as host noise, so normalization is skipped and the mismatch
+    recorded instead (r10 ADVICE)."""
     prev = prev_round_probe()
-    probes = [calibration.get("start"), calibration.get("end")]
-    probes = [p for p in probes if isinstance(p, (int, float)) and p > 0]
-    if prev is None or not probes:
+    floor = _probe_floor(calibration, ("start", "end"))
+    if prev is None or floor is None:
         return None
-    ratio = min(probes) / prev["probe_min"]
+    if _probe_identity_mismatch(prev, calibration):
+        return {
+            "prev_round": prev["round"],
+            "probe_identity_mismatch": {
+                "prev": prev.get("probe"),
+                "current": calibration.get("probe"),
+            },
+        }
+    ratio = floor / prev["probe_min"]
     return {
         "prev_round": prev["round"],
+        "probe": calibration.get("probe"),
         "prev_probe_min": prev["probe_min"],
-        "probe_min": min(probes),
+        "probe_min": floor,
         "probe_ratio_vs_prev": round(ratio, 3),
         "normalized_total": round(total / ratio, 3),
+    }
+
+
+def _probe_identity_mismatch(prev: dict, calibration: dict) -> bool:
+    return bool(
+        prev.get("probe")
+        and calibration.get("probe")
+        and prev["probe"] != calibration["probe"]
+    )
+
+
+def extended_normalization(calibration: dict, extended: dict) -> dict | None:
+    """Per-ROW noise normalization for the extended section (r10 verdict
+    next-round #5): the total is probe-normalized since r10, but a
+    per-query reader still had to hand-adjudicate rows like bm25 +64% on
+    a fingerprint-identical plan. The extended section is bracketed by
+    its OWN probes (extended_start/end), so its rows get their own ratio
+    (falling back to the headline probe floor for pre-r9 artifacts).
+    Returns ``{"probe_ratio_vs_prev": r, "values": {name: raw/r}}``;
+    error sentinels (<= 0) pass through unscaled."""
+    prev = prev_round_probe()
+    floor = _probe_floor(calibration, ("extended_start", "extended_end"))
+    if prev is None or floor is None or _probe_identity_mismatch(prev, calibration):
+        return None
+    prev_floor = prev.get("ext_probe_min") or prev.get("probe_min")
+    if not prev_floor:
+        return None
+    ratio = floor / prev_floor
+    return {
+        "prev_round": prev["round"],
+        "probe_ratio_vs_prev": round(ratio, 3),
+        "values": {
+            name: round(v / ratio, 3) if isinstance(v, (int, float)) and v > 0 else v
+            for name, v in extended.items()
+        },
     }
 
 
@@ -240,21 +309,26 @@ def main() -> None:
     # plan SHAPE is data-size-independent, and queries with eager
     # localCheckpoints (near_dup_jaccard) execute those jobs at plan-build
     # time — at sf_dir that would silently add heavy untimed work here.
-    # Checkpoints also TRUNCATE the visible plan to the post-checkpoint
-    # stages ("Scan ExistingRDD"); such counts are partial, flagged with
-    # truncated=true so a consumer never reads them as the full shuffle
-    # story.
+    # Checkpoints TRUNCATE each visible plan to its post-checkpoint stages
+    # ("Scan ExistingRDD"), so counts are COMPOSED across checkpoint
+    # boundaries (plans/inspect.composed_fingerprint, r10 verdict #1):
+    # every checkpointed segment is fingerprinted at its materialization
+    # point and summed with the final plan — "segments" records how many
+    # plan segments the totals cover; "truncated" survives only for an
+    # un-attributable lineage cut.
     plan_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
     plan_exchanges: dict[str, dict[str, int | bool]] = {}
     for name in HEADLINE:
         try:
-            fp = plan_fingerprint(specs[name].fn(spark, plan_dir))
+            fp = composed_fingerprint(lambda: specs[name].fn(spark, plan_dir))
             entry: dict[str, int | bool] = {
                 "shuffle": fp["shuffle"],
                 "broadcast": fp["broadcast"],
             }
+            if fp.get("segments"):
+                entry["segments"] = fp["segments"]
             if fp.get("truncated"):
-                entry["truncated"] = True  # checkpoint hides upstream stages
+                entry["truncated"] = True  # un-attributable lineage cut
             plan_exchanges[name] = entry
         except Exception as e:  # pragma: no cover — never fail the bench
             print(f"# plan inspect {name} failed: {e}", file=sys.stderr)
@@ -294,12 +368,14 @@ def main() -> None:
     # regressions the way it does for the headline. Same protocol: plans
     # built at the smallest SF (converged loops and replay harnesses run
     # their driver actions at plan-build time — at sf_dir that would be
-    # heavy untimed work), checkpoint-truncated plans flagged.
+    # heavy untimed work), counts composed across checkpoint boundaries.
     extended_plan_exchanges: dict[str, dict[str, int | bool]] = {}
     for name in EXTENDED:
         try:
-            fp = plan_fingerprint(specs[name].fn(spark, plan_dir))
+            fp = composed_fingerprint(lambda: specs[name].fn(spark, plan_dir))
             entry = {"shuffle": fp["shuffle"], "broadcast": fp["broadcast"]}
+            if fp.get("segments"):
+                entry["segments"] = fp["segments"]
             if fp.get("truncated"):
                 entry["truncated"] = True
             extended_plan_exchanges[name] = entry
@@ -340,6 +416,7 @@ def main() -> None:
     # exceeded that window and parsed as null, so the headline summary MUST
     # be the final line and MUST stay compact (well under 1500 chars).
     normalization = noise_normalization(calibration, total)
+    ext_normalized = extended_normalization(calibration, extended)
     detail = detail_payload(
         all_runs,
         started_at,
@@ -354,6 +431,7 @@ def main() -> None:
         extended_meta,
         calibration,
         normalization,
+        ext_normalized,
     )
     print(json.dumps(detail))
     try:
@@ -381,12 +459,14 @@ def detail_payload(
     extended_meta: dict,
     calibration: dict,
     noise_normalization: dict | None = None,
+    extended_normalized: dict | None = None,
 ) -> dict:
     """The BENCH_DETAIL_r{N}.json payload. A pure dict builder so
     tests/test_bench_contract.py can pin the key set (including the
-    extended plan_exchanges + converged-iteration meta added in r9, and
-    the probe-normalized round-over-round block added in r10)
-    without running Spark."""
+    extended plan_exchanges + converged-iteration meta added in r9, the
+    probe-normalized round-over-round block added in r10, and the
+    per-row extended normalization added in r11) without running
+    Spark."""
     return {
         "metric": "bench_detail",
         "runs": all_runs,
@@ -407,6 +487,10 @@ def detail_payload(
         # null when no prior round's detail artifact exists; consumers
         # treat null as "nothing to normalize against", never an error
         "noise_normalization": noise_normalization,
+        # per-row extended walls divided by the extended-section probe
+        # ratio — the machine-readable answer to "is bm25 +64% a
+        # regression or a slow window?" (null under the same conditions)
+        "extended_normalized": extended_normalized,
     }
 
 
@@ -433,9 +517,11 @@ def summary_line(
         "calibration": calibration,
         "extended": extended,
     }
-    if noise_normalization:
+    if noise_normalization and "normalized_total" in noise_normalization:
         # top-level so they survive the calibration/extended shedding:
         # raw total / probe_ratio_vs_prev = host-noise-corrected total
+        # (absent when the probe identity mismatched — see
+        # noise_normalization)
         summary["probe_ratio_vs_prev"] = noise_normalization["probe_ratio_vs_prev"]
         summary["normalized_total"] = noise_normalization["normalized_total"]
     line = json.dumps(summary)

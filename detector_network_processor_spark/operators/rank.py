@@ -46,11 +46,15 @@ functions. Recomputation of any partition replays identical buckets.
 A NON-DETERMINISTIC INPUT (rows changing between the statistics pass
 and the action) is detected loudly when it surfaces a (group, cell) the
 histogram never saw, or more rows in a straddling cell than it counted
-(``raise_error`` guards in the plan); rows VANISHING from an
-already-labeled cell cannot be detected without a second counting pass
-— exact ranks of a moving target are unknowable — so feed this operator
-deterministic inputs (the ccnet caller materializes its input with an
-eager checkpoint first).
+(``raise_error`` guards in the plan); ANY mutation of an
+already-labeled cell — rows vanishing from it OR rows appearing in it
+(added rows silently receive the cell's frozen label and shift the true
+ranks of every later cell) — cannot be detected without a second
+counting pass: exact ranks of a moving target are unknowable. Feed
+this operator deterministic inputs (the ccnet caller materializes its
+input with an eager checkpoint first), or pass ``verify_counts=True``
+for adjudication runs: it re-runs the counting pass and fails loudly on
+ANY per-(group, cell) count drift before the plan is returned.
 
 Ref parity: CCNet's per-language perplexity tertiles (Wenzek et al.
 2020) at hypertable scale.
@@ -92,6 +96,10 @@ _HIST_CAP = 4_000_000
 # order — only these may be range-split within a group. date and
 # timestamp_ntz do NOT cast to double in Spark 4.x (DATATYPE_MISMATCH);
 # they get dedicated monotone integer expressions in _order_numeric.
+# internal bookkeeping column names — rejected in the input schema up
+# front (they would make the broadcast-join select ambiguous)
+_RESERVED = frozenset({"_g", "_cell", "_label", "_cum", "_cnt", "_n"})
+
 _SPLITTABLE = {
     "tinyint",
     "smallint",
@@ -172,10 +180,8 @@ def exact_ntile(
     n_buckets: int,
     bucket_col: str = "bucket",
     bucket_names: list[str] | None = None,
-    n_partitions: int | None = None,  # kept for API compat; unused —
-    # the map-only branch has no exchange and the straddle window uses
-    # the session shuffle width
     pin_input: bool = True,
+    verify_counts: bool = False,
 ) -> DataFrame:
     """Append ``bucket_col`` holding the exact ``ntile(n_buckets)`` bucket
     of each row within its ``group_col`` group under ``order_cols``
@@ -190,13 +196,33 @@ def exact_ntile(
     read costs more than one recompute (measured on ccnet's
     post-checkpoint LM scores). The input must be DETERMINISTIC between
     the two passes; see the module docstring for what is and is not
-    detected loudly when it is not.
+    detected loudly when it is not. ``verify_counts=True`` (adjudication
+    mode) runs the counting pass a SECOND time at plan build and raises
+    on ANY per-(group, cell) count drift — closing the silent channel
+    where rows added to or vanished from an already-labeled cell keep
+    the frozen labels. It doubles the statistics cost and still cannot
+    certify the window between the verify pass and the final action, so
+    the default stays single-pass.
     """
     spark = df.sparkSession
     if bucket_names is None:
         bucket_names = [str(i + 1) for i in range(n_buckets)]
     assert len(bucket_names) == n_buckets
     assert order_cols, "exact_ntile needs at least one order column"
+    clash = [c for c in df.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"exact_ntile: input columns {clash} collide with the operator's "
+            f"internal bookkeeping names {sorted(_RESERVED)} — rename them "
+            "before bucketing (the broadcast-join select would otherwise hit "
+            "ambiguous-reference analysis errors)"
+        )
+    if bucket_col in df.columns:
+        raise ValueError(
+            f"exact_ntile: bucket_col {bucket_col!r} already exists in the "
+            "input — the output would carry a duplicated column; pick a "
+            "fresh name"
+        )
     if dict(df.dtypes)[group_col] in ("float", "double"):
         # Spark normalizes NaN group keys into one group, but the driver
         # tallies the collected histogram in a Python dict, where two NaN
@@ -231,20 +257,44 @@ def exact_ntile(
         # monotone, so the whole group is ONE cell — the straddle branch
         # becomes one window per group (the pre-existing fallback cost)
         cell_of = F.lit(0).cast("long")
-    hist = (
-        src.groupBy(F.col(group_col).alias("_g"), cell_of.alias("_cell"))
-        .count()
-        .limit(_HIST_CAP + 1)
-        .collect()
-    )
-    if len(hist) > _HIST_CAP:
-        raise RuntimeError(
-            f"exact_ntile: the (group={group_col!r}, cell) histogram exceeds "
-            f"{_HIST_CAP:,} rows — the group column's cardinality times the "
-            f"distinct log-cells of {o1!r} is too large to place on the "
-            "driver. Reduce the group cardinality (e.g. bucket the group "
-            "column first) or coarsen rank._CELLS_PER_OCTAVE."
+    def _collect_hist() -> list:
+        rows = (
+            src.groupBy(F.col(group_col).alias("_g"), cell_of.alias("_cell"))
+            .count()
+            .limit(_HIST_CAP + 1)
+            .collect()
         )
+        if len(rows) > _HIST_CAP:
+            raise RuntimeError(
+                f"exact_ntile: the (group={group_col!r}, cell) histogram exceeds "
+                f"{_HIST_CAP:,} rows — the group column's cardinality times the "
+                f"distinct log-cells of {o1!r} is too large to place on the "
+                "driver. Reduce the group cardinality (e.g. bucket the group "
+                "column first) or coarsen rank._CELLS_PER_OCTAVE."
+            )
+        return rows
+
+    hist = _collect_hist()
+
+    if verify_counts:
+        # adjudication mode: a second, independent counting pass — any
+        # drift (rows added to OR vanished from any cell, including
+        # already-labeled cells the plan guards cannot see) fails here,
+        # before a silently mislabeled plan can be returned
+        first = {(r["_g"], r["_cell"]): r["count"] for r in hist}
+        second = {(r["_g"], r["_cell"]): r["count"] for r in _collect_hist()}
+        if first != second:
+            drift = sorted(
+                (k for k in (first.keys() | second.keys()) if first.get(k) != second.get(k)),
+                key=repr,
+            )[:10]
+            raise RuntimeError(
+                "exact_ntile(verify_counts=True): the input DataFrame is not "
+                "deterministic — per-(group, cell) counts drifted between two "
+                f"statistics passes (first 10 drifting keys: {drift}). Exact "
+                "ranks of a moving target are unknowable; materialize the "
+                "input (eager checkpoint) before bucketing."
+            )
 
     # per-group cell tallies in cell (= sort) order
     by_group: dict = {}

@@ -16,7 +16,9 @@ snapshot), and by tests/test_plan_fingerprints.py (the regression gate).
 
 from __future__ import annotations
 
+import contextlib
 import re
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 
@@ -78,4 +80,134 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int | bool]:
     }
     if "Scan ExistingRDD" in plan:
         fp["truncated"] = True
+    return fp
+
+
+# The summable fingerprint keys (everything except the truncated flag and
+# the composed-only segments count).
+_COUNT_KEYS = ("shuffle", "broadcast", "cartesian", "scans", "python_row", "python_arrow")
+
+
+@contextlib.contextmanager
+def collect_checkpoint_fingerprints() -> Iterator[dict]:
+    """Intercept every ``DataFrame.localCheckpoint`` issued while the
+    context is open and record the fingerprint of the PRE-checkpoint plan
+    (yields ``{"segments": [...], "local_relations": N}``).
+
+    This is how composed fingerprints see past checkpoint boundaries: a
+    checkpoint replaces its upstream stages with ``Scan ExistingRDD`` in
+    every downstream plan, so the final plan's counts are partial
+    (``truncated``) — but the stages it hides execute exactly once, at the
+    checkpoint itself, and each checkpointed segment is itself truncated
+    at any EARLIER checkpoint it reads. Summing segment fingerprints with
+    the final plan's therefore counts every executed stage exactly once,
+    including per-iteration checkpoints inside fixpoint loops (each
+    iteration's work really runs once per iteration).
+
+    ``spark.createDataFrame`` calls are counted too (``local_relations``):
+    a driver-local list sometimes compiles to the SAME ``Scan
+    ExistingRDD`` node as a checkpoint, but hides nothing — there are no
+    upstream stages — so an ExistingRDD scan attributable to a local
+    relation must not leave a plan flagged truncated.
+
+    Patches class attributes, so this is NOT safe under concurrent plan
+    builds in other threads — fingerprinting is a single-threaded
+    tool/test activity.
+    """
+    collected: dict = {"segments": [], "local_relations": 0}
+    segments = collected["segments"]
+
+    # Spark 4.x: pyspark.sql.DataFrame is an abstract base whose classic
+    # subclass OVERRIDES localCheckpoint — instances resolve the subclass
+    # method, so the concrete class(es) must be patched, not just the base.
+    targets: list[type] = [DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+
+        targets.append(_ClassicDataFrame)
+    except ImportError:  # pragma: no cover — pre-4.x layout
+        pass
+
+    saved = [
+        (cls, cls.__dict__["localCheckpoint"])
+        for cls in targets
+        if "localCheckpoint" in cls.__dict__
+    ]
+
+    def _make_patched(orig):
+        def patched(self, *args, **kwargs):
+            try:
+                segments.append(plan_fingerprint(self))
+            except Exception:  # never let fingerprinting break the build
+                pass
+            return orig(self, *args, **kwargs)
+
+        return patched
+
+    from pyspark.sql import SparkSession
+
+    session_targets: list[type] = [SparkSession]
+    try:
+        from pyspark.sql.classic.session import SparkSession as _ClassicSession
+
+        session_targets.append(_ClassicSession)
+    except ImportError:  # pragma: no cover — pre-4.x layout
+        pass
+    saved_create = [
+        (cls, cls.__dict__["createDataFrame"])
+        for cls in session_targets
+        if "createDataFrame" in cls.__dict__
+    ]
+
+    def _make_create_patched(orig):
+        def patched(self, *args, **kwargs):
+            collected["local_relations"] += 1
+            return orig(self, *args, **kwargs)
+
+        return patched
+
+    for cls, orig in saved:
+        cls.localCheckpoint = _make_patched(orig)  # type: ignore[method-assign]
+    for cls, orig in saved_create:
+        cls.createDataFrame = _make_create_patched(orig)  # type: ignore[method-assign]
+    try:
+        yield collected
+    finally:
+        for cls, orig in saved:
+            cls.localCheckpoint = orig  # type: ignore[method-assign]
+        for cls, orig in saved_create:
+            cls.createDataFrame = orig  # type: ignore[method-assign]
+
+
+def composed_fingerprint(build: Callable[[], DataFrame]) -> dict[str, int | bool]:
+    """Fingerprint of the FULL execution story of ``build()``'s plan,
+    composed across checkpoint boundaries (r10 verdict next-round #1).
+
+    For a plan with no checkpoints this returns exactly
+    ``plan_fingerprint(build())`` — committed snapshots only change for
+    checkpointed plans. For a checkpointed plan, the counts are the sum
+    over every checkpointed segment (captured at its materialization
+    point, where the operator calls ``localCheckpoint``) plus the final
+    post-checkpoint plan, and a ``segments`` key records how many plan
+    segments the total composes (final plan included). ``truncated`` is
+    kept only when the plan reads an ExistingRDD but NEITHER a checkpoint
+    NOR a driver-local ``createDataFrame`` relation (which compiles to
+    the same scan node yet hides no stages) was captured during the
+    build — an un-attributable lineage cut (e.g. a DataFrame
+    checkpointed before the collection window opened)."""
+    with collect_checkpoint_fingerprints() as collected:
+        final = plan_fingerprint(build())
+    segments = collected["segments"]
+    if not segments:
+        if final.get("truncated") and collected["local_relations"]:
+            # every lineage cut is attributable to a local relation: no
+            # stage is hidden, so the counts ARE the full story
+            final = {k: v for k, v in final.items() if k != "truncated"}
+            final["local_relations"] = collected["local_relations"]
+        return final
+    fp: dict[str, int | bool] = {
+        k: int(final.get(k, 0)) + sum(int(s.get(k, 0)) for s in segments)
+        for k in _COUNT_KEYS
+    }
+    fp["segments"] = len(segments) + 1
     return fp

@@ -108,8 +108,13 @@ def test_noise_normalization_against_prev_round_detail(monkeypatch):
     probe floor."""
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "10")  # prev = BENCH_DETAIL_r09
     prev = bench.prev_round_probe()
-    assert prev == {"round": 9, "probe_min": 0.219}  # min(0.349, 0.219)
-    calibration = {"start": 0.438, "end": 0.500}
+    assert prev == {
+        "round": 9,
+        "probe_min": 0.219,  # min(0.349, 0.219)
+        "probe": "window_sliding_stats",  # identity travels with the floor
+        "ext_probe_min": 0.168,  # min(0.192, 0.168)
+    }
+    calibration = {"probe": "window_sliding_stats", "start": 0.438, "end": 0.500}
     norm = bench.noise_normalization(calibration, total=20.0)
     assert norm["prev_round"] == 9
     assert norm["probe_ratio_vs_prev"] == 2.0  # 0.438 / 0.219
@@ -119,6 +124,61 @@ def test_noise_normalization_against_prev_round_detail(monkeypatch):
         {}, {}, {}, 3, 5, {}, {}, {}, {}, {}, {}, {"probe": "x"}, norm
     )
     assert payload["noise_normalization"]["normalized_total"] == 10.0
+
+
+def test_noise_normalization_skipped_on_probe_identity_change(monkeypatch):
+    """If the calibration probe PLAN differs from the previous round's,
+    dividing their floors would misattribute a plan change as host noise
+    (r10 ADVICE): normalization must be skipped with the mismatch
+    recorded, and the summary line must omit normalized_total."""
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "10")
+    calibration = {"probe": "some_new_probe", "start": 0.438, "end": 0.500}
+    norm = bench.noise_normalization(calibration, total=20.0)
+    assert "normalized_total" not in norm
+    assert norm["probe_identity_mismatch"] == {
+        "prev": "window_sliding_stats",
+        "current": "some_new_probe",
+    }
+    timings, spreads, extended, _ = _fake_inputs()
+    line = bench.summary_line(10.0, timings, 0.1, spreads, calibration, extended, norm)
+    parsed = json.loads(line)
+    assert "normalized_total" not in parsed
+    assert bench.extended_normalization(calibration, extended) is None
+
+
+def test_extended_rows_normalized_per_query(monkeypatch):
+    """Extended rows get their OWN probe-ratio normalization (r11, r10
+    verdict next-round #5) using the extended-section probes, so a
+    per-query reader no longer hand-adjudicates bm25-style noise rows."""
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "10")  # prev ext floor = 0.168
+    calibration = {
+        "probe": "window_sliding_stats",
+        "start": 0.2,
+        "end": 0.2,
+        "extended_start": 0.336,  # 2x the r09 extended floor
+        "extended_end": 0.4,
+    }
+    extended = {"bm25_search": 2.8, "broken_query": -1.0}
+    ext_norm = bench.extended_normalization(calibration, extended)
+    assert ext_norm["prev_round"] == 9
+    assert ext_norm["probe_ratio_vs_prev"] == 2.0  # 0.336 / 0.168
+    assert ext_norm["values"]["bm25_search"] == 1.4  # 2.8 / 2.0
+    assert ext_norm["values"]["broken_query"] == -1.0  # sentinel unscaled
+    payload = bench.detail_payload(
+        {}, {}, {}, 3, 5, {}, extended, {}, {}, {}, {}, calibration, None, ext_norm
+    )
+    assert payload["extended_normalized"]["values"]["bm25_search"] == 1.4
+
+
+def test_detail_out_env_redirects_write_only(monkeypatch, tmp_path):
+    """BENCH_DETAIL_OUT points the detail write elsewhere (side-effect-free
+    judge reruns, r10 verdict stretch #8) WITHOUT breaking round
+    detection: prev_round_probe must still find the r09 artifact."""
+    monkeypatch.setenv("BENCH_DETAIL_OUT", str(tmp_path / "judge_rerun.json"))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "10")
+    assert bench.detail_path() == str(tmp_path / "judge_rerun.json")
+    prev = bench.prev_round_probe()
+    assert prev is not None and prev["round"] == 9
 
 
 def test_noise_normalization_missing_prev_is_none(monkeypatch):

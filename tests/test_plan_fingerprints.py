@@ -19,9 +19,10 @@ import json
 from pathlib import Path
 
 import pytest
+import pyspark.sql.functions as F
 
 from detector_network_processor_spark.plans import all_queries
-from detector_network_processor_spark.plans.inspect import plan_fingerprint
+from detector_network_processor_spark.plans.inspect import composed_fingerprint
 
 from conftest import SF_DIR_SMALL
 
@@ -52,7 +53,7 @@ def test_all_plans_match_committed_fingerprints(spark):
         want = snapshot[name]
         if "error" in want:  # pragma: no cover — snapshot must be clean
             pytest.fail(f"committed fingerprint for {name} records a build error: {want}")
-        got = plan_fingerprint(spec.fn(spark, SF_DIR_SMALL))
+        got = composed_fingerprint(lambda: spec.fn(spark, SF_DIR_SMALL))
         if got != want:
             diffs.append(f"{name}: committed={want} current={got}")
         if (i + 1) % 20 == 0:
@@ -84,3 +85,53 @@ def test_no_row_at_a_time_python_anywhere():
     snapshot = json.loads(SNAPSHOT.read_text())
     offenders = {n: fp for n, fp in snapshot.items() if fp.get("python_row", 0)}
     assert not offenders, f"row-at-a-time Python UDF stages in committed plans: {offenders}"
+
+
+def test_no_truncated_fingerprints_anywhere():
+    """Composed fingerprints (r10 verdict next-round #1) must cover every
+    checkpoint-heavy plan: a ``truncated`` entry means the python_row=0 /
+    cartesian=0 / shuffle pins only see the post-checkpoint tail of that
+    plan — exactly the dedup/ingest pipelines with the most Python-stage
+    surface. The committed snapshot must carry none."""
+    snapshot = json.loads(SNAPSHOT.read_text())
+    offenders = {n: fp for n, fp in snapshot.items() if fp.get("truncated")}
+    assert not offenders, f"checkpoint-truncated fingerprints: {offenders}"
+
+
+def test_checkpointed_plans_compose_segments():
+    """The minhash family's signature stage is an Arrow-batched pandas_udf
+    BEHIND an eager checkpoint — before composition its committed entry
+    read python_arrow=0 (the r10 blind spot). The composed snapshot must
+    show both the segment count and the real Arrow-stage count."""
+    snapshot = json.loads(SNAPSHOT.read_text())
+    fp = snapshot["minhash_near_dup"]
+    assert fp.get("segments", 0) >= 2, fp
+    assert fp.get("python_arrow", 0) >= 1, fp
+
+
+def test_composed_fingerprint_sums_across_checkpoints(spark):
+    """Unit semantics: for a no-checkpoint plan composed == raw; for a
+    checkpointed plan the composed counts include the pre-checkpoint
+    segment's stages (here: one groupBy shuffle hidden behind the
+    checkpoint) and drop the truncated flag."""
+    from detector_network_processor_spark.plans.inspect import (
+        composed_fingerprint,
+        plan_fingerprint,
+    )
+
+    df = spark.range(100).withColumn("k", (F.col("id") % 5).cast("long"))
+
+    plain = lambda: df.groupBy("k").count()  # noqa: E731
+    assert composed_fingerprint(plain) == plan_fingerprint(plain())
+
+    def checkpointed():
+        agg = df.groupBy("k").count().localCheckpoint(eager=True)
+        return agg.filter(F.col("count") > 0)
+
+    raw = plan_fingerprint(checkpointed())
+    assert raw.get("truncated") is True  # the blind spot being closed
+    assert raw["shuffle"] == 0
+    composed = composed_fingerprint(checkpointed)
+    assert "truncated" not in composed
+    assert composed["segments"] == 2
+    assert composed["shuffle"] >= 1  # the pre-checkpoint groupBy exchange

@@ -4,6 +4,7 @@ partition count."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 
 from detector_network_processor_spark.operators.rank import exact_ntile
@@ -33,7 +34,7 @@ def test_matches_window_ntile_on_awkward_group_sizes(spark):
             rows.append((g, (i * 48271) % 1009, i))
             i += 1
     df = spark.createDataFrame(rows, "g string, k long, id long")
-    got = exact_ntile(df, "g", ["k", "id"], 3, n_partitions=7).collect()
+    got = exact_ntile(df, "g", ["k", "id"], 3).collect()
     want = _window_ntile(df, "g", ["k", "id"], 3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
@@ -44,7 +45,7 @@ def test_null_group_key_matches_window_ntile(spark):
     np.repeat lengths)."""
     rows = [("a", 5, 0), ("a", 1, 1), (None, 9, 2), (None, 2, 3), (None, 4, 4), ("b", 7, 5)]
     df = spark.createDataFrame(rows, "g string, k long, id long")
-    got = exact_ntile(df, "g", ["k", "id"], 2, n_partitions=3).collect()
+    got = exact_ntile(df, "g", ["k", "id"], 2).collect()
     want = _window_ntile(df, "g", ["k", "id"], 2).collect()
     assert sorted(map(lambda r: tuple("" if v is None else v for v in r), got)) == sorted(
         map(lambda r: tuple("" if v is None else v for v in r), want)
@@ -62,7 +63,7 @@ def test_recompute_after_full_unpersist_is_bit_identical(spark):
 
     rows = [("a" if i % 3 else "b", (i * 48271) % 1009, i) for i in range(500)]
     df = spark.createDataFrame(rows, "g string, k long, id long")
-    result = exact_ntile(df, "g", ["k", "id"], 4, n_partitions=7)
+    result = exact_ntile(df, "g", ["k", "id"], 4)
     first = sorted(map(tuple, result.collect()))
     release_cached(spark, blocking=True)  # force full recompute
     second = sorted(map(tuple, result.collect()))
@@ -80,7 +81,7 @@ def test_float_group_keys_rejected_loudly(spark):
     rows = [(1.5, 5, 0), (float("nan"), 9, 2), (None, 7, 5)]
     df = spark.createDataFrame(rows, "g double, k long, id long")
     with pytest.raises(TypeError, match="float/double group columns"):
-        exact_ntile(df, "g", ["k", "id"], 2, n_partitions=3)
+        exact_ntile(df, "g", ["k", "id"], 2)
 
 
 def test_heavy_ties_single_cell_matches_window_ntile(spark):
@@ -90,7 +91,7 @@ def test_heavy_ties_single_cell_matches_window_ntile(spark):
     order, bit-identical to the window ntile."""
     rows = [("a", 7, i) for i in range(100)] + [("b", 7, 100 + i) for i in range(10)]
     df = spark.createDataFrame(rows, "g string, k long, id long")
-    got = exact_ntile(df, "g", ["k", "id"], 4, n_partitions=5).collect()
+    got = exact_ntile(df, "g", ["k", "id"], 4).collect()
     want = _window_ntile(df, "g", ["k", "id"], 4).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
@@ -106,7 +107,7 @@ def test_null_and_negative_order_values_match_window_ntile(spark):
         k = None if i % 17 == 0 else rng.uniform(-1e6, 1e6)
         rows.append(("g1" if i % 3 else "g2", k, i))
     df = spark.createDataFrame(rows, "g string, k double, id long")
-    got = exact_ntile(df, "g", ["k", "id"], 3, n_partitions=4).collect()
+    got = exact_ntile(df, "g", ["k", "id"], 3).collect()
     want = _window_ntile(df, "g", ["k", "id"], 3).collect()
 
     def norm(r):
@@ -125,7 +126,7 @@ def test_timestamp_order_column_matches_window_ntile(spark):
         for i in range(200)
     ]
     df = spark.createDataFrame(rows, "g string, t timestamp, id long")
-    got = exact_ntile(df, "g", ["t", "id"], 5, n_partitions=4).collect()
+    got = exact_ntile(df, "g", ["t", "id"], 5).collect()
     want = _window_ntile(df, "g", ["t", "id"], 5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
@@ -379,3 +380,100 @@ def test_property_exact_ntile_matches_window_on_adversarial_inputs(spark):
         assert norm(got) == norm(want)
 
     check()
+
+
+def test_reserved_internal_names_rejected_loudly(spark):
+    """Input columns colliding with the operator's bookkeeping names (or a
+    bucket_col that already exists) must fail at plan build with a clear
+    message, not surface as an ambiguous-reference analysis error deep in
+    the broadcast-join select (r10 ADVICE)."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 0)], "g string, k long, _cell long")
+    with pytest.raises(ValueError, match="internal bookkeeping names"):
+        exact_ntile(df, "g", ["k"], 2)
+
+    df2 = spark.createDataFrame([("a", 1, "x")], "g string, k long, bucket string")
+    with pytest.raises(ValueError, match="already exists"):
+        exact_ntile(df2, "g", ["k"], 2)
+
+
+def _four_interior_cells():
+    """100 rows, keys 1/2/4/8 (4 distinct log-cells) x 25 rows, 4 buckets:
+    every cell's rank range lies exactly inside one bucket — pure map-only
+    branch, no straddle."""
+    return [
+        ("a", k, j * 25 + i)
+        for j, k in enumerate((1, 2, 4, 8))
+        for i in range(25)
+    ]
+
+
+def test_default_mode_cannot_detect_vanishing_rows(spark, tmp_path):
+    """The documented blind spot, pinned: rows vanishing from an
+    already-labeled cell between the statistics pass and the action are
+    silently absent from the output with every surviving row keeping its
+    FROZEN label — no guard can trip (exact ranks of a moving target are
+    unknowable without a second pass). verify_counts=True exists for
+    exactly this (next test)."""
+    src = str(tmp_path / "van_src")
+    rows = _four_interior_cells()
+    spark.createDataFrame(rows, "g string, k long, id long").write.mode(
+        "overwrite"
+    ).parquet(src)
+    df = spark.read.parquet(src)
+    result = exact_ntile(df, "g", ["k", "id"], 4)  # stats pass reads v1
+    # v2: the whole k==2 cell vanishes (cells/keys otherwise unchanged)
+    spark.createDataFrame(
+        [r for r in rows if r[1] != 2], "g string, k long, id long"
+    ).write.mode("overwrite").parquet(src)
+    got = result.collect()  # no raise: silently short, frozen labels
+    assert len(got) == 75
+    assert {r["bucket"] for r in got} == {"1", "3", "4"}
+
+
+def test_verify_counts_raises_on_any_cell_drift(spark, tmp_path):
+    """verify_counts=True (adjudication mode) re-runs the counting pass
+    and must raise on ANY per-(group, cell) drift — including rows
+    vanishing from (or added to) an interior cell, the channel the
+    in-plan guards cannot see. Drift is induced by a pass-counting Arrow
+    filter: pass 1 (statistics) keeps every row, pass 2 (verify) drops
+    the k==2 cell."""
+    import pytest
+
+    flag = str(tmp_path / "pass_counter")
+
+    @F.pandas_udf("boolean")
+    def keep(k: pd.Series) -> pd.Series:
+        import os
+
+        n = 0
+        if os.path.exists(flag):
+            with open(flag) as f:
+                n = int(f.read() or 0)
+        with open(flag, "w") as f:
+            f.write(str(n + 1))
+        if n == 0:
+            return pd.Series([True] * len(k))
+        return k != 2
+
+    keep = keep.asNondeterministic()
+    df = (
+        spark.createDataFrame(_four_interior_cells(), "g string, k long, id long")
+        .coalesce(1)  # one task per pass -> the counter sees each scan once
+        .filter(keep(F.col("k")))
+    )
+    with pytest.raises(RuntimeError, match="counts drifted between two"):
+        # pin_input=False: a persisted input would (correctly) make the
+        # verify pass read the cache and see no drift
+        exact_ntile(df, "g", ["k", "id"], 4, pin_input=False, verify_counts=True)
+
+
+def test_verify_counts_passes_on_deterministic_input(spark):
+    """verify_counts must be a no-op on deterministic inputs: same plan,
+    same buckets, bit-identical to the window ntile."""
+    rows = [("a" if i % 3 else "b", (i * 48271) % 1009, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, k long, id long")
+    got = exact_ntile(df, "g", ["k", "id"], 3, verify_counts=True).collect()
+    want = _window_ntile(df, "g", ["k", "id"], 3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

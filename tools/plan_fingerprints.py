@@ -25,7 +25,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 from detector_network_processor_spark.plans import all_queries  # noqa: E402
-from detector_network_processor_spark.plans.inspect import plan_fingerprint  # noqa: E402
+from detector_network_processor_spark.plans.inspect import composed_fingerprint  # noqa: E402
 from detector_network_processor_spark.session import get_spark, release_cached  # noqa: E402
 
 OUT = REPO / "PLAN_FINGERPRINTS.json"
@@ -54,7 +54,13 @@ def main() -> int:
     try:
         for i, name in enumerate(names):
             try:
-                snapshot[name] = plan_fingerprint(specs[name].fn(spark, sf_dir))
+                # composed across checkpoint boundaries (r10 verdict #1):
+                # checkpointed segments are fingerprinted at their
+                # materialization points and summed with the final plan, so
+                # the python_row=0 / shuffle pins cover the WHOLE execution
+                snapshot[name] = composed_fingerprint(
+                    lambda name=name: specs[name].fn(spark, sf_dir)
+                )
             except Exception as e:
                 print(f"# {name}: FAILED to build plan: {e}", file=sys.stderr)
                 snapshot[name] = {"error": str(e)[:200]}

@@ -826,6 +826,116 @@ def cmd_thousand(factor: int = 1000) -> dict:
     return out
 
 
+def cmd_straddle_thousand(factor: int = 1000, n_buckets: int = 4) -> dict:
+    """Decade receipt for the exact ntile's STRADDLE branch (r10 verdict
+    next-round #7): ccnet's 1000x point exercises the zero-exchange label
+    branch (continuous cross-entropy keys — almost no cell straddles a
+    bucket boundary). Here a HEAVY-TIES integer key (25 distinct values
+    per group, customer_nation_quartiles-shaped) forces every quartile
+    boundary INSIDE a cell, so the work rides the (group, CELL)-keyed
+    straddle window — the branch whose parallelism claim ("per cell,
+    never one task per group") needs a 5M-row receipt.
+
+    Also records the analytic straddle-row volume from the same exact
+    histogram the operator builds: with B buckets at most B-1 cells per
+    group straddle, so the shuffled fraction is bounded by the straddling
+    cells' share of rows — with ties it is ~(B-1)/distinct_keys of the
+    corpus, independent of factor."""
+    import scale_bench
+
+    from detector_network_processor_spark.operators.rank import (
+        _bucket_of,
+        _cell_expr,
+        exact_ntile,
+    )
+
+    spark = get_spark(
+        app_name="dnp-straddle", cpus=int(os.environ.get("DNP_THOUSAND_CPUS", "16"))
+    )
+    spark.conf.set("spark.dnp.pinStorage", "DISK_ONLY")
+    big_run_partitions = int(os.environ.get("DNP_THOUSAND_PARTITIONS", "256"))
+    default_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+
+    out_dir = f"/tmp/dnp_docs_x{factor}_salted"
+    fresh = False
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet", "_SUCCESS")):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        scale_bench.build_scaled(
+            spark, factor, out_dir, docs_mode="salted", tables=("documents",)
+        )
+        fresh = True
+
+    def ties_df(sf_dir: str):
+        # 8 groups x 25 distinct integer keys, derived from doc_id by
+        # hashing (deterministic, uniform): every ntile boundary lands
+        # inside a tie cell, so ~(B-1) cells per group straddle
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        return docs.select(
+            "doc_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("string").alias("seg"),
+            F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(25)).alias("k"),
+        )
+
+    def run(sf_dir: str) -> int:
+        return exact_ntile(
+            ties_df(sf_dir), "seg", ["k", "doc_id"], n_buckets, pin_input=False
+        ).count()
+
+    release_cached(spark)
+    t1 = _timeit(lambda: run(BASE_SF), runs=2)
+    release_cached(spark)
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(big_run_partitions))
+    probe = PeakMemoryProbe(spark)
+    try:
+        probe.start()
+        t0 = time.perf_counter()
+        rows = run(out_dir)
+        tk = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_shuffle)
+
+    # analytic straddle volume from the operator's own exact histogram
+    # (8 groups x <=25 cells — a driver-trivial collect)
+    hist = (
+        ties_df(out_dir)
+        .groupBy(F.col("seg").alias("_g"), _cell_expr("k", "bigint").alias("_cell"))
+        .count()
+        .collect()
+    )
+    by_group: dict = {}
+    for r in hist:
+        by_group.setdefault(r["_g"], []).append((r["_cell"], r["count"]))
+    straddle_rows = straddle_cells = total = 0
+    for cells in by_group.values():
+        cells.sort()
+        n_g = sum(c for _, c in cells)
+        total += n_g
+        cum = 0
+        for _, cnt in cells:
+            if _bucket_of(cum + 1, n_g, n_buckets) != _bucket_of(cum + cnt, n_g, n_buckets):
+                straddle_rows += cnt
+                straddle_cells += 1
+            cum += cnt
+    return {
+        "experiment": "straddle_thousand",
+        "factor": factor,
+        "n_buckets": n_buckets,
+        "groups": len(by_group),
+        "distinct_keys_per_group": 25,
+        "t1_sec": t1,
+        f"t{factor}_sec": tk,
+        "wall_ratio": round(tk / t1, 1),
+        "rows_at_factor": rows,
+        "straddle_cells": straddle_cells,
+        "straddle_rows": straddle_rows,
+        "straddle_row_fraction": round(straddle_rows / max(total, 1), 4),
+        "big_run_partitions": big_run_partitions,
+        "cold_first_read": fresh,
+        "peak_execution_memory": probe.peak(),
+    }
+
+
 def cmd_muon_thousand(factor: int = 1000) -> dict:
     """Complete the muon flagships' measured decade: l1_coincidence and
     station_lifecycle at ``factor``x (default 1000x = 100M events) on an
@@ -905,6 +1015,8 @@ def main() -> int:
         res = cmd_thousand(int(sys.argv[2]) if len(sys.argv) > 2 else 1000)
     elif cmd == "muon-thousand":
         res = cmd_muon_thousand(int(sys.argv[2]) if len(sys.argv) > 2 else 1000)
+    elif cmd == "straddle-thousand":
+        res = cmd_straddle_thousand(int(sys.argv[2]) if len(sys.argv) > 2 else 1000)
     elif cmd == "recovery":
         res = cmd_recovery(int(sys.argv[2]) if len(sys.argv) > 2 else 10)
     else:
