@@ -136,7 +136,7 @@ def prev_round_probe() -> dict | None:
     return None
 
 
-def noise_normalization(calibration: dict, total: float) -> dict | None:
+def noise_normalization(calibration: dict, total: float, prev: dict | None = None) -> dict | None:
     """Machine-readable round-over-round noise adjudication (r9 verdict
     next-round #2): this round's probe floor divided by the previous
     round's, and the headline total divided by that ratio. A
@@ -148,8 +148,10 @@ def noise_normalization(calibration: dict, total: float) -> dict | None:
     PROVIDED the probe identity matches across rounds: when the previous
     round ran a different probe plan, the ratio would misattribute plan
     changes as host noise, so normalization is skipped and the mismatch
-    recorded instead (r10 ADVICE)."""
-    prev = prev_round_probe()
+    recorded instead (r10 ADVICE). ``prev`` (prev_round_probe()) may be
+    passed in so one artifact walk serves both normalization helpers."""
+    if prev is None:
+        prev = prev_round_probe()
     floor = _probe_floor(calibration, ("start", "end"))
     if prev is None or floor is None:
         return None
@@ -180,7 +182,9 @@ def _probe_identity_mismatch(prev: dict, calibration: dict) -> bool:
     )
 
 
-def extended_normalization(calibration: dict, extended: dict) -> dict | None:
+def extended_normalization(
+    calibration: dict, extended: dict, prev: dict | None = None
+) -> dict | None:
     """Per-ROW noise normalization for the extended section (r10 verdict
     next-round #5): the total is probe-normalized since r10, but a
     per-query reader still had to hand-adjudicate rows like bm25 +64% on
@@ -188,10 +192,24 @@ def extended_normalization(calibration: dict, extended: dict) -> dict | None:
     its OWN probes (extended_start/end), so its rows get their own ratio
     (falling back to the headline probe floor for pre-r9 artifacts).
     Returns ``{"probe_ratio_vs_prev": r, "values": {name: raw/r}}``;
-    error sentinels (<= 0) pass through unscaled."""
-    prev = prev_round_probe()
+    error sentinels (<= 0) pass through unscaled. A probe-identity
+    mismatch returns the SAME explicit mismatch block as
+    noise_normalization (no ``values``), so a consumer can tell
+    "deliberately skipped" from "no prior round" (null)."""
+    if prev is None:
+        prev = prev_round_probe()
+    if prev is None:
+        return None
+    if _probe_identity_mismatch(prev, calibration):
+        return {
+            "prev_round": prev["round"],
+            "probe_identity_mismatch": {
+                "prev": prev.get("probe"),
+                "current": calibration.get("probe"),
+            },
+        }
     floor = _probe_floor(calibration, ("extended_start", "extended_end"))
-    if prev is None or floor is None or _probe_identity_mismatch(prev, calibration):
+    if floor is None:
         return None
     prev_floor = prev.get("ext_probe_min") or prev.get("probe_min")
     if not prev_floor:
@@ -415,8 +433,9 @@ def main() -> None:
     # stdout and parses the final line — round 6's single fat JSON line
     # exceeded that window and parsed as null, so the headline summary MUST
     # be the final line and MUST stay compact (well under 1500 chars).
-    normalization = noise_normalization(calibration, total)
-    ext_normalized = extended_normalization(calibration, extended)
+    prev_probe = prev_round_probe()  # one artifact walk for both helpers
+    normalization = noise_normalization(calibration, total, prev=prev_probe)
+    ext_normalized = extended_normalization(calibration, extended, prev=prev_probe)
     detail = detail_payload(
         all_runs,
         started_at,

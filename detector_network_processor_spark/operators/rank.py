@@ -173,6 +173,29 @@ def _bucket_of(rank: int, n: int, b: int) -> int:
     return rem + (rank - fat - 1) // max(q, 1)
 
 
+def cell_rank_ranges(cells: list[tuple], n_buckets: int):
+    """For ONE group's cell-sorted ``(cell, count)`` tallies, yield
+    ``(cell, cnt, cum_before, n_group, lo_bucket, hi_bucket)``: the exact
+    rank range [cum+1, cum+cnt] the cell's rows occupy and the 0-based
+    ntile buckets of its endpoints. ``lo == hi`` means the cell lies
+    inside one bucket (map-only frozen label); ``lo != hi`` means it
+    straddles >= 1 boundary (windowed branch). The single source of truth
+    for the straddle decision: the operator's verdict table and the
+    scale sweep's analytic straddle-volume receipt both derive from it."""
+    n_g = sum(c for _, c in cells)
+    cum = 0
+    for cell, cnt in cells:
+        yield (
+            cell,
+            cnt,
+            cum,
+            n_g,
+            _bucket_of(cum + 1, n_g, n_buckets),
+            _bucket_of(cum + cnt, n_g, n_buckets),
+        )
+        cum += cnt
+
+
 def exact_ntile(
     df: DataFrame,
     group_col: str,
@@ -200,16 +223,22 @@ def exact_ntile(
     mode) runs the counting pass a SECOND time at plan build and raises
     on ANY per-(group, cell) count drift — closing the silent channel
     where rows added to or vanished from an already-labeled cell keep
-    the frozen labels. It doubles the statistics cost and still cannot
-    certify the window between the verify pass and the final action, so
-    the default stays single-pass.
+    the frozen labels. Verify mode reads the input UNPINNED regardless of
+    ``pin_input`` (Spark's cache is plan-keyed, so a persisted input
+    would serve the verify pass the first pass's own blocks and drift
+    could never be observed). It doubles the statistics cost and still
+    cannot certify the window between the verify pass and the final
+    action, so the default stays single-pass.
     """
     spark = df.sparkSession
     if bucket_names is None:
         bucket_names = [str(i + 1) for i in range(n_buckets)]
     assert len(bucket_names) == n_buckets
     assert order_cols, "exact_ntile needs at least one order column"
-    clash = [c for c in df.columns if c in _RESERVED]
+    # case-INSENSITIVE guards: Spark's analyzer resolves names
+    # case-insensitively by default, so '_Cell' collides with '_cell'
+    # just as surely as the exact spelling would
+    clash = [c for c in df.columns if c.lower() in _RESERVED]
     if clash:
         raise ValueError(
             f"exact_ntile: input columns {clash} collide with the operator's "
@@ -217,7 +246,7 @@ def exact_ntile(
             "before bucketing (the broadcast-join select would otherwise hit "
             "ambiguous-reference analysis errors)"
         )
-    if bucket_col in df.columns:
+    if bucket_col.lower() in (c.lower() for c in df.columns):
         raise ValueError(
             f"exact_ntile: bucket_col {bucket_col!r} already exists in the "
             "input — the output would carry a duplicated column; pick a "
@@ -238,12 +267,16 @@ def exact_ntile(
     o1_dtype = dict(df.dtypes)[o1]
     split_ok = _splittable(o1_dtype)
 
-    if pin_input:
+    if pin_input and not verify_counts:
         from ..session import pin_storage_level
 
         lvl = pin_storage_level(spark)
         src = df.persist(lvl) if lvl is not None else df.persist()
     else:
+        # verify_counts implies UNPINNED input: Spark's cache is keyed on
+        # the logical plan, so with a persisted src the verify pass would
+        # read the blocks the first pass just materialized and could
+        # never observe source drift — the pin would verify itself
         src = df
 
     # ---- the ONE statistics pass: exact (group, cell) histogram -------
@@ -312,17 +345,12 @@ def exact_ntile(
     verdicts: list[tuple] = []  # (_g, _cell, _label, _cum, _cnt, _n)
     n_straddle = 0
     for g, cells in by_group.items():
-        n_g = sum(c for _, c in cells)
-        cum = 0
-        for cell, cnt in cells:
-            lo = _bucket_of(cum + 1, n_g, n_buckets)
-            hi = _bucket_of(cum + cnt, n_g, n_buckets)
+        for cell, cnt, cum, n_g, lo, hi in cell_rank_ranges(cells, n_buckets):
             if lo == hi:
                 verdicts.append((g, cell, bucket_names[lo], cum, cnt, n_g))
             else:
                 verdicts.append((g, cell, None, cum, cnt, n_g))
                 n_straddle += 1
-            cum += cnt
 
     vschema = StructType(
         [

@@ -61,7 +61,14 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int | bool]:
     upstream stages, so counts are partial and a consumer must not read
     them as the full shuffle story.
     """
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    return _fingerprint_text(_plan_text(df))
+
+
+def _plan_text(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fingerprint_text(plan: str) -> dict[str, int | bool]:
     fp: dict[str, int | bool] = {
         "shuffle": _count_unique(plan, _SHUFFLE_RE),
         "broadcast": _count_unique(plan, re.compile(r"BroadcastExchange")),
@@ -87,6 +94,27 @@ def plan_fingerprint(df: DataFrame) -> dict[str, int | bool]:
 # the composed-only segments count).
 _COUNT_KEYS = ("shuffle", "broadcast", "cartesian", "scans", "python_row", "python_arrow")
 
+# expression ids in plan text (k#123L) — stripped so a lineage cut keeps
+# ONE signature even when plan deduplication re-aliases its attributes
+# per consumer (a self-join of one checkpoint prints two id sets)
+_ATTR_ID_RE = re.compile(r"#\d+[A-Za-z]*")
+
+
+def _existing_rdd_sigs(plan: str) -> set[str]:
+    """Name-schema signatures of the lineage cuts (``Scan ExistingRDD``
+    nodes) a plan reads. Signatures are column NAMES with expression ids
+    stripped: exact enough to attribute every cut to the checkpoint or
+    local relation that created it, with one honest collision — two
+    DISTINCT cuts sharing an identical column-name schema are
+    indistinguishable, so a pre-window checkpoint can masquerade as an
+    in-window one only by matching its exact schema."""
+    sigs: set[str] = set()
+    for line in plan.splitlines():
+        i = line.find("Scan ExistingRDD")
+        if i >= 0:
+            sigs.add(_ATTR_ID_RE.sub("", line[i:]))
+    return sigs
+
 
 @contextlib.contextmanager
 def collect_checkpoint_fingerprints() -> Iterator[dict]:
@@ -104,17 +132,26 @@ def collect_checkpoint_fingerprints() -> Iterator[dict]:
     including per-iteration checkpoints inside fixpoint loops (each
     iteration's work really runs once per iteration).
 
-    ``spark.createDataFrame`` calls are counted too (``local_relations``):
-    a driver-local list sometimes compiles to the SAME ``Scan
-    ExistingRDD`` node as a checkpoint, but hides nothing — there are no
-    upstream stages — so an ExistingRDD scan attributable to a local
-    relation must not leave a plan flagged truncated.
+    ``spark.createDataFrame`` calls are intercepted too
+    (``local_relations``): a driver-local list sometimes compiles to the
+    SAME ``Scan ExistingRDD`` node as a checkpoint, but hides nothing —
+    there are no upstream stages. Every intercepted call (checkpoint or
+    local relation) records the cut SIGNATURE its result scans as
+    (``attributed_sigs``, name-schema based — see _existing_rdd_sigs),
+    and every pre-checkpoint plan records the cut signatures it consumes
+    (``cut_sigs``) — so composed_fingerprint can tell an attributed cut
+    from one created outside the collection window.
 
     Patches class attributes, so this is NOT safe under concurrent plan
     builds in other threads — fingerprinting is a single-threaded
     tool/test activity.
     """
-    collected: dict = {"segments": [], "local_relations": 0}
+    collected: dict = {
+        "segments": [],
+        "local_relations": 0,
+        "cut_sigs": set(),
+        "attributed_sigs": set(),
+    }
     segments = collected["segments"]
 
     # Spark 4.x: pyspark.sql.DataFrame is an abstract base whose classic
@@ -137,10 +174,19 @@ def collect_checkpoint_fingerprints() -> Iterator[dict]:
     def _make_patched(orig):
         def patched(self, *args, **kwargs):
             try:
-                segments.append(plan_fingerprint(self))
+                text = _plan_text(self)
+                segments.append(_fingerprint_text(text))
+                collected["cut_sigs"] |= _existing_rdd_sigs(text)
             except Exception:  # never let fingerprinting break the build
                 pass
-            return orig(self, *args, **kwargs)
+            res = orig(self, *args, **kwargs)
+            try:
+                # the checkpointed result IS a lineage cut: record its
+                # signature so downstream scans of it are attributed
+                collected["attributed_sigs"] |= _existing_rdd_sigs(_plan_text(res))
+            except Exception:
+                pass
+            return res
 
         return patched
 
@@ -161,8 +207,13 @@ def collect_checkpoint_fingerprints() -> Iterator[dict]:
 
     def _make_create_patched(orig):
         def patched(self, *args, **kwargs):
+            res = orig(self, *args, **kwargs)
             collected["local_relations"] += 1
-            return orig(self, *args, **kwargs)
+            try:
+                collected["attributed_sigs"] |= _existing_rdd_sigs(_plan_text(res))
+            except Exception:
+                pass
+            return res
 
         return patched
 
@@ -190,16 +241,24 @@ def composed_fingerprint(build: Callable[[], DataFrame]) -> dict[str, int | bool
     point, where the operator calls ``localCheckpoint``) plus the final
     post-checkpoint plan, and a ``segments`` key records how many plan
     segments the total composes (final plan included). ``truncated`` is
-    kept only when the plan reads an ExistingRDD but NEITHER a checkpoint
-    NOR a driver-local ``createDataFrame`` relation (which compiles to
-    the same scan node yet hides no stages) was captured during the
-    build — an un-attributable lineage cut (e.g. a DataFrame
-    checkpointed before the collection window opened)."""
+    kept only when some plan (final or segment) reads a lineage cut whose
+    signature NO in-window checkpoint or driver-local ``createDataFrame``
+    relation (which compiles to the same scan node yet hides no stages)
+    created — e.g. a DataFrame checkpointed before the collection window
+    opened. Attribution is by the cut's column-name signature (see
+    _existing_rdd_sigs for the one honest collision). Segments are
+    captured at their call sites: a checkpoint taken on a plan branch
+    that is later dropped would overcount — no such conditional
+    checkpoint exists in-repo."""
     with collect_checkpoint_fingerprints() as collected:
-        final = plan_fingerprint(build())
+        text = _plan_text(build())
+    final = _fingerprint_text(text)
     segments = collected["segments"]
+    unattributed = (
+        _existing_rdd_sigs(text) | collected["cut_sigs"]
+    ) - collected["attributed_sigs"]
     if not segments:
-        if final.get("truncated") and collected["local_relations"]:
+        if final.get("truncated") and not unattributed:
             # every lineage cut is attributable to a local relation: no
             # stage is hidden, so the counts ARE the full story
             final = {k: v for k, v in final.items() if k != "truncated"}
@@ -210,4 +269,6 @@ def composed_fingerprint(build: Callable[[], DataFrame]) -> dict[str, int | bool
         for k in _COUNT_KEYS
     }
     fp["segments"] = len(segments) + 1
+    if unattributed:
+        fp["truncated"] = True  # a cut no in-window source accounts for
     return fp

@@ -143,7 +143,11 @@ def test_noise_normalization_skipped_on_probe_identity_change(monkeypatch):
     line = bench.summary_line(10.0, timings, 0.1, spreads, calibration, extended, norm)
     parsed = json.loads(line)
     assert "normalized_total" not in parsed
-    assert bench.extended_normalization(calibration, extended) is None
+    # extended normalization records the SAME explicit mismatch block
+    # (distinguishable from the "no prior round" null)
+    ext = bench.extended_normalization(calibration, extended)
+    assert "values" not in ext
+    assert ext["probe_identity_mismatch"]["current"] == "some_new_probe"
 
 
 def test_extended_rows_normalized_per_query(monkeypatch):

@@ -135,3 +135,44 @@ def test_composed_fingerprint_sums_across_checkpoints(spark):
     assert "truncated" not in composed
     assert composed["segments"] == 2
     assert composed["shuffle"] >= 1  # the pre-checkpoint groupBy exchange
+
+
+def test_unattributable_lineage_cut_keeps_truncated(spark):
+    """A DataFrame checkpointed BEFORE the collection window opened is a
+    lineage cut no in-window source accounts for: composition must keep
+    the truncated flag (and an in-window local relation must NOT clear
+    it), while a SELF-JOIN of an in-window checkpoint — whose plan
+    re-aliases the cut's attribute ids per consumer — must still be fully
+    attributed."""
+    from detector_network_processor_spark.plans.inspect import composed_fingerprint
+
+    pre = (
+        spark.range(50)
+        .withColumn("pk", (F.col("id") % 5).cast("long"))
+        .groupBy("pk")
+        .count()
+        .localCheckpoint(eager=True)  # created OUTSIDE the window
+    )
+
+    def build_with_pre_window_cut():
+        # an in-window local relation alone must not launder the cut
+        dim = spark.createDataFrame([(0, "x")], "pk long, tag string")
+        return pre.join(dim, "pk", "left")
+
+    fp = composed_fingerprint(build_with_pre_window_cut)
+    assert fp.get("truncated") is True, fp
+
+    def build_self_join():
+        ck = (
+            spark.range(60)
+            .withColumn("k", (F.col("id") % 3).cast("long"))
+            .groupBy("k")
+            .count()
+            .localCheckpoint(eager=True)  # created IN the window
+        )
+        return ck.join(ck.withColumnRenamed("count", "c2"), "k")
+
+    fp2 = composed_fingerprint(build_self_join)
+    assert "truncated" not in fp2, fp2
+    assert fp2["segments"] == 2
+    assert fp2["shuffle"] >= 1

@@ -477,3 +477,51 @@ def test_verify_counts_passes_on_deterministic_input(spark):
     got = exact_ntile(df, "g", ["k", "id"], 3, verify_counts=True).collect()
     want = _window_ntile(df, "g", ["k", "id"], 3).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_reserved_name_guard_is_case_insensitive(spark):
+    """Spark's analyzer resolves names case-insensitively by default, so
+    '_Cell' and a case-variant bucket_col collide just as surely as the
+    exact spellings — the guards must catch them."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 0)], "g string, k long, _Cell long")
+    with pytest.raises(ValueError, match="internal bookkeeping names"):
+        exact_ntile(df, "g", ["k"], 2)
+
+    df2 = spark.createDataFrame([("a", 1, "x")], "g string, k long, Bucket string")
+    with pytest.raises(ValueError, match="already exists"):
+        exact_ntile(df2, "g", ["k"], 2)
+
+
+def test_verify_counts_ignores_pin_and_sees_the_source(spark, tmp_path):
+    """verify_counts must read the input UNPINNED even when the caller
+    leaves pin_input=True (the default): Spark's cache is plan-keyed, so
+    a persisted input would serve the verify pass the first pass's own
+    blocks and drift could never be observed."""
+    import pytest
+
+    flag = str(tmp_path / "pass_counter2")
+
+    @F.pandas_udf("boolean")
+    def keep(k: pd.Series) -> pd.Series:
+        import os
+
+        n = 0
+        if os.path.exists(flag):
+            with open(flag) as f:
+                n = int(f.read() or 0)
+        with open(flag, "w") as f:
+            f.write(str(n + 1))
+        if n == 0:
+            return pd.Series([True] * len(k))
+        return k != 2
+
+    keep = keep.asNondeterministic()
+    df = (
+        spark.createDataFrame(_four_interior_cells(), "g string, k long, id long")
+        .coalesce(1)
+        .filter(keep(F.col("k")))
+    )
+    with pytest.raises(RuntimeError, match="counts drifted between two"):
+        exact_ntile(df, "g", ["k", "id"], 4, verify_counts=True)  # pin_input default True

@@ -844,8 +844,8 @@ def cmd_straddle_thousand(factor: int = 1000, n_buckets: int = 4) -> dict:
     import scale_bench
 
     from detector_network_processor_spark.operators.rank import (
-        _bucket_of,
         _cell_expr,
+        cell_rank_ranges,
         exact_ntile,
     )
 
@@ -909,14 +909,13 @@ def cmd_straddle_thousand(factor: int = 1000, n_buckets: int = 4) -> dict:
     straddle_rows = straddle_cells = total = 0
     for cells in by_group.values():
         cells.sort()
-        n_g = sum(c for _, c in cells)
-        total += n_g
-        cum = 0
-        for _, cnt in cells:
-            if _bucket_of(cum + 1, n_g, n_buckets) != _bucket_of(cum + cnt, n_g, n_buckets):
+        # the operator's own straddle rule (rank.cell_rank_ranges), so the
+        # receipt can never measure a different algorithm than it claims
+        for _, cnt, _, _, lo, hi in cell_rank_ranges(cells, n_buckets):
+            if lo != hi:
                 straddle_rows += cnt
                 straddle_cells += 1
-            cum += cnt
+        total += sum(c for _, c in cells)
     return {
         "experiment": "straddle_thousand",
         "factor": factor,
