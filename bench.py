@@ -66,6 +66,22 @@ HEADLINE = [
 ]
 
 
+def needs_escalation(runs: list[float], rel: float = 0.5, abs_spread: float = 1.0) -> bool:
+    """Should min-of-N keep sampling? True when the observed spread says
+    the window is noisy: RELATIVE spread (max-min)/min above ``rel`` (the
+    pre-r12 rule), or ABSOLUTE spread above ``abs_spread`` seconds. The
+    absolute arm is the r11 fix: bm25's two runs read 4.50/5.79 — a 1.30 s
+    spread that a same-session hypervisor spike can easily straddle — yet
+    relative spread (0.29) stayed under the 0.5 threshold, so the row
+    self-adjudicated from two samples and contradicted three rounds of
+    history. A multi-second absolute spread always merits more samples;
+    for sub-second queries the relative arm still governs."""
+    if len(runs) < 2:
+        return False
+    spread = max(runs) - min(runs)
+    return spread / min(runs) > rel or spread > abs_spread
+
+
 def detail_path() -> str:
     """Per-ROUND detail artifact: ``BENCH_DETAIL_r{N}.json`` where N is the
     round in progress (1 + the newest COMMITTED ``CORRECTNESS_r*.json`` —
@@ -84,6 +100,59 @@ def detail_path() -> str:
         return env_out
     root = os.path.dirname(os.path.abspath(__file__))
     return os.path.join(root, f"BENCH_DETAIL_r{current_round():02d}.json")
+
+
+def _is_committed_clean(path: str) -> bool:
+    """True when ``path`` is git-tracked with no working-tree modification —
+    i.e. overwriting it would clobber COMMITTED evidence. Errs toward True
+    (don't clobber) when git cannot answer."""
+    import subprocess
+
+    d, name = os.path.split(os.path.abspath(path))
+    try:
+        tracked = (
+            subprocess.run(
+                ["git", "-C", d, "ls-files", "--error-unmatch", name],
+                capture_output=True,
+                timeout=10,
+            ).returncode
+            == 0
+        )
+        if not tracked:
+            return False
+        dirty = subprocess.run(
+            ["git", "-C", d, "status", "--porcelain", "--", name],
+            capture_output=True,
+            timeout=10,
+        ).stdout.strip()
+        return not dirty
+    except Exception:  # pragma: no cover — can't tell: be safe
+        return True
+
+
+def resolve_detail_path() -> str:
+    """Non-clobbering detail write target (r11 verdict next-round #6): the
+    r11 driver's bench rerun overwrote the builder's COMMITTED
+    BENCH_DETAIL_r11.json in the working tree — the driver doesn't set
+    BENCH_DETAIL_OUT, and both artifacts should survive. Rule: an explicit
+    BENCH_DETAIL_OUT is always honored verbatim; otherwise, if the
+    current-round target is git-tracked-and-clean (someone already
+    committed it as evidence), divert to the first free suffixed sibling
+    (``..._r12b.json``, ``c``, ...) instead of clobbering. A builder's own
+    in-round reruns still overwrite their uncommitted file, so a round
+    doesn't accumulate one artifact per rerun. prev_round_probe reads only
+    the unsuffixed name, so diverted artifacts never feed normalization."""
+    path = detail_path()
+    if os.environ.get("BENCH_DETAIL_OUT"):
+        return path
+    if not os.path.exists(path) or not _is_committed_clean(path):
+        return path
+    stem = path[: -len(".json")]
+    for suffix in "bcdefghij":
+        cand = f"{stem}{suffix}.json"
+        if not os.path.exists(cand) or not _is_committed_clean(cand):
+            return cand
+    return f"{stem}_overflow.json"  # pragma: no cover — 10 committed reruns
 
 
 def current_round() -> int:
@@ -195,7 +264,18 @@ def extended_normalization(
     error sentinels (<= 0) pass through unscaled. A probe-identity
     mismatch returns the SAME explicit mismatch block as
     noise_normalization (no ``values``), so a consumer can tell
-    "deliberately skipped" from "no prior round" (null)."""
+    "deliberately skipped" from "no prior round" (null) — but only when
+    there IS something to normalize: a round with no extended probes at
+    all returns None regardless of probe identity (r11 ADVICE #3; the
+    old order reported the mismatch block where "nothing to normalize"
+    was the accurate verdict). ``prev_floor_source`` records whether the
+    denominator came from the prev round's extended-section probes or —
+    for pre-r9 artifacts that bracketed only the headline — its headline
+    probes, which were measured in a different window slot and mildly
+    bias per-row values."""
+    floor = _probe_floor(calibration, ("extended_start", "extended_end"))
+    if floor is None:
+        return None  # this round has no extended probes: nothing to normalize
     if prev is None:
         prev = prev_round_probe()
     if prev is None:
@@ -208,16 +288,18 @@ def extended_normalization(
                 "current": calibration.get("probe"),
             },
         }
-    floor = _probe_floor(calibration, ("extended_start", "extended_end"))
-    if floor is None:
-        return None
-    prev_floor = prev.get("ext_probe_min") or prev.get("probe_min")
+    prev_floor = prev.get("ext_probe_min")
+    prev_floor_source = "extended"
+    if not prev_floor:
+        prev_floor = prev.get("probe_min")
+        prev_floor_source = "headline"
     if not prev_floor:
         return None
     ratio = floor / prev_floor
     return {
         "prev_round": prev["round"],
         "probe_ratio_vs_prev": round(ratio, 3),
+        "prev_floor_source": prev_floor_source,
         "values": {
             name: round(v / ratio, 3) if isinstance(v, (int, float)) and v > 0 else v
             for name, v in extended.items()
@@ -258,17 +340,19 @@ def main() -> None:
     n_runs_noisy = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_NOISY", "5"))
 
     def timed_runs(name: str, n: int, escalate: bool = False) -> list[float]:
-        """Run query `name` n times (escalating to n_runs_noisy when the
-        spread/best ratio exceeds 0.5 — a sustained-noisy host window needs
-        more samples for min-of-N to find a quiet one; the r5 driver bench
-        doubled on unchanged plans exactly this way)."""
+        """Run query `name` n times (escalating to n_runs_noisy when
+        needs_escalation says the window is noisy — relative spread > 0.5
+        OR absolute spread > 1 s; a sustained-noisy host window needs more
+        samples for min-of-N to find a quiet one: the r5 driver bench
+        doubled on unchanged plans, and r11's bm25 row carried a 1.30 s
+        spread that two samples could not adjudicate)."""
         fn = specs[name].fn
         runs: list[float] = []
         for _ in range(n):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-        while escalate and (max(runs) - min(runs)) / min(runs) > 0.5 and len(runs) < n_runs_noisy:
+        while escalate and needs_escalation(runs) and len(runs) < n_runs_noisy:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
@@ -453,11 +537,12 @@ def main() -> None:
         ext_normalized,
     )
     print(json.dumps(detail))
+    out_path = resolve_detail_path()
     try:
-        with open(detail_path(), "w") as f:
+        with open(out_path, "w") as f:
             json.dump(detail, f, indent=1)
     except OSError as e:  # pragma: no cover
-        print(f"# {os.path.basename(detail_path())} write failed: {e}", file=sys.stderr)
+        print(f"# {os.path.basename(out_path)} write failed: {e}", file=sys.stderr)
 
     # FINAL stdout line: the compact driver-parseable headline summary.
     print(summary_line(total, timings, sf, spreads, calibration, extended, normalization))

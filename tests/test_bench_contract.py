@@ -143,9 +143,14 @@ def test_noise_normalization_skipped_on_probe_identity_change(monkeypatch):
     line = bench.summary_line(10.0, timings, 0.1, spreads, calibration, extended, norm)
     parsed = json.loads(line)
     assert "normalized_total" not in parsed
-    # extended normalization records the SAME explicit mismatch block
-    # (distinguishable from the "no prior round" null)
-    ext = bench.extended_normalization(calibration, extended)
+    # a round with NO extended probes has nothing to normalize: None is
+    # the accurate verdict even when the probe name also changed (r11
+    # ADVICE #3 — the old order reported the mismatch block here)
+    assert bench.extended_normalization(calibration, extended) is None
+    # WITH extended probes, the same explicit mismatch block as
+    # noise_normalization (distinguishable from the "no prior round" null)
+    calibration_ext = dict(calibration, extended_start=0.3, extended_end=0.3)
+    ext = bench.extended_normalization(calibration_ext, extended)
     assert "values" not in ext
     assert ext["probe_identity_mismatch"]["current"] == "some_new_probe"
 
@@ -166,8 +171,16 @@ def test_extended_rows_normalized_per_query(monkeypatch):
     ext_norm = bench.extended_normalization(calibration, extended)
     assert ext_norm["prev_round"] == 9
     assert ext_norm["probe_ratio_vs_prev"] == 2.0  # 0.336 / 0.168
+    assert ext_norm["prev_floor_source"] == "extended"  # true ext-vs-ext ratio
     assert ext_norm["values"]["bm25_search"] == 1.4  # 2.8 / 2.0
     assert ext_norm["values"]["broken_query"] == -1.0  # sentinel unscaled
+    # a pre-r9 denominator (no extended probes in the prev artifact) falls
+    # back to the prev HEADLINE floor and says so — that floor was measured
+    # in a different window slot, so the tag flags the mild bias
+    prev_headline_only = {"round": 7, "probe_min": 0.168, "probe": "window_sliding_stats"}
+    ext_fb = bench.extended_normalization(calibration, extended, prev=prev_headline_only)
+    assert ext_fb["prev_floor_source"] == "headline"
+    assert ext_fb["probe_ratio_vs_prev"] == 2.0
     payload = bench.detail_payload(
         {}, {}, {}, 3, 5, {}, extended, {}, {}, {}, {}, calibration, None, ext_norm
     )
@@ -189,6 +202,68 @@ def test_noise_normalization_missing_prev_is_none(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "1")  # no round 0 artifact
     assert bench.prev_round_probe() is None
     assert bench.noise_normalization({"start": 0.2, "end": 0.2}, 5.0) is None
+
+
+def test_spread_escalation_has_an_absolute_arm():
+    """r11 What's-wrong #3: bm25 read 4.50/5.79 — a 1.30 s spread a
+    same-session hypervisor spike can straddle — yet relative spread
+    (0.29) stayed under the 0.5 threshold, so the extended row kept just
+    2 samples and contradicted three rounds of history. Escalation must
+    trigger on a multi-second ABSOLUTE spread too; sub-second queries
+    stay governed by the relative arm."""
+    assert bench.needs_escalation([4.50, 5.79])  # the r11 bm25 pair
+    assert bench.needs_escalation([1.0, 1.6])  # relative arm (60%)
+    assert not bench.needs_escalation([0.20, 0.28])  # small + proportionate
+    assert not bench.needs_escalation([4.50, 4.90])  # big but tight
+    assert not bench.needs_escalation([4.50])  # one sample: nothing to judge
+
+
+def test_detail_write_never_clobbers_committed_evidence(monkeypatch, tmp_path):
+    """r11 verdict next-round #6: the driver's bench rerun overwrote the
+    builder's COMMITTED BENCH_DETAIL_r11.json. When the current-round
+    target is git-tracked-and-clean the write must divert to a suffixed
+    sibling; an uncommitted (or dirty) target — the builder's own in-round
+    rerun — still overwrites in place."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "42")
+    base = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                        "BENCH_DETAIL_r42.json")
+    # no file on disk -> the unsuffixed round path
+    assert bench.resolve_detail_path() == base
+
+    # target exists but is NOT committed-clean -> overwrite in place
+    monkeypatch.setattr(bench.os.path, "exists", lambda p: p == base)
+    monkeypatch.setattr(bench, "_is_committed_clean", lambda p: False)
+    assert bench.resolve_detail_path() == base
+
+    # target committed-clean -> divert to the first free suffix
+    monkeypatch.setattr(bench, "_is_committed_clean", lambda p: p == base)
+    assert bench.resolve_detail_path() == base[: -len(".json")] + "b.json"
+
+    # explicit BENCH_DETAIL_OUT always honored verbatim, even onto an
+    # existing path (the judge owns that decision)
+    monkeypatch.setenv("BENCH_DETAIL_OUT", str(tmp_path / "x.json"))
+    assert bench.resolve_detail_path() == str(tmp_path / "x.json")
+
+
+def test_is_committed_clean_on_real_repo_files():
+    """Grounding for the clobber guard: a committed artifact reads True,
+    an untracked path False (run against the real repo's git state)."""
+    import os
+
+    root = os.path.dirname(os.path.abspath(bench.__file__))
+    committed = os.path.join(root, "BENCH_DETAIL_r11.json")
+    if os.path.exists(committed):
+        import subprocess
+
+        dirty = subprocess.run(
+            ["git", "-C", root, "status", "--porcelain", "--", committed],
+            capture_output=True,
+        ).stdout.strip()
+        if not dirty:
+            assert bench._is_committed_clean(committed)
+    assert not bench._is_committed_clean(os.path.join(root, "no_such_file.json"))
 
 
 def test_summary_line_carries_normalized_total():
