@@ -203,7 +203,7 @@ def exact_ntile(
     n_buckets: int,
     bucket_col: str = "bucket",
     bucket_names: list[str] | None = None,
-    pin_input: bool = True,
+    pin_input: bool | None = None,
     verify_counts: bool = False,
 ) -> DataFrame:
     """Append ``bucket_col`` holding the exact ``ntile(n_buckets)`` bucket
@@ -213,11 +213,11 @@ def exact_ntile(
     ``bucket_names[i]`` labels bucket i+1 (default: the bucket number as
     a string). Output rows and all input columns are preserved. The
     result is deterministic under arbitrary recomputation. The input is
-    consumed twice (statistics pass + assignment); callers whose input
-    already derives cheaply from a materialized checkpoint pass
-    ``pin_input=False`` — for those, the cache write + InMemoryRelation
-    read costs more than one recompute (measured on ccnet's
-    post-checkpoint LM scores). The input must be DETERMINISTIC between
+    consumed twice (statistics pass + assignment) and pinned by default
+    (``pin_input=None`` means True); callers whose input already derives
+    cheaply from a materialized checkpoint pass ``pin_input=False`` — for
+    those, the cache write + InMemoryRelation read costs more than one
+    recompute (measured on ccnet's post-checkpoint LM scores). The input must be DETERMINISTIC between
     the two passes; see the module docstring for what is and is not
     detected loudly when it is not. ``verify_counts=True`` (adjudication
     mode) runs the counting pass a SECOND time at plan build and raises
@@ -267,6 +267,23 @@ def exact_ntile(
     o1_dtype = dict(df.dtypes)[o1]
     split_ok = _splittable(o1_dtype)
 
+    if pin_input is True and verify_counts:
+        # the caller EXPLICITLY asked for both; the pin is dropped (below)
+        # and the full upstream input recomputes for every pass — say so
+        # loudly instead of relying on docstring reading (r11 ADVICE #4).
+        # The None default stays silent: those callers never requested a
+        # pin, so there is nothing to tell them was ignored.
+        import warnings
+
+        warnings.warn(
+            "exact_ntile: verify_counts=True ignores pin_input=True — the "
+            "verify pass must read the input UNPINNED (a persisted input "
+            "would verify itself from its own cache blocks), so the input "
+            "recomputes for each statistics pass AND the final assignment; "
+            "the verify-to-action window also remains uncertified",
+            stacklevel=2,
+        )
+    pin_input = True if pin_input is None else pin_input
     if pin_input and not verify_counts:
         from ..session import pin_storage_level
 

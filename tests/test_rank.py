@@ -525,3 +525,25 @@ def test_verify_counts_ignores_pin_and_sees_the_source(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="counts drifted between two"):
         exact_ntile(df, "g", ["k", "id"], 4, verify_counts=True)  # pin_input default True
+
+
+def test_verify_counts_warns_when_pin_request_dropped(spark):
+    """verify_counts=True silently overrode an explicit pin_input=True —
+    the unpinned read is necessary (a pinned input would verify itself
+    from its own cache blocks) but the caller got no signal their pin was
+    ignored nor that the input recomputes per pass (r11 ADVICE #4). Only
+    an EXPLICIT pin_input=True warns: the default (None) caller never
+    requested a pin, so there is nothing to tell them was ignored."""
+    import warnings
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", i % 7, i) for i in range(50)], "g string, k long, id long"
+    )
+    with pytest.warns(UserWarning, match="ignores pin_input=True"):
+        exact_ntile(df, "g", ["k", "id"], 2, pin_input=True, verify_counts=True).count()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        exact_ntile(df, "g", ["k", "id"], 2, pin_input=False, verify_counts=True).count()
+        exact_ntile(df, "g", ["k", "id"], 2, verify_counts=True).count()  # default
