@@ -354,7 +354,7 @@ def _cmd_compact(args) -> int:
         # identical connectivity, so re-crawl corpora compact linearly
         edges = lsh_star_edges(sigs)
     else:
-        edges = minhash_lsh_pairs(sigs).filter(F.col("est_jaccard") >= args.jaccard)
+        edges = minhash_lsh_pairs(sigs, min_est=args.jaccard)
     cc = connected_components(edges, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
     survivors = (
         exact.join(cc, "doc_id", "left")

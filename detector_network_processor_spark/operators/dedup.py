@@ -167,10 +167,12 @@ def minhash_signatures(
     )
 
 
-def band_rows(signatures: DataFrame, id_col: str = "doc_id", portable: bool = False) -> DataFrame:
-    """Explode signatures into LSH band rows (id, signature, band, bhash)
-    — the join key-space for bucket collision, shared by the batch
-    self-join and the incremental dedup-against-index path."""
+def band_hash_array(portable: bool = False):
+    """``array<long>`` of the LSH_BANDS band hashes of the ``signature``
+    column — the COMPACT (one value per band, one row per doc) form of
+    the band key-space. ``band_rows`` is this plus an explode; the
+    incremental index (streaming/dedup.py) stores exactly this array so
+    each signature is written once, not once per band."""
     if portable:
         bhash_of = lambda b: F.aggregate(  # noqa: E731
             F.slice(F.col("signature"), b * LSH_ROWS + 1, LSH_ROWS),
@@ -179,18 +181,42 @@ def band_rows(signatures: DataFrame, id_col: str = "doc_id", portable: bool = Fa
         )
     else:
         bhash_of = lambda b: F.xxhash64(F.slice(F.col("signature"), b * LSH_ROWS + 1, LSH_ROWS))  # noqa: E731
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-        lambda b: F.struct(b.alias("band"), bhash_of(b).alias("bhash")),
+    return F.transform(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)), lambda b: bhash_of(b))
+
+
+def band_rows(signatures: DataFrame, id_col: str = "doc_id", portable: bool = False) -> DataFrame:
+    """Explode signatures into LSH band rows (id, signature, band, bhash)
+    — the join key-space for bucket collision, shared by the batch
+    self-join and the incremental dedup-against-index path.
+
+    The posexplode argument is INLINE in a single select, never an
+    aliased column from a separate projection: over a live (un-pinned)
+    signature plan, InferFiltersFromGenerate turns an aliased-array
+    Generate into a pushed-down ``size(arr) > 0`` filter whose
+    substituted expression re-evaluates the Arrow signature UDF — a
+    silent 2x on the MinHash kernel (caught by the r12 fingerprint regen:
+    python_arrow 1 -> 2 on dedup_components_lsh; the inline form plans
+    one ArrowEvalPython and no inferred filter)."""
+    return signatures.select(
+        id_col, "signature", F.posexplode(band_hash_array(portable)).alias("band", "bhash")
     )
-    return signatures.select(id_col, "signature", F.explode(bands).alias("bb")).select(
-        id_col, "signature", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+
+
+def explode_band_hashes(compact: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, signature, bhashes array) -> (id, signature, band, bhash):
+    the codegen-cheap reconstruction of band rows from the COMPACT form.
+    For STORED indexes only (the bhashes column is a real parquet
+    column, so the Generate-inferred size filter is a cheap scan-level
+    predicate); live plans use band_rows — see its docstring for the
+    UDF-duplication trap this split avoids."""
+    return compact.select(
+        id_col, "signature", F.posexplode("bhashes").alias("band", "bhash")
     )
 
 
 def minhash_lsh_pairs(
     signatures: DataFrame, id_col: str = "doc_id", portable: bool = False,
-    materialized: bool = False,
+    materialized: bool = False, min_est: float | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding, scored by signature agreement.
 
@@ -199,7 +225,12 @@ def minhash_lsh_pairs(
     ``materialized=True`` promises the input is ALREADY a materialized
     checkpoint/cache — skips the defensive re-checkpoint, which is a
     whole redundant job copying every signature block (the incremental
-    ingest path paid it once per batch)."""
+    ingest path paid it once per batch). ``min_est`` applies the caller's
+    jaccard threshold BEFORE the pair-dedup exchange: a filter placed
+    after this function sits above a first()-aggregate Catalyst cannot
+    push through, so below-threshold pairs would ride the shuffle just to
+    be dropped — pass the threshold here instead (identical output to
+    filtering after; pinned by tests/test_dedup.py)."""
     # signatures feed both sides of the self-join — materialize once
     # (eager: lazy checkpoints can be raced into duplicate computation by
     # concurrent consumer jobs)
@@ -215,16 +246,28 @@ def minhash_lsh_pairs(
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
-    return (
+    # score BEFORE the pair-dedup groupBy (r12): est_jaccard is a pure
+    # function of the two signatures, so it is identical for every band a
+    # pair collides in — deduplicating the 8-byte score needs only the
+    # score, while the previous first(sig_a)/first(sig_b) aggregate
+    # dragged two 64-slot arrays (~1 KB/row) through the second exchange
+    # to score once after. Cost moved: the zip_with agreement evaluates
+    # per COLLISION row instead of per pair (collisions/pair = shared
+    # bands, small for non-clone corpora; the clone regime routes through
+    # lsh_star_edges, never this pair-listing path).
+    scored = (
         a.join(b, ["band", "bhash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
         .select(
             "doc_a",
             "doc_b",
             F.round(agree / float(MINHASH_K), 6).alias("est_jaccard"),
         )
+    )
+    if min_est is not None:
+        scored = scored.filter(F.col("est_jaccard") >= min_est)
+    return scored.groupBy("doc_a", "doc_b").agg(
+        F.first("est_jaccard").alias("est_jaccard")
     )
 
 

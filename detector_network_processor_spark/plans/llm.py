@@ -1030,11 +1030,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         python_stage_partitions(spark)
     )
     sigs = minhash_signatures(docs, portable=True)
-    return (
-        minhash_lsh_pairs(sigs, portable=True)
-        .filter(F.col("est_jaccard") >= 0.34)
-        .orderBy("doc_a", "doc_b")
-    )
+    return minhash_lsh_pairs(sigs, portable=True, min_est=0.34).orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -1122,7 +1118,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         docs.repartition(python_stage_partitions(spark)), portable=True
     )
-    pairs = minhash_lsh_pairs(sigs, portable=True).filter(F.col("est_jaccard") >= 0.34)
+    # threshold pushed INTO the operator (min_est): a filter placed after
+    # it sits above a first()-aggregate Catalyst cannot push through
+    pairs = minhash_lsh_pairs(sigs, portable=True, min_est=0.34)
     cc = connected_components(pairs, "doc_a", "doc_b").withColumnRenamed("node", "doc_id")
     lab = (
         docs.select("doc_id")

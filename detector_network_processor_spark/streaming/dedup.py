@@ -73,6 +73,90 @@ def stream_dedup_within_watermark(
 # --------------------------------------------------------------------------
 
 
+def read_band_index(spark, index_path: str, before_batch: int, id_col: str = "doc_id") -> DataFrame:
+    """Band rows (id, signature, band, bhash) of every index batch OLDER
+    than ``before_batch`` (replay-safe: a re-run of batch N sees the same
+    history). Handles BOTH index layouts: the compact r12 form (one row
+    per doc, ``bhashes`` array — reconstructed by one posexplode) and the
+    pre-r12 exploded form (16 signature-carrying rows per doc) — the
+    schema probe is driver-side metadata, so an index written by the
+    previous layout keeps working instead of failing its next increment."""
+    from ..operators.dedup import explode_band_hashes
+
+    idx = spark.read.parquet(index_path).filter(F.col("ingest_batch") < before_batch)
+    if "bhashes" in idx.columns:
+        return explode_band_hashes(idx, id_col=id_col)
+    if "bhash" in idx.columns:  # pre-r12 exploded layout
+        return idx.select(id_col, "signature", "band", "bhash")
+    raise ValueError(
+        f"band index at {index_path!r} has neither a compact 'bhashes' column "
+        f"nor exploded 'band'/'bhash' columns (found {idx.columns}) — not a "
+        "near-dup band index"
+    )
+
+
+def collision_pairs(
+    new_bands: DataFrame,
+    hist_bands: DataFrame | None,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ONE collision join per increment (r12; r10 stretch #9 — the pair
+    stage was 54% of the replay wall): the left side is the historical
+    band rows UNIONED with the new batch's, the right side the new
+    batch's, so new-vs-new and new-vs-history pairs come out of the same
+    (band, bhash) exchange — the previous shape ran two join pipelines
+    (an intra self-join AND a history join), paying four wide exchanges
+    of signature-carrying rows per batch where this pays two. An
+    ``is_hist`` flag keeps the two legs' pair semantics: history pairs
+    keep every orientation but exclude self-pairs (``doc_a != doc_b`` —
+    a doc re-ingested in a later batch collides with its own history
+    rows), intra pairs orient ``doc_a < doc_b``. The jaccard score is
+    computed and thresholded BEFORE the pair-dedup groupBy, so that
+    exchange moves 8-byte scores for surviving pairs only, never 64-slot
+    signature arrays (same narrowing as minhash_lsh_pairs).
+
+    ``new_bands`` / ``hist_bands``: (id_col, signature, band, bhash) rows
+    (``hist_bands`` None when no history exists yet). Returns
+    (doc_a, doc_b, est_jaccard) with est >= threshold, one row per pair.
+    Shared by process_neardup_increment and tools/neardup_decompose.py —
+    the decomposition tool times exactly this plan, by construction."""
+    from ..operators.dedup import MINHASH_K
+
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = F.round(agree / float(MINHASH_K), 6)
+
+    lhs = new_bands.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("signature").alias("sig_a"),
+        "band",
+        "bhash",
+        F.lit(False).alias("is_hist"),
+    )
+    if hist_bands is not None:
+        lhs = hist_bands.select(
+            F.col(id_col).alias("doc_a"),
+            F.col("signature").alias("sig_a"),
+            "band",
+            "bhash",
+            F.lit(True).alias("is_hist"),
+        ).unionByName(lhs)
+    nb = new_bands.select(
+        F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bhash"
+    )
+    keep = F.when(F.col("is_hist"), F.col("doc_a") != F.col("doc_b")).otherwise(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    return (
+        lhs.join(nb, ["band", "bhash"])
+        .filter(keep)
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+
+
 def process_neardup_increment(
     spark,
     batch_docs: DataFrame,
@@ -88,62 +172,47 @@ def process_neardup_increment(
     historical band index AND against each other; pairs with estimated
     Jaccard >= ``threshold`` land in ``out_path/batch_id=N`` and the new
     band rows are appended as ``index_path/ingest_batch=N``. Replays of a
-    batch_id overwrite (not duplicate) both directories."""
+    batch_id overwrite (not duplicate) both directories.
+
+    The collision work is ONE join per increment (``collision_pairs`` —
+    plan rationale there), over a COMPACT band index: one row per doc
+    carrying the signature plus its LSH_BANDS band hashes (r12). The
+    exploded 16-rows-per-doc form stored every 64-slot signature 16x
+    over; measured honestly, parquet's dictionary/RLE encoding already
+    collapses most of that repetition ON DISK (1.22x bytes at sf0.1 —
+    SCALING.md r12), so the compact layout's win is the 16x fewer index
+    rows to write, scan, and decode per history read, not raw bytes; the
+    explode to join-key rows is a codegen-cheap posexplode at use time
+    (``read_band_index``, which also still reads the pre-r12 exploded
+    layout). Replay wall A/B (old two-join + exploded index vs this),
+    interleaved min-of-4 at sf0.1: 5.75 -> 5.20 s, new side faster in
+    every pair."""
     import os
 
-    from ..operators.dedup import MINHASH_K, band_rows, minhash_lsh_pairs, minhash_signatures
+    from ..operators.dedup import band_hash_array, band_rows, minhash_signatures
 
     sigs = minhash_signatures(
         batch_docs.select(id_col, text_col), id_col=id_col, text_col=text_col, portable=portable
     ).localCheckpoint(eager=True)
-    # new_bands is NOT checkpointed: each band row carries the whole
-    # 64-slot signature array, so materializing it stores the signature
-    # table 16x over and pays a dedicated job per batch — while both
-    # consumers (history join, index write) recompute it from the
-    # checkpointed sigs with one cheap codegen explode each
+    # compact form feeds the index WRITE; the collision join's band rows
+    # come from band_rows' inline explode (see its docstring for why the
+    # two-step explode-an-aliased-column form is a planning trap)
+    new_compact = sigs.select(
+        id_col, "signature", band_hash_array(portable).alias("bhashes")
+    )
     new_bands = band_rows(sigs, id_col=id_col, portable=portable)
 
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    est = F.round(agree / float(MINHASH_K), 6)
-
-    # new-vs-new (within the batch); sigs is already checkpointed above,
-    # so the defensive re-checkpoint inside minhash_lsh_pairs (a whole
-    # job copying every signature block, once per ingest batch) is skipped
-    intra = minhash_lsh_pairs(
-        sigs, id_col=id_col, portable=portable, materialized=True
-    ).filter(F.col("est_jaccard") >= threshold)
-
-    # new-vs-history: bucket equi-join against index batches OLDER than
-    # this one (replay-safe: a re-run of batch N sees the same history)
-    pairs = intra
-    if _index_exists(spark, index_path):
-        hist = (
-            spark.read.parquet(index_path)
-            .filter(F.col("ingest_batch") < batch_id)
-            .select(
-                F.col(id_col).alias("doc_a"),
-                F.col("signature").alias("sig_a"),
-                "band",
-                "bhash",
-            )
-        )
-        nb = new_bands.select(
-            F.col(id_col).alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bhash"
-        )
-        cross = (
-            hist.join(nb, ["band", "bhash"])
-            .filter(F.col("doc_a") != F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
-            .select("doc_a", "doc_b", est.alias("est_jaccard"))
-            .filter(F.col("est_jaccard") >= threshold)
-        )
-        pairs = intra.unionByName(cross)
+    hist = (
+        read_band_index(spark, index_path, before_batch=batch_id, id_col=id_col)
+        if _index_exists(spark, index_path)
+        else None
+    )
+    pairs = collision_pairs(new_bands, hist, threshold, id_col=id_col)
 
     pairs.write.mode("overwrite").parquet(os.path.join(out_path, f"batch_id={batch_id}"))
     # the ingest_batch column comes from the partition DIRECTORY name at
     # read time — writing it into the files too would collide on discovery
-    new_bands.write.mode("overwrite").parquet(
+    new_compact.write.mode("overwrite").parquet(
         os.path.join(index_path, f"ingest_batch={batch_id}")
     )
 

@@ -40,6 +40,48 @@ def test_minhash_identical_docs_collide(spark):
     assert all(4 not in p for p in pairs)
 
 
+def test_band_rows_plans_one_arrow_stage_over_live_signatures(spark):
+    """Over a LIVE (un-checkpointed) signature plan, band_rows must plan
+    exactly ONE ArrowEvalPython stage: exploding an aliased array column
+    from a separate projection lets InferFiltersFromGenerate push a
+    size(arr) > 0 filter whose substituted expression re-evaluates the
+    MinHash kernel — a silent 2x on every signature (caught in r12 when
+    dedup_components_lsh's fingerprint read python_arrow 2)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, portable=True)
+    from detector_network_processor_spark.operators.dedup import band_rows
+
+    plan = (
+        band_rows(sigs, portable=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+
+
+def test_minhash_min_est_equals_filter_after(spark):
+    """min_est pushes the caller's threshold BELOW the pair-dedup
+    aggregate (a post-hoc filter sits above a first()-aggregate Catalyst
+    cannot push through): output must be IDENTICAL to filtering after —
+    the est is a pure function of the two signatures, so which band's
+    collision row survives the dedup cannot change it."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = minhash_signatures(docs, portable=True).localCheckpoint(eager=True)
+    after = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(sigs, portable=True, materialized=True).collect()
+        if r.est_jaccard >= 0.34
+    }
+    pushed = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            sigs, portable=True, materialized=True, min_est=0.34
+        ).collect()
+    }
+    assert pushed == after and pushed, f"{len(pushed)} vs {len(after)} pairs"
+
+
 def test_simhash_duplicate_hamming_zero(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     docs = spark.createDataFrame(

@@ -204,6 +204,82 @@ def test_incremental_neardup_index_matches_batch(spark):
     assert got == {(min(a, b), max(a, b), e) for a, b, e in batch_pairs}
 
 
+def test_reingested_doc_emits_no_self_pair(spark):
+    """The r12 merged collision join lets history rows join the new batch
+    in every orientation — a doc re-ingested in a later batch collides
+    with its OWN history band rows, so the history leg must keep the
+    doc_a != doc_b guard the old two-pipeline shape had (r12 review
+    finding): no (x, x) self-pair may ever be emitted."""
+    import shutil
+    import tempfile
+
+    from detector_network_processor_spark.streaming.dedup import process_neardup_increment
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    df0 = spark.createDataFrame([(i, base + f" v{i % 2}") for i in range(6)],
+                                "doc_id long, text string")
+    # batch 1 re-ingests doc 3 verbatim (plus a fresh doc)
+    df1 = spark.createDataFrame([(3, base + " v1"), (99, base + " v1 extra")],
+                                "doc_id long, text string")
+    tmp = tempfile.mkdtemp(prefix="dnp_selfpair_")
+    try:
+        for bid, df in enumerate((df0, df1)):
+            process_neardup_increment(spark, df, f"{tmp}/index", f"{tmp}/out", bid,
+                                      threshold=0.3)
+        rows = spark.read.parquet(f"{tmp}/out").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert rows, "fixture produced no pairs at all"
+    self_pairs = [(r.doc_a, r.doc_b) for r in rows if r.doc_a == r.doc_b]
+    assert not self_pairs, f"self-pairs emitted: {self_pairs}"
+    # the re-ingested doc still matches its historical near-dups
+    assert any(3 in (r.doc_a, r.doc_b) for r in rows)
+
+
+def test_increment_reads_pre_r12_exploded_index_layout(spark):
+    """The index layout changed in r12 (exploded signature-per-band rows
+    -> one compact bhashes-array row per doc). An index persisted by the
+    previous layout must keep working: read_band_index detects the old
+    schema and uses its band rows directly instead of failing every
+    future increment until a manual rebuild (r12 review finding)."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from detector_network_processor_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+    from detector_network_processor_spark.streaming.dedup import (
+        process_neardup_increment,
+        read_band_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    hist_docs = spark.createDataFrame([(i, base) for i in range(4)],
+                                      "doc_id long, text string")
+    new_docs = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    tmp = tempfile.mkdtemp(prefix="dnp_oldidx_")
+    try:
+        # persist batch 0's index in the PRE-r12 exploded layout
+        band_rows(minhash_signatures(hist_docs)).write.parquet(
+            f"{tmp}/index/ingest_batch=0"
+        )
+        process_neardup_increment(spark, new_docs, f"{tmp}/index", f"{tmp}/out", 1,
+                                  threshold=0.9)
+        got = {(r.doc_a, r.doc_b) for r in spark.read.parquet(f"{tmp}/out").collect()}
+        assert got == {(i, 10) for i in range(4)}, got
+        # a directory that is neither layout fails with an actionable error
+        spark.createDataFrame([(1, 2)], "a long, ingest_batch long").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/bogus/ingest_batch=0")
+        with pytest.raises(ValueError, match="not a near-dup band index"):
+            read_band_index(spark, f"{tmp}/bogus", before_batch=9).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_dedup_on_rocksdb_state_store(spark):
     """The production state backend (RocksDB provider + changelog
     checkpointing, streaming/pipeline.py::use_rocksdb_state) must actually

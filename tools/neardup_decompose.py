@@ -30,24 +30,28 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from detector_network_processor_spark.io import load_table  # noqa: E402
 from detector_network_processor_spark.operators.dedup import (  # noqa: E402
-    MINHASH_K,
+    band_hash_array,
     band_rows,
-    minhash_lsh_pairs,
     minhash_signatures,
 )
 from detector_network_processor_spark.session import get_spark, release_cached  # noqa: E402
-from detector_network_processor_spark.streaming.dedup import _index_exists  # noqa: E402
+from detector_network_processor_spark.streaming.dedup import (  # noqa: E402
+    _index_exists,
+    collision_pairs,
+    read_band_index,
+)
 
 
 def replay_timed(spark, sf_dir: str, n_batches: int = 4, threshold: float = 0.34) -> dict:
     """process_neardup_increment's exact dataflow, with a perf_counter
-    around each stage. Kept in lockstep with streaming/dedup.py by
+    around each stage — the collision plan IS the production one
+    (streaming.dedup.collision_pairs / read_band_index, shared code, so
+    the tool cannot drift from what it claims to measure); also pinned
+    end-to-end by
     tests/test_stream_dedup.py::test_decompose_tool_matches_replay_output."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     root = tempfile.mkdtemp(prefix="dnp_nddec_")
     t = {"signatures": 0.0, "pairs_join_write": 0.0, "index_write": 0.0, "assembly": 0.0}
-    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    est = F.round(agree / float(MINHASH_K), 6)
     try:
         index_path, out_path = f"{root}/index", f"{root}/pairs"
         for b in range(n_batches):
@@ -57,43 +61,22 @@ def replay_timed(spark, sf_dir: str, n_batches: int = 4, threshold: float = 0.34
             sigs = minhash_signatures(batch_docs, portable=True).localCheckpoint(eager=True)
             t["signatures"] += time.perf_counter() - t0
 
+            new_compact = sigs.select(
+                "doc_id", "signature", band_hash_array(portable=True).alias("bhashes")
+            )
             new_bands = band_rows(sigs, portable=True)
             t0 = time.perf_counter()
-            intra = minhash_lsh_pairs(sigs, portable=True, materialized=True).filter(
-                F.col("est_jaccard") >= threshold
+            hist = (
+                read_band_index(spark, index_path, before_batch=b)
+                if _index_exists(spark, index_path)
+                else None
             )
-            pairs = intra
-            if _index_exists(spark, index_path):
-                hist = (
-                    spark.read.parquet(index_path)
-                    .filter(F.col("ingest_batch") < b)
-                    .select(
-                        F.col("doc_id").alias("doc_a"),
-                        F.col("signature").alias("sig_a"),
-                        "band",
-                        "bhash",
-                    )
-                )
-                nb = new_bands.select(
-                    F.col("doc_id").alias("doc_b"),
-                    F.col("signature").alias("sig_b"),
-                    "band",
-                    "bhash",
-                )
-                cross = (
-                    hist.join(nb, ["band", "bhash"])
-                    .filter(F.col("doc_a") != F.col("doc_b"))
-                    .groupBy("doc_a", "doc_b")
-                    .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
-                    .select("doc_a", "doc_b", est.alias("est_jaccard"))
-                    .filter(F.col("est_jaccard") >= threshold)
-                )
-                pairs = intra.unionByName(cross)
+            pairs = collision_pairs(new_bands, hist, threshold)
             pairs.write.mode("overwrite").parquet(os.path.join(out_path, f"batch_id={b}"))
             t["pairs_join_write"] += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            new_bands.write.mode("overwrite").parquet(
+            new_compact.write.mode("overwrite").parquet(
                 os.path.join(index_path, f"ingest_batch={b}")
             )
             t["index_write"] += time.perf_counter() - t0

@@ -169,7 +169,7 @@ def _timeit(fn, runs: int = 2) -> float:
 
 def cmd_crossover(factor: int = 10, docs_mode: str = "clone") -> dict:
     from detector_network_processor_spark.operators.dedup import (
-        band_rows,
+        band_hash_array,
         minhash_lsh_pairs,
         minhash_signatures,
     )
@@ -201,11 +201,14 @@ def cmd_crossover(factor: int = 10, docs_mode: str = "clone") -> dict:
     root = "/tmp/dnp_crossover"
     shutil.rmtree(root, ignore_errors=True)
     # Build the persistent index once (ingest-time cost, amortized over
-    # every future increment): band rows only, not history self-pairs.
+    # every future increment): the COMPACT r12 layout — one row per doc
+    # (signature + band-hash array); 16x fewer rows than exploded band
+    # rows (on-disk bytes only ~1.2x less — parquet RLE already collapses
+    # the signature repeats; SCALING.md r12); not history self-pairs.
     t0 = time.perf_counter()
-    band_rows(minhash_signatures(hist)).write.mode("overwrite").parquet(
-        os.path.join(root, "index", "ingest_batch=0")
-    )
+    minhash_signatures(hist).select(
+        "doc_id", "signature", band_hash_array().alias("bhashes")
+    ).write.mode("overwrite").parquet(os.path.join(root, "index", "ingest_batch=0"))
     t_index_build = round(time.perf_counter() - t0, 3)
 
     def incr():
@@ -220,9 +223,7 @@ def cmd_crossover(factor: int = 10, docs_mode: str = "clone") -> dict:
     union = hist.unionByName(batch)
 
     def oneshot():
-        minhash_lsh_pairs(minhash_signatures(union)).filter(
-            F.col("est_jaccard") >= 0.5
-        ).count()
+        minhash_lsh_pairs(minhash_signatures(union), min_est=0.5).count()
 
     t_oneshot = _timeit(oneshot)
     shutil.rmtree(root, ignore_errors=True)
