@@ -92,12 +92,23 @@ def connected_components(
     is the minimum node id of its connected component (the canonical-doc
     convention). Isolated nodes never appear in an edge table — callers map
     them to themselves with a left join + coalesce."""
-    e = _orient(
-        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-    ).localCheckpoint(eager=True)
+    from ..session import eager_ckpt_tracked, release_ckpts
+
+    e, e_h = eager_ckpt_tracked(
+        _orient(
+            edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        )
+    )
     sig = _signature(e)
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # the new checkpoint's materialization is the previous round's edge
+        # set's last read — release its storage deterministically (r12;
+        # DataFrame.unpersist does not cover localCheckpoint blocks, so
+        # without this every round's O(edges) state stays live until a GC
+        # happens to run the ContextCleaner)
+        nxt, nxt_h = eager_ckpt_tracked(_small_star(_large_star(e)))
+        release_ckpts(e_h)
+        e, e_h = nxt, nxt_h
         new_sig = _signature(e)
         if new_sig == sig:
             break

@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ..constants import C_M_PER_NS
-from ..functions.geodesy import straight_distance_col
+from ..functions.geodesy import _ecef_cols
 
 N_BINS = 2000
 MAX_BIN_WIDTH_NS = 100.0  # s_total_width / s_bins = 200000/2000
@@ -71,13 +71,20 @@ def pair_dt_histogram(l1: DataFrame, stations: DataFrame) -> DataFrame:
     Returns (hash_lo, hash_hi, distance, bin_width, bin, n).
     """
     pairs = explode_constituent_pairs(l1)
-    st = stations.select("hash", "lat", "lon", "h")
-    a = F.broadcast(st.select(F.col("hash").alias("hash_lo"), F.col("lat").alias("lat_a"),
-                              F.col("lon").alias("lon_a"), F.col("h").alias("h_a")))
-    b = F.broadcast(st.select(F.col("hash").alias("hash_hi"), F.col("lat").alias("lat_b"),
-                              F.col("lon").alias("lon_b"), F.col("h").alias("h_b")))
-    dist = straight_distance_col(
-        F.col("lat_a"), F.col("lon_a"), F.col("h_a"), F.col("lat_b"), F.col("lon_b"), F.col("h_b")
+    # ECEF per STATION in the broadcast dimension (r12, guide §2.3): the
+    # old shape re-ran the WGS84 trig on every constituent-pair row; the
+    # same expression tree applied to the O(stations) dimension leaves
+    # only the chord sqrt per pair — bit-identical distance values.
+    ex, ey, ez = _ecef_cols(F.col("lat"), F.col("lon"), F.col("h"))
+    st = stations.select("hash", ex.alias("x"), ey.alias("y"), ez.alias("z"))
+    a = F.broadcast(st.select(F.col("hash").alias("hash_lo"), F.col("x").alias("x_a"),
+                              F.col("y").alias("y_a"), F.col("z").alias("z_a")))
+    b = F.broadcast(st.select(F.col("hash").alias("hash_hi"), F.col("x").alias("x_b"),
+                              F.col("y").alias("y_b"), F.col("z").alias("z_b")))
+    dist = F.sqrt(
+        (F.col("x_a") - F.col("x_b")) * (F.col("x_a") - F.col("x_b"))
+        + (F.col("y_a") - F.col("y_b")) * (F.col("y_a") - F.col("y_b"))
+        + (F.col("z_a") - F.col("z_b")) * (F.col("z_a") - F.col("z_b"))
     )
     enriched = (
         pairs.join(a, "hash_lo")

@@ -23,6 +23,8 @@ from pyspark.sql.window import Window
 
 from ..io import load_table, table_row_count, ts_to_us
 from ..operators.coincidence import cluster_coincidences, l1_flatten
+from ..session import eager_ckpt_tracked as _eager_ckpt_tracked
+from ..session import release_ckpts as _release_ckpts
 from . import register
 from .lifecycle_oracle import station_lifecycle_oracle_sql as _lifecycle_oracle_sql
 
@@ -417,34 +419,46 @@ def pair_tof_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pair_hist_df(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     """A7 band-join histogram over the muonized stream; ``pred`` filters the
-    hit stream (mirrors the oracle's ``extra_where``)."""
+    hit stream (mirrors the oracle's ``extra_where``).
+
+    The WGS84 ECEF transform runs per HIT, before the band explode/join
+    (r12, guide §2.3 "project before the exchange"): the pair stream is
+    ~50x the hit stream here, and the old shape re-evaluated the full
+    trig (4 sin/cos + sqrt per side) on every PAIR row. Same expression
+    tree applied earlier -> the chord distance is bit-identical
+    (xor-hash-verified at sf0.1; the A/B read 2.83 -> 1.57 s for the
+    histogram build)."""
     from ..constants import MAX_TIME_NS
     from ..operators.histogram import MAX_BIN_WIDTH_NS, N_BINS, bin_width_expr
-    from ..functions.geodesy import straight_distance_col
+    from ..functions.geodesy import _ecef_cols
 
     hits = muonize_events(spark, sf_dir).select("hash", "start", "lat", "lon", "h")
     if pred is not None:
         hits = hits.filter(pred)
+    ex, ey, ez = _ecef_cols(F.col("lat"), F.col("lon"), F.col("h"))
+    hits = hits.select("hash", "start", ex.alias("x"), ey.alias("y"), ez.alias("z"))
     max_dt = int(MAX_TIME_NS)
     bkt = F.expr(f"start div {max_dt}")
     a = hits.withColumn("bucket", F.explode(F.array(bkt - 1, bkt, bkt + 1))).select(
         F.col("hash").alias("hash_lo"), F.col("start").alias("start_a"),
-        F.col("lat").alias("lat_a"), F.col("lon").alias("lon_a"), F.col("h").alias("h_a"), "bucket",
+        F.col("x").alias("x_a"), F.col("y").alias("y_a"), F.col("z").alias("z_a"), "bucket",
     )
     b = hits.withColumn("bucket", bkt).select(
         F.col("hash").alias("hash_hi"), F.col("start").alias("start_b"),
-        F.col("lat").alias("lat_b"), F.col("lon").alias("lon_b"), F.col("h").alias("h_b"), "bucket",
+        F.col("x").alias("x_b"), F.col("y").alias("y_b"), F.col("z").alias("z_b"), "bucket",
     )
     pairs = (
         a.join(b, "bucket")
         .filter((F.col("hash_lo") < F.col("hash_hi")) & (F.abs(F.col("start_a") - F.col("start_b")) <= max_dt))
         .select(
             "hash_lo", "hash_hi", (F.col("start_a") - F.col("start_b")).alias("dt"),
-            "lat_a", "lon_a", "h_a", "lat_b", "lon_b", "h_b",
+            "x_a", "y_a", "z_a", "x_b", "y_b", "z_b",
         )
     )
-    dist = straight_distance_col(
-        F.col("lat_a"), F.col("lon_a"), F.col("h_a"), F.col("lat_b"), F.col("lon_b"), F.col("h_b")
+    dist = F.sqrt(
+        (F.col("x_a") - F.col("x_b")) * (F.col("x_a") - F.col("x_b"))
+        + (F.col("y_a") - F.col("y_b")) * (F.col("y_a") - F.col("y_b"))
+        + (F.col("z_a") - F.col("z_b")) * (F.col("z_a") - F.col("z_b"))
     )
     binned = (
         pairs.withColumn("distance", F.round(dist, 3))
@@ -1559,6 +1573,14 @@ def station_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LPA_ITERS = 3
 
+# r12 negative result, measured and not shipped: replacing the per-iteration
+# row_number() window pick with min(struct(-wt, lbl)) (or min_by(lbl,
+# struct(-wt, lbl))) produces bit-identical labels and iteration counts,
+# but Spark 4.1 plans ANY struct-ordered aggregate as SortAggregate —
+# Sort + partial SortAggregate + Exchange + Sort + final SortAggregate —
+# so the window's one sort becomes two and the interleaved sf0.1 A/B read
+# parity-to-slightly-worse (OPTIMIZATION_r12.md). The window form stays.
+
 
 def _lpa_step_sql(prev: str) -> str:
     return f"""
@@ -1650,45 +1672,46 @@ def station_communities_converged(
     the loop: synchronous LPA can 2-cycle on bipartite-ish subgraphs, and a
     production job needs a bound regardless."""
     edges = _station_edges(spark, sf_dir)
-    labels = (
-        edges.select(F.col("u").alias("v"))
-        .distinct()
-        .withColumn("lbl", F.col("v"))
-        .persist()  # released by iteration 1's labels.unpersist()
+    # Per-iteration EAGER CHECKPOINTS instead of the old persist + unpersist
+    # + every-10th-iteration lineage cut (r12): with persist, iteration i's
+    # logical plan nests i InMemoryRelations, and the per-iteration analysis
+    # of that growing tree plus cache-manager bookkeeping cost more than the
+    # checkpoint's extra materialization action — interleaved sf0.1 A/B on
+    # the pagerank loop read persist 5.87-8.13 s vs checkpoint 4.40-5.32 s
+    # (every checkpoint run faster than every persist run; bit-identical
+    # ranks, same iteration count). The checkpoint also keeps every
+    # iteration's plan FLAT, so analysis cost is constant in the iteration
+    # number. Previous state is released deterministically via the tracked
+    # JVM handles (_eager_ckpt_tracked) right after its last read.
+    labels, lab_h = _eager_ckpt_tracked(
+        edges.select(F.col("u").alias("v")).distinct().withColumn("lbl", F.col("v"))
     )
     w_pick = Window.partitionBy("v").orderBy(F.col("wt").desc(), F.col("lbl"))
     iters = 0
     for _ in range(max_iters):
-        nxt = (
+        # the checkpoint call is the iteration's materialization action
+        nxt, nxt_h = _eager_ckpt_tracked(
             edges.join(F.broadcast(labels.select(F.col("v").alias("u"), "lbl")), "u")
             .groupBy("v", "lbl")
             .agg(F.sum("w").cast("long").alias("wt"))
             .withColumn("rn", F.row_number().over(w_pick))
             .filter(F.col("rn") == 1)
             .select("v", "lbl")
-            .persist()  # cache-managed so the PREVIOUS iteration actually releases
         )
         iters += 1
-        # O(1)-row convergence aggregate: count of nodes whose label moved.
-        # Reading it also materializes nxt's cache.
+        # O(1)-row convergence aggregate: count of nodes whose label moved —
+        # a cheap second action over the two checkpointed label states.
         changed = (
             nxt.alias("n")
             .join(labels.alias("p"), "v")
             .filter(F.col("n.lbl") != F.col("p.lbl"))
             .count()
         )
-        # the count above was the last read of the previous labels — release
-        # them, or a max_iters run holds every iteration's O(nodes) state
-        # live at once (DataFrame.unpersist only releases cache-managed
-        # storage, which is why the loop persists instead of checkpointing)
-        labels.unpersist()
-        labels = nxt
-        if iters % 10 == 0:
-            # bound the nested logical-plan depth: truncate lineage every
-            # 10th iteration (these few checkpoints stay live — O(iters/10))
-            ckpt = labels.localCheckpoint(eager=True)
-            labels.unpersist()  # the checkpoint now holds the data
-            labels = ckpt
+        # the count above was the last read of the previous labels — free
+        # their checkpoint storage, or a max_iters run holds every
+        # iteration's O(nodes) state live at once
+        _release_ckpts(lab_h)
+        labels, lab_h = nxt, nxt_h
         if changed == 0:
             break
     w_size = Window.partitionBy("lbl")
@@ -1716,24 +1739,26 @@ def station_pagerank_converged(
     deg = edges.groupBy("u").agg(F.sum("w").cast("long").alias("wsum"))
     n = deg.count()  # O(1) driver scalar — station dimension
     base = _PR_BASE_MASS // n
-    ranks = deg.select(
-        F.col("u").alias("v"), F.lit(_PR_SCALE // n).cast("long").alias("r")
-    ).persist()  # released by iteration 1's ranks.unpersist()
+    # per-iteration eager checkpoints with tracked release — rationale and
+    # the interleaved persist-vs-checkpoint A/B receipt in the LPA loop
+    ranks, rank_h = _eager_ckpt_tracked(
+        deg.select(F.col("u").alias("v"), F.lit(_PR_SCALE // n).cast("long").alias("r"))
+    )
     ew = edges.join(F.broadcast(deg), "u").localCheckpoint(eager=True)
     iters = 0
     for _ in range(max_iters):
-        nxt = (
+        # the checkpoint call is the iteration's materialization action
+        nxt, nxt_h = _eager_ckpt_tracked(
             ew.join(F.broadcast(ranks.withColumnRenamed("v", "u")), "u")
             .select("v", F.expr("(r * w) div wsum").alias("contrib"))
             .groupBy("v")
             .agg(
                 (F.lit(base) + F.expr("(sum(contrib) * 17) div 20")).cast("long").alias("r")
             )
-            .persist()  # cache-managed so the PREVIOUS iteration actually releases
         )
         iters += 1
-        # O(1)-row convergence aggregate: max absolute rank movement.
-        # Reading it also materializes nxt's cache.
+        # O(1)-row convergence aggregate: max absolute rank movement —
+        # a cheap second action over the two checkpointed rank states.
         delta = (
             nxt.alias("n")
             .join(ranks.alias("p"), "v")
@@ -1741,16 +1766,10 @@ def station_pagerank_converged(
             .collect()[0]["d"]
         )
         # the delta read above was the last use of the previous ranks —
-        # release them so only two iterations' state is ever live
-        # (DataFrame.unpersist only releases cache-managed storage, which
-        # is why the loop persists instead of checkpointing)
-        ranks.unpersist()
-        ranks = nxt
-        if iters % 10 == 0:
-            # bound the nested logical-plan depth (see the LPA loop)
-            ckpt = ranks.localCheckpoint(eager=True)
-            ranks.unpersist()  # the checkpoint now holds the data
-            ranks = ckpt
+        # free their checkpoint storage so only two iterations' state is
+        # ever live
+        _release_ckpts(rank_h)
+        ranks, rank_h = nxt, nxt_h
         if delta is not None and delta <= tol12:
             break
     out = ranks.select(

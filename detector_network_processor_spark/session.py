@@ -37,6 +37,36 @@ def release_cached(
         time.sleep(settle_sec)
 
 
+def eager_ckpt_tracked(df):
+    """``localCheckpoint(eager=True)`` plus the JVM handles of the RDDs it
+    persisted, so an iterative loop can release the previous iteration's
+    state deterministically (``release_ckpts``).
+
+    Why the handles: ``DataFrame.unpersist`` does NOT cover localCheckpoint
+    storage (probed on 4.1 — the persisted-RDD set is unchanged after it),
+    and waiting for the ContextCleaner's GC-driven release would keep up to
+    ``max_iters`` O(data) states live at once. The handle diff is taken
+    around the checkpoint call; the loops using this are single-threaded
+    (as is plan fingerprinting), so no concurrent checkpoint can leak into
+    the diff."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    ck = df.localCheckpoint(eager=True)
+    handles = [jrdd for rid, jrdd in sc._jsc.getPersistentRDDs().items() if rid not in before]
+    return ck, handles
+
+
+def release_ckpts(handles: list) -> None:
+    """Free the storage of checkpoints a loop no longer references (after
+    this their DataFrames are unreadable — callers release only state whose
+    last read has happened)."""
+    for h in handles:
+        try:
+            h.unpersist(False)
+        except Exception:  # pragma: no cover — release is best-effort
+            pass
+
+
 def pin_storage_level(spark: SparkSession):
     """Storage level for BIG working-set pins — the eager localCheckpoints
     of O(corpus)-sized intermediates (shingle arrays, kept postings).

@@ -42,6 +42,21 @@ def test_bin_width_matches_reference_formula(spark):
         assert abs(r.distance - round(dist, 3)) < 1e-9
 
 
+def test_pair_distance_bit_identical_to_scalar_reference(spark):
+    """r12 ECEF hoist pin: pair_dt_histogram computes the WGS84 transform
+    per STATION (broadcast dimension) and only the chord sqrt per pair;
+    the reported distance must stay BIT-identical (==, not approx) to the
+    golden scalar straight_distance path the kernel/tests use — the exact
+    equality the pre-hoist per-pair-trig formulation had."""
+    rows = _hist(spark, seed=33).collect()
+    assert rows, "fixture produced no coincidences"
+    stations = {s[0]: s for s in STATIONS}
+    for r in rows:
+        a, b = stations[r.hash_lo], stations[r.hash_hi]
+        dist = straight_distance_scalar(a[1], a[2], a[3], b[1], b[2], b[3])
+        assert r.distance == round(dist, 3), (r.hash_lo, r.hash_hi, r.distance)
+
+
 def test_merge_histograms_sums_counts(spark):
     h1, h2 = _hist(spark, seed=31), _hist(spark, seed=32)
     merged = merge_histograms(h1, h2)
