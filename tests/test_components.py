@@ -62,6 +62,65 @@ def test_randomized_vs_union_find(spark):
     assert got == _union_find(edges)
 
 
+def test_window_stars_match_join_reference_per_round(spark):
+    """The r12 window-form stars must reproduce the join-based reference
+    ROUND BY ROUND (edge-set equality, not just final components): large
+    star without its old inter-star distinct feeding the single-pass small
+    star is the same set transformation as groupBy-min + join-back +
+    distinct."""
+    import pyspark.sql.functions as F
+
+    from detector_network_processor_spark.operators.components import (
+        _large_star,
+        _orient,
+        _small_star,
+    )
+
+    def ref_large_star(edges):
+        sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def ref_small_star(edges):
+        mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+        j = edges.join(mins, "a")
+        leaf = j.filter(F.col("b") != F.col("m")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        root = mins.select(F.col("a"), F.col("m").alias("b"))
+        return leaf.union(root).filter(F.col("a") != F.col("b")).distinct()
+
+    def edge_set(df):
+        return {(int(r["a"]), int(r["b"])) for r in df.collect()}
+
+    rng = random.Random(20260818)
+    for trial in range(3):
+        nodes = list(range(1, 80))
+        raw = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(110)]
+        df = spark.createDataFrame(raw, "src long, dst long")
+        e_new = _orient(
+            df.select(F.col("src").cast("long").alias("a"), F.col("dst").cast("long").alias("b"))
+        ).localCheckpoint(eager=True)
+        e_ref = e_new
+        for _round in range(4):
+            # the new large star carries duplicates by design; the composed
+            # round output (post small-star distinct) must match the
+            # reference round exactly, and the large-star SETS must agree
+            assert edge_set(_large_star(e_new).distinct()) == edge_set(ref_large_star(e_ref))
+            e_new = _small_star(_large_star(e_new)).localCheckpoint(eager=True)
+            e_ref = ref_small_star(ref_large_star(e_ref)).localCheckpoint(eager=True)
+            assert edge_set(e_new) == edge_set(e_ref), f"trial {trial} round {_round}"
+
+
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(5, 4), (4, 3), (3, 2), (2, 1)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
