@@ -209,12 +209,32 @@ def process_neardup_increment(
     )
     pairs = collision_pairs(new_bands, hist, threshold, id_col=id_col)
 
-    pairs.write.mode("overwrite").parquet(os.path.join(out_path, f"batch_id={batch_id}"))
-    # the ingest_batch column comes from the partition DIRECTORY name at
-    # read time — writing it into the files too would collide on discovery
-    new_compact.write.mode("overwrite").parquet(
-        os.path.join(index_path, f"ingest_batch={batch_id}")
-    )
+    # The two terminal writes are INDEPENDENT jobs (pairs needs sigs+hist,
+    # the index write only the eagerly-checkpointed sigs), so they are
+    # submitted from a 2-thread pool: the short index write back-fills
+    # executor slots freed by the pair join's straggler tail instead of
+    # paying its whole wall serially after it (guide §2.6 overlap of
+    # independent jobs; measured A/B in OPTIMIZATION_r12.md). Both futures
+    # are joined (exceptions re-raised) before returning, so batch N+1
+    # still only ever sees a COMPLETE ingest_batch=N and the replay
+    # contract — re-running a batch_id overwrites both directories — is
+    # unchanged; a crash mid-batch can leave either directory partial,
+    # exactly as the sequential form could.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_pairs() -> None:
+        pairs.write.mode("overwrite").parquet(os.path.join(out_path, f"batch_id={batch_id}"))
+
+    def _write_index() -> None:
+        # the ingest_batch column comes from the partition DIRECTORY name at
+        # read time — writing it into the files too would collide on discovery
+        new_compact.write.mode("overwrite").parquet(
+            os.path.join(index_path, f"ingest_batch={batch_id}")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [pool.submit(_write_pairs), pool.submit(_write_index)]:
+            fut.result()
 
 
 def incremental_neardup_query(

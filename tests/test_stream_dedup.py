@@ -355,3 +355,35 @@ def test_decompose_tool_matches_replay_output(spark):
     assert set(res) == {
         "signatures", "pairs_join_write", "index_write", "assembly", "total", "n_pairs",
     }
+
+
+def test_increment_write_failure_propagates(spark):
+    """r12: the increment's two terminal writes run as concurrent jobs
+    (guide §2.6 overlap); the futures must be JOINED with exceptions
+    re-raised, so a failed pairs write or a failed index write can never
+    let the increment return 'success' with half its directories missing
+    (the next batch would silently read an incomplete history)."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from detector_network_processor_spark.streaming.dedup import process_neardup_increment
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    for broken in ("out", "index"):
+        tmp = tempfile.mkdtemp(prefix="dnp_wfail_")
+        try:
+            # the broken destination is a FILE, so creating
+            # <path>/batch_id=0 (resp. /ingest_batch=0) under it fails
+            with open(f"{tmp}/{broken}", "w") as fh:
+                fh.write("not a directory")
+            with pytest.raises(Exception):
+                process_neardup_increment(
+                    spark, df, f"{tmp}/index", f"{tmp}/out", 0, threshold=0.3
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
