@@ -370,20 +370,47 @@ def test_increment_write_failure_propagates(spark):
 
     from detector_network_processor_spark.streaming.dedup import process_neardup_increment
 
+    import os
+
     df = spark.createDataFrame(
         [(i, f"alpha beta gamma delta epsilon zeta eta theta doc{i}") for i in range(8)],
         "doc_id long, text string",
     )
-    for broken in ("out", "index"):
-        tmp = tempfile.mkdtemp(prefix="dnp_wfail_")
-        try:
-            # the broken destination is a FILE, so creating
-            # <path>/batch_id=0 (resp. /ingest_batch=0) under it fails
-            with open(f"{tmp}/{broken}", "w") as fh:
-                fh.write("not a directory")
-            with pytest.raises(Exception):
-                process_neardup_increment(
-                    spark, df, f"{tmp}/index", f"{tmp}/out", 0, threshold=0.3
-                )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+
+    # failed PAIRS write: the out root is a FILE, so creating
+    # out/batch_id=0 under it fails while the index write succeeds
+    tmp = tempfile.mkdtemp(prefix="dnp_wfail_")
+    try:
+        with open(f"{tmp}/out", "w") as fh:
+            fh.write("not a directory")
+        with pytest.raises(Exception):
+            process_neardup_increment(spark, df, f"{tmp}/index", f"{tmp}/out", 0, threshold=0.3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # failed INDEX write: batch 0 lands normally, then the writer is
+    # patched so only batch 1's ingest_batch=1 write raises (a stray file
+    # in the index root would instead fail the history READ, before any
+    # write) — this pins that the future of the OTHER concurrent write is
+    # joined and its exception re-raised even when the pairs write
+    # succeeds first
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    tmp = tempfile.mkdtemp(prefix="dnp_wfail_")
+    real_parquet = DataFrameWriter.parquet
+    try:
+        process_neardup_increment(spark, df, f"{tmp}/index", f"{tmp}/out", 0, threshold=0.3)
+
+        def failing_parquet(self, path, *a, **kw):
+            if "ingest_batch=1" in path:
+                raise RuntimeError("injected index-write failure")
+            return real_parquet(self, path, *a, **kw)
+
+        DataFrameWriter.parquet = failing_parquet
+        with pytest.raises(Exception, match="injected index-write failure"):
+            process_neardup_increment(spark, df, f"{tmp}/index", f"{tmp}/out", 1, threshold=0.3)
+        # the failed increment must not have destroyed batch 0's history
+        assert os.path.isdir(f"{tmp}/index/ingest_batch=0")
+    finally:
+        DataFrameWriter.parquet = real_parquet
+        shutil.rmtree(tmp, ignore_errors=True)
