@@ -71,6 +71,12 @@ _EVENT_COLS = ("hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat"
 
 _MATRIX_MIN_N = 6  # below this, matrix setup costs more than it saves
 
+# Largest session size resolved by the closed-form JVM path (guide §4 —
+# every tier moved out of the Arrow kernel shrinks the Python surface).
+# 2..3 since r9, 4 since r13; _resolve_small_jvm's CASE is NULL-safe, so a
+# smaller setting only reroutes tiers to the Arrow replay (the A/B knob).
+_SMALL_MAX_N = 4
+
 
 def _matrix_compare(hits: list, compare):
     """Precompute the session's full pair-score matrix with numpy and
@@ -192,8 +198,8 @@ def _resolve_sessions_stream(compare):
 
 
 def _resolve_small_jvm(small: DataFrame, criterion: str) -> DataFrame:
-    """Exact resolution of 2- and 3-hit sessions as ONE JVM aggregation —
-    no Python, no per-size extra shuffle (both sizes share the same
+    """Exact resolution of 2-, 3- and 4-hit sessions as ONE JVM aggregation —
+    no Python, no per-size extra shuffle (all sizes share the same
     groupBy(session_id) + sorted collect_list shape, so they ride one
     exchange and one codegen stage).
 
@@ -224,6 +230,17 @@ def _resolve_small_jvm(small: DataFrame, criterion: str) -> DataFrame:
 
     Envelope = (min constituent start, max constituent start) for groups;
     (start, end) of the hit itself for singletons (event.cpp:35-44).
+
+    n=4 (r13): e1..e3 leave exactly six buffer states ([G123-fold],
+    [G12,{e3}], [G132-merge], [G13,{e2}], [{e1},G23], three singletons);
+    e4 probes them in buffer order under the same rules — overlap skip,
+    mean-rule verdict vs groups (INVALID iff mean < MEAN_FALSE_THRESHOLD),
+    score>0 vs singletons, first fold never sets ``conflicting``, and the
+    merge loop re-probes the remaining buffer with the ORIGINAL e4
+    (including the group-absorbs-group arm [{e1},G23] + e4 -> [e1,e4,e2,e3]
+    and the chain-merge arm of three singletons -> [e1,e4,e2,e3], te=3).
+    The enumeration lives next to its SQL in the function body; the
+    randomized differential test covers every arm with traffic.
 
     The whole resolution is generated SQL TEXT, parsed JVM-side in three
     selectExpr calls. A Column-by-Column formulation of the same tree costs
@@ -258,12 +275,14 @@ def _resolve_small_jvm(small: DataFrame, criterion: str) -> DataFrame:
             return f"(({n} + {e}.h) * cos({lat}) * sin({lon}))"
         return f"(({n} * {1.0 - WGS84_E2!r} + {e}.h) * sin({lat}))"
 
-    # get(p, 2) is NULL for 2-hit sessions (ANSI-safe, unlike p[2]): its
-    # ecef/scores go NULL and the CASE below never reads them on the pair
-    # branch.
-    stage_hits = ["session_id", "p[0] AS e1", "p[1] AS e2", "get(p, 2) AS e3"]
-    stage_ecef = ["session_id", "e1", "e2", "e3"] + [
-        f"{ecef(f'e{i + 1}', ax)} AS {ax}{i + 1}" for i in range(3) for ax in "xyz"
+    # get(p, k) is NULL for shorter sessions (ANSI-safe, unlike p[k]): its
+    # ecef/scores go NULL and the CASE below never reads them on the
+    # shorter branches.
+    stage_hits = [
+        "session_id", "p[0] AS e1", "p[1] AS e2", "get(p, 2) AS e3", "get(p, 3) AS e4",
+    ]
+    stage_ecef = ["session_id", "e1", "e2", "e3", "e4"] + [
+        f"{ecef(f'e{i + 1}', ax)} AS {ax}{i + 1}" for i in range(4) for ax in "xyz"
     ]
 
     def score(i: int, j: int) -> str:
@@ -280,8 +299,9 @@ def _resolve_small_jvm(small: DataFrame, criterion: str) -> DataFrame:
         return f"(CASE WHEN {dt} <= {float(SIMPLE_WINDOW_NS)!r} THEN 1.0D ELSE -1.0D END)"
 
     stage_scores = [
-        "session_id", "e1", "e2", "e3",
+        "session_id", "e1", "e2", "e3", "e4",
         f"{score(1, 2)} AS s12", f"{score(1, 3)} AS s13", f"{score(2, 3)} AS s23",
+        f"{score(1, 4)} AS s14", f"{score(2, 4)} AS s24", f"{score(3, 4)} AS s34",
     ]
     staged = (
         agg.selectExpr(*stage_hits).selectExpr(*stage_ecef).selectExpr(*stage_scores)
@@ -334,7 +354,103 @@ def _resolve_small_jvm(small: DataFrame, criterion: str) -> DataFrame:
         f"CASE WHEN {f12} THEN array({g12})"
         f" ELSE array({single('e1')}, {single('e2')}) END"
     )
-    out = f"CASE WHEN e3 IS NOT NULL THEN {triple_out} ELSE {pair_out} END"
+
+    # ---- n=4 (r13): e4 probes the buffer the first three hits left behind.
+    # The e1..e3 replay reaches exactly six buffer states (the outer CASE
+    # arms below, in golden-replay condition order); e4 then probes groups
+    # in buffer order — skip on station overlap, fold into the first
+    # non-Invalid match (mean rule for groups, score>0 for singletons;
+    # first fold NEVER sets conflicting), and keep probing the rest with
+    # the ORIGINAL e4, merging on any non-Invalid verdict (merges DO set
+    # conflicting and append the absorbed group's constituents in order).
+    # Envelope = (min, max) constituent start — index order is start order
+    # here, so grp() reads them off the member index set. true_e adds the
+    # positive-pair count of every fold/merge verdict.
+    def grp(members: list[int], confl: str, te: str) -> str:
+        evs = ", ".join(cons(f"e{i}") for i in members)
+        return row(
+            f"e{min(members)}.start", f"e{max(members)}.start",
+            str(len(members)), confl, te, f"array({evs})",
+        )
+
+    o14, o24, o34 = "(e1.hash = e4.hash)", "(e2.hash = e4.hash)", "(e3.hash = e4.hash)"
+    f14 = f"(NOT {o14} AND s14 > 0.0D)"
+    f24 = f"(NOT {o24} AND s24 > 0.0D)"
+    f34 = f"(NOT {o34} AND s34 > 0.0D)"
+    v4_123 = "(CAST(s14 > 0.0D AS INT) + CAST(s24 > 0.0D AS INT) + CAST(s34 > 0.0D AS INT))"
+    v4_12 = "(CAST(s14 > 0.0D AS INT) + CAST(s24 > 0.0D AS INT))"
+    v4_13 = "(CAST(s14 > 0.0D AS INT) + CAST(s34 > 0.0D AS INT))"
+    v4_23 = "(CAST(s24 > 0.0D AS INT) + CAST(s34 > 0.0D AS INT))"
+    mft = repr(MEAN_FALSE_THRESHOLD)
+    inv4_123 = f"({o14} OR {o24} OR {o34} OR ((s14 + s24 + s34) / 3.0D < {mft}))"
+    inv4_12 = f"({o14} OR {o24} OR ((s14 + s24) / 2.0D < {mft}))"
+    inv4_13 = f"({o14} OR {o34} OR ((s14 + s34) / 2.0D < {mft}))"
+    inv4_23 = f"({o24} OR {o34} OR ((s24 + s34) / 2.0D < {mft}))"
+
+    # state [G123 fold] (f12 & !invalid3): e4 vs the 3-group, fold or append
+    q_fold123 = (
+        f"CASE WHEN NOT {inv4_123}"
+        f" THEN array({grp([1, 2, 3, 4], 'false', f'1 + {v} + {v4_123}')})"
+        f" ELSE array({g123_fold}, {single('e4')}) END"
+    )
+    # state [G12, {e3}] (f12 & invalid3): e4 vs G12 first (fold + possible
+    # transitive merge of {e3}), else vs {e3}
+    q_g12_e3 = (
+        f"CASE WHEN NOT {inv4_12} THEN (CASE WHEN {f34}"
+        f" THEN array({grp([1, 2, 4, 3], 'true', f'2 + {v4_12}')})"
+        f" ELSE array({grp([1, 2, 4], 'false', f'1 + {v4_12}')}, {single('e3')}) END)"
+        f" WHEN {f34} THEN array({g12}, {grp([3, 4], 'false', '1')})"
+        f" ELSE array({g12}, {single('e3')}, {single('e4')}) END"
+    )
+    # state [G132 merge] (!f12 & f13 & f23): conflicting group of 3, e4 folds
+    q_merge123 = (
+        f"CASE WHEN NOT {inv4_123}"
+        f" THEN array({grp([1, 3, 2, 4], 'true', f'2 + {v4_123}')})"
+        f" ELSE array({g123_merge}, {single('e4')}) END"
+    )
+    # state [G13, {e2}] (!f12 & f13 & !f23)
+    q_g13_e2 = (
+        f"CASE WHEN NOT {inv4_13} THEN (CASE WHEN {f24}"
+        f" THEN array({grp([1, 3, 4, 2], 'true', f'2 + {v4_13}')})"
+        f" ELSE array({grp([1, 3, 4], 'false', f'1 + {v4_13}')}, {single('e2')}) END)"
+        f" WHEN {f24} THEN array({g13}, {grp([2, 4], 'false', '1')})"
+        f" ELSE array({g13}, {single('e2')}, {single('e4')}) END"
+    )
+    # state [{e1}, G23] (!f12 & !f13 & f23): e4 vs {e1} first (fold + possible
+    # merge of the WHOLE G23 — the one group-absorbs-group arm), else vs G23
+    q_e1_g23 = (
+        f"CASE WHEN {f14} THEN (CASE WHEN NOT {inv4_23}"
+        f" THEN array({grp([1, 4, 2, 3], 'true', f'1 + {v4_23}')})"
+        f" ELSE array({grp([1, 4], 'false', '1')}, {g23}) END)"
+        f" WHEN NOT {inv4_23}"
+        f" THEN array({single('e1')}, {grp([2, 3, 4], 'false', f'1 + {v4_23}')})"
+        f" ELSE array({single('e1')}, {g23}, {single('e4')}) END"
+    )
+    # state [{e1},{e2},{e3}] (no pair among the first three): e4 can chain-
+    # merge up to both remaining singletons behind its first fold
+    q_singles = (
+        f"CASE WHEN {f14} THEN ("
+        f"CASE WHEN {f24} AND {f34} THEN array({grp([1, 4, 2, 3], 'true', '3')})"
+        f" WHEN {f24} THEN array({grp([1, 4, 2], 'true', '2')}, {single('e3')})"
+        f" WHEN {f34} THEN array({grp([1, 4, 3], 'true', '2')}, {single('e2')})"
+        f" ELSE array({grp([1, 4], 'false', '1')}, {single('e2')}, {single('e3')}) END)"
+        f" WHEN {f24} THEN (CASE WHEN {f34}"
+        f" THEN array({single('e1')}, {grp([2, 4, 3], 'true', '2')})"
+        f" ELSE array({single('e1')}, {grp([2, 4], 'false', '1')}, {single('e3')}) END)"
+        f" WHEN {f34} THEN array({single('e1')}, {single('e2')}, {grp([3, 4], 'false', '1')})"
+        f" ELSE array({single('e1')}, {single('e2')}, {single('e3')}, {single('e4')}) END"
+    )
+    quad_out = (
+        f"CASE WHEN {f12} THEN (CASE WHEN {invalid3} THEN {q_g12_e3} ELSE {q_fold123} END)"
+        f" WHEN {f13} THEN (CASE WHEN {f23} THEN {q_merge123} ELSE {q_g13_e2} END)"
+        f" WHEN {f23} THEN {q_e1_g23}"
+        f" ELSE {q_singles} END"
+    )
+
+    out = (
+        f"CASE WHEN e4 IS NOT NULL THEN {quad_out}"
+        f" WHEN e3 IS NOT NULL THEN {triple_out} ELSE {pair_out} END"
+    )
     return staged.selectExpr(f"inline({out})")
 
 
@@ -395,12 +511,14 @@ def cluster_coincidences(
         ).alias("events"),
     )
 
-    # 2-hit AND 3-hit sessions (the overwhelming majority of the multi
+    # 2-, 3- AND 4-hit sessions (the overwhelming majority of the multi
     # mass at physical rates) resolve in closed form inside whole-stage
     # codegen, sharing ONE groupBy exchange (_resolve_small_jvm). Only
-    # sessions of n >= 4 pay the Arrow/Python replay.
+    # sessions of n >= 5 pay the Arrow/Python replay (r13: the n=4 tier
+    # moved JVM-side — guide §4, shrink the Python surface; the Arrow
+    # stage's fixed task startup is its dominant cost at low tail mass).
     small_path = _resolve_small_jvm(
-        sess.filter((F.col("_n") == 2) | (F.col("_n") == 3)), criterion
+        sess.filter((F.col("_n") >= 2) & (F.col("_n") <= _SMALL_MAX_N)), criterion
     )
 
     # Pin the partition count: with a bare repartition(col), AQE coalesces
@@ -410,7 +528,7 @@ def cluster_coincidences(
     # heuristic is wrong whenever downstream cost is per-row Python work.
     n_part = python_stage_partitions(events.sparkSession)
     multis = (
-        sess.filter(F.col("_n") > 3)
+        sess.filter(F.col("_n") > _SMALL_MAX_N)
         .drop("_n")
         .repartition(n_part, F.col("session_id"))
         .sortWithinPartitions("session_id", "start", "hash")

@@ -161,11 +161,12 @@ def test_spark_matches_golden_on_random_fixture(spark, criterion):
 
 @pytest.mark.parametrize("criterion", ["physics", "simple"])
 def test_small_session_jvm_matches_golden(spark, criterion):
-    """Randomized differential test of the closed-form 2/3-hit resolver
+    """Randomized differential test of the closed-form 2/3/4-hit resolver
     (_resolve_small_jvm) against the golden replay — every branch of the
     enumeration (fold, group-verdict fold, transitive merge with its
-    [e1,e3,e2] constituent order, same-station skips, singletons) gets
-    traffic across 1200 random sessions."""
+    [e1,e3,e2] constituent order, same-station skips, singletons, and the
+    r13 quad tier: 4-fold, group-absorbs-group merge, chain merge) gets
+    traffic across 2400 random sessions."""
     import random
 
     from detector_network_processor_spark.operators.coincidence import _resolve_small_jvm
@@ -174,8 +175,8 @@ def test_small_session_jvm_matches_golden(spark, criterion):
     rng = random.Random(1234)
     rows = []
     base = 1_700_000_000_000_000_000
-    for sid in range(1200):
-        n_hits = rng.choice([2, 2, 3, 3, 3])
+    for sid in range(2400):
+        n_hits = rng.choice([2, 2, 3, 3, 3, 4, 4, 4, 4])
         stations = rng.sample(range(12), rng.randint(1, n_hits))
         t0 = base + sid * 10_000_000_000
         for _ in range(n_hits):
@@ -215,6 +216,7 @@ def test_small_session_jvm_matches_golden(spark, criterion):
                       for e in r.events))
 
     merges = folds = 0
+    quad_folds = quad_merges = quad_te3 = 0
     for sid, rs in by_sid.items():
         hits = [
             Hit(hash=r["hash"], start=r["start"], end=r["end"], time_acc=r["time_acc"],
@@ -226,9 +228,15 @@ def test_small_session_jvm_matches_golden(spark, criterion):
         assert sorted(map(canon_g, exp)) == sorted(map(canon_r, got_by_sid.get(sid, []))), sid
         merges += sum(1 for g in exp if g["conflicting"])
         folds += sum(1 for g in exp if g["n"] == 3 and not g["conflicting"])
+        quad_folds += sum(1 for g in exp if g["n"] == 4 and not g["conflicting"])
+        quad_merges += sum(1 for g in exp if g["n"] == 4 and g["conflicting"])
+        quad_te3 += sum(1 for g in exp if g["n"] == 4 and g["true_e"] >= 3)
 
     # the adversarial branches actually fired
     assert merges > 5 and folds >= 10
+    # ...including the r13 quad tier: clean 4-folds, conflicting 4-merges,
+    # and high-true_e chain merges
+    assert quad_folds >= 5 and quad_merges >= 5 and quad_te3 >= 5
 
 
 @pytest.mark.parametrize("criterion", ["physics", "simple"])
