@@ -25,6 +25,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .overlap import run_overlapped
+
 
 def _index_exists(spark, path: str) -> bool:
     """Probe the band-index path through the Hadoop FileSystem API so
@@ -210,18 +212,19 @@ def process_neardup_increment(
     pairs = collision_pairs(new_bands, hist, threshold, id_col=id_col)
 
     # The two terminal writes are INDEPENDENT jobs (pairs needs sigs+hist,
-    # the index write only the eagerly-checkpointed sigs), so they are
-    # submitted from a 2-thread pool: the short index write back-fills
-    # executor slots freed by the pair join's straggler tail instead of
-    # paying its whole wall serially after it (guide §2.6 overlap of
-    # independent jobs; measured A/B in OPTIMIZATION_r12.md). Both futures
-    # are joined (exceptions re-raised) before returning, so batch N+1
-    # still only ever sees a COMPLETE ingest_batch=N and the replay
-    # contract — re-running a batch_id overwrites both directories — is
-    # unchanged; a crash mid-batch can leave either directory partial,
-    # exactly as the sequential form could.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # the index write only the eagerly-checkpointed sigs), so they run
+    # overlapped: the short index write back-fills executor slots freed by
+    # the pair join's straggler tail instead of paying its whole wall
+    # serially after it (guide §2.6 overlap of independent jobs; measured
+    # A/B in OPTIMIZATION_r12.md, -12.5%). run_overlapped (r13) joins both
+    # futures FAIL-FAST — the first failure cancels the sibling's job group
+    # and is re-raised — so batch N+1 still only ever sees a COMPLETE
+    # ingest_batch=N. Replay caveat (r12 advice, made explicit): one
+    # directory can commit while the other fails — e.g. ingest_batch=N
+    # lands but batch_id=N pairs never do — which is safe ONLY because the
+    # foreachBatch contract REPLAYS a failed batch_id, overwriting both
+    # directories; an operator that skips the failed batch instead would
+    # treat N's docs as history whose pairs were never emitted.
     def _write_pairs() -> None:
         pairs.write.mode("overwrite").parquet(os.path.join(out_path, f"batch_id={batch_id}"))
 
@@ -232,9 +235,7 @@ def process_neardup_increment(
             os.path.join(index_path, f"ingest_batch={batch_id}")
         )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        for fut in [pool.submit(_write_pairs), pool.submit(_write_index)]:
-            fut.result()
+    run_overlapped(spark, {"pairs": _write_pairs, "index": _write_index})
 
 
 def incremental_neardup_query(

@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..constants import MAX_TIME_NS, SIMPLE_WINDOW_NS
 from ..operators.coincidence import cluster_coincidences
+from .overlap import run_overlapped
 
 HIT_COLS = ["hash", "start", "end", "time_acc", "ublox_counter", "fix", "lat", "lon", "h"]
 
@@ -163,9 +164,11 @@ def process_increment(
             else hits.limit(0)
         )
 
-    closed.drop("_last").write.mode("overwrite").parquet(
-        os.path.join(out_path, f"batch_id={batch_id}")
-    )
+    def _write_closed() -> None:
+        closed.drop("_last").write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
+
     if open_rows is not None:
         # range-shard the carried state by time so the next increment's
         # scan parallelizes even when the open tail is large (one file per
@@ -173,9 +176,23 @@ def process_increment(
         # Write the version even when empty: the lineage stays continuous,
         # so a replay of batch N+1 always finds vN.
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        open_rows.repartitionByRange(n_parts, F.col("start")).write.mode("overwrite").parquet(
-            _version_dir(state_path, batch_id)
-        )
+
+        def _write_state() -> None:
+            open_rows.repartitionByRange(n_parts, F.col("start")).write.mode(
+                "overwrite"
+            ).parquet(_version_dir(state_path, batch_id))
+
+        # The two terminal writes are INDEPENDENT jobs (closed reads the
+        # persisted l1, the state version reads the persisted hits), so they
+        # run overlapped (guide §2.6; same pattern as the near-dup increment,
+        # r12 A/B -12.5%): the short state write back-fills executor slots
+        # freed by the closed write's straggler tail. run_overlapped joins
+        # both futures fail-fast (sibling job groups cancelled on the first
+        # failure) and re-raises, so a replay of this batch_id re-overwrites
+        # BOTH directories — skip-instead-of-replay would orphan whichever
+        # directory committed (contract note in streaming/overlap.py).
+        # Pruning stays strictly AFTER the state write landed.
+        run_overlapped(spark, {"closed": _write_closed, "state": _write_state})
         # keep the version this batch READ (not blindly batch_id-1: empty
         # batches write no version, so the read one may be older) — a
         # replay of this batch_id must be able to re-read it.
@@ -183,6 +200,7 @@ def process_increment(
     else:  # final flush — the stream is over, drop all state
         import shutil
 
+        _write_closed()
         shutil.rmtree(state_path, ignore_errors=True)
     l1.unpersist()
     hits.unpersist()

@@ -357,7 +357,7 @@ def test_decompose_tool_matches_replay_output(spark):
     }
 
 
-def test_increment_write_failure_propagates(spark):
+def test_increment_write_failure_propagates(spark, monkeypatch):
     """r12: the increment's two terminal writes run as concurrent jobs
     (guide §2.6 overlap); the futures must be JOINED with exceptions
     re-raised, so a failed pairs write or a failed index write can never
@@ -406,11 +406,13 @@ def test_increment_write_failure_propagates(spark):
                 raise RuntimeError("injected index-write failure")
             return real_parquet(self, path, *a, **kw)
 
-        DataFrameWriter.parquet = failing_parquet
+        # monkeypatch (not bare class-attr assignment): exception-safe,
+        # bookkept restoration even if the assertion below throws (r12
+        # advice)
+        monkeypatch.setattr(DataFrameWriter, "parquet", failing_parquet)
         with pytest.raises(Exception, match="injected index-write failure"):
             process_neardup_increment(spark, df, f"{tmp}/index", f"{tmp}/out", 1, threshold=0.3)
         # the failed increment must not have destroyed batch 0's history
         assert os.path.isdir(f"{tmp}/index/ingest_batch=0")
     finally:
-        DataFrameWriter.parquet = real_parquet
         shutil.rmtree(tmp, ignore_errors=True)

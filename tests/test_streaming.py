@@ -557,6 +557,69 @@ def test_incremental_replay_is_idempotent(spark):
     assert cs == cb
 
 
+def test_increment_overlapped_write_failure_propagates(spark, monkeypatch):
+    """r13: the coincidence increment's two terminal writes (closed output,
+    carried-state version) run overlapped (guide §2.6, same pattern as the
+    near-dup increment). A failure of EITHER write must raise out of
+    process_increment — fail-fast with the sibling's job group cancelled —
+    and must not have pruned the state version the batch read, so a replay
+    of the same batch_id still finds its input state."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from detector_network_processor_spark.streaming.incremental import process_increment
+
+    events = make_events(n_base=400, seed=53)
+    stations = {s[0]: s for s in STATIONS}
+    enriched = sorted(
+        (
+            {**e, "lat": stations[e["hash"]][1], "lon": stations[e["hash"]][2], "h": stations[e["hash"]][3]}
+            for e in events
+        ),
+        key=lambda e: e["start"],
+    )
+    n = len(enriched)
+    chunks = [enriched[: n // 2], enriched[n // 2 :]]
+    schema = spark.createDataFrame(enriched[:1]).schema
+    real_parquet = DataFrameWriter.parquet
+
+    for fail_marker, fail_name in ((f"{os.sep}v000000000001", "state"), ("batch_id=1", "closed")):
+        tmp = tempfile.mkdtemp(prefix="dnp_incfail_")
+        try:
+            out_path, state_path = f"{tmp}/out", f"{tmp}/state"
+            process_increment(
+                spark, spark.createDataFrame(chunks[0], schema), state_path, out_path, batch_id=0
+            )
+            assert os.path.isdir(f"{state_path}/v000000000000")
+
+            def failing_parquet(self, path, *a, **kw):
+                if fail_marker in path:
+                    raise RuntimeError(f"injected {fail_name}-write failure")
+                return real_parquet(self, path, *a, **kw)
+
+            monkeypatch.setattr(DataFrameWriter, "parquet", failing_parquet)
+            with pytest.raises(Exception, match=f"injected {fail_name}-write failure"):
+                process_increment(
+                    spark, spark.createDataFrame(chunks[1], schema), state_path, out_path, batch_id=1
+                )
+            monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+            # the version batch 1 read must survive the failed increment
+            # (pruning runs only after BOTH writes land), so the replay of
+            # batch 1 works and is byte-equal to a never-failed run
+            assert os.path.isdir(f"{state_path}/v000000000000")
+            process_increment(
+                spark, spark.createDataFrame(chunks[1], schema), state_path, out_path, batch_id=1
+            )
+            assert os.path.isdir(f"{state_path}/v000000000001")
+            assert spark.read.parquet(out_path).count() > 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_coincidence_rocksdb_state_store(spark):
     """The session-window clustering path must produce identical results
     under the RocksDB state store (the production backend for large
