@@ -62,6 +62,61 @@ def test_randomized_vs_union_find(spark):
     assert got == _union_find(edges)
 
 
+def test_components_observe_signature(spark):
+    """r13: the contraction loop folds its convergence signature into the
+    checkpoint job via ``observe`` (_ckpt_with_signature). Pins (a) the
+    observed signature is IDENTICAL to the standalone ``_signature``
+    aggregate over the checkpointed rows, and (b) the fold costs ZERO extra
+    jobs — one contraction round's checkpoint action launches the same job
+    count with the observe node as without it, while the standalone
+    signature the fold replaces costs at least one more (AQE may split a
+    single action into several jobs, so the pin is a delta, not '== 1')."""
+    import pyspark.sql.functions as F
+
+    from detector_network_processor_spark.operators.components import (
+        _ckpt_with_signature,
+        _large_star,
+        _orient,
+        _signature,
+        _small_star,
+    )
+    from detector_network_processor_spark.session import eager_ckpt_tracked, release_ckpts
+
+    rng = random.Random(99)
+    nodes = list(range(1, 200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(260)]
+    df = spark.createDataFrame([(a, b) for a, b in edges if a != b], "src long, dst long")
+    e, e_h, sig = _ckpt_with_signature(
+        _orient(df.select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    )
+    assert sig == _signature(e)
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs_in(group, fn):
+        spark.sparkContext.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            spark.sparkContext.setJobGroup(None, None)
+        return out, len(tracker.getJobIdsForGroup(group))
+
+    (nxt_obs, h_obs, nsig), n_obs = jobs_in(
+        "obs-fold-round", lambda: _ckpt_with_signature(_small_star(_large_star(e)))
+    )
+    (nxt_plain, h_plain), n_plain = jobs_in(
+        "plain-ckpt-round", lambda: eager_ckpt_tracked(_small_star(_large_star(e)))
+    )
+    sig_plain, n_sig = jobs_in("standalone-sig", lambda: _signature(nxt_plain))
+
+    assert nsig == _signature(nxt_obs) == sig_plain
+    assert n_obs == n_plain, f"observe fold added jobs: {n_obs} vs {n_plain}"
+    assert n_sig >= 1  # the job the fold removes from every round
+    release_ckpts(e_h)
+    release_ckpts(h_obs)
+    release_ckpts(h_plain)
+
+
 def test_window_stars_match_join_reference_per_round(spark):
     """The r12 window-form stars must reproduce the join-based reference
     ROUND BY ROUND (edge-set equality, not just final components): large
