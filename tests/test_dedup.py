@@ -19,6 +19,51 @@ def _doc(doc_id, text):
     return dict(doc_id=doc_id, text=text)
 
 
+def test_minhash_kernel_matches_per_doc_reference(spark):
+    """The Arrow signature kernel must be BIT-IDENTICAL to the scalar
+    per-document reference ((h*a+b) mod P, min per column) for every
+    document — the explicit pin behind the r10 'bit-identical' claim, and
+    the gate any future kernel rewrite must pass (the r13 chunked-reduceat
+    variant passed it and was still rejected on measured wall — receipt in
+    plans/r13/sigkernel_ab_receipts.jsonl). Doc sizes span tiny to 70k
+    tokens so Arrow batch boundaries and large single docs get traffic."""
+    import random
+
+    import numpy as np
+
+    from detector_network_processor_spark.operators.dedup import (
+        _MERSENNE_P,
+        _permutation_params,
+        hashed_shingles,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    for doc_id in range(400):
+        n_tok = rng.choice([3, 4, 10, 50, 400, 2000])
+        rows.append(_doc(doc_id, " ".join(rng.choice(vocab) for _ in range(n_tok))))
+    rows.append(_doc(9999, " ".join(rng.choice(vocab) for _ in range(70_000))))
+    docs = spark.createDataFrame(rows)
+
+    sh = {
+        r["doc_id"]: np.asarray(r["_sh"], dtype=np.int64)
+        for r in hashed_shingles(docs).collect()
+    }
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs).collect()
+    }
+    params = _permutation_params()
+    a = np.array([p[0] for p in params], dtype=np.int64)
+    b = np.array([p[1] for p in params], dtype=np.int64)
+    assert set(got) == set(sh)
+    for doc_id, arr in sh.items():
+        h = arr % _MERSENNE_P
+        ref = ((h[:, None] * a + b) % _MERSENNE_P).min(axis=0)
+        assert got[doc_id] == list(ref), doc_id
+
+
 def test_minhash_identical_docs_collide(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     docs = spark.createDataFrame(
